@@ -1,0 +1,113 @@
+"""LZ4 codec — block format, greedy fast compressor.
+
+Capability parity: SURVEY.md §2.2 A1 (reference: /root/reference/algos/lz4/
+lz4.c — LZ4_compress_default :2967, LZ4_decompress_safe :4898, MT paths
+:2655-2930 / :4785-4860).
+
+Tiers:
+  HOST — own C++ implementation (csrc/lz4_host.cpp) via ctypes.
+  XLA  — fully parallel device pipeline (ops/lz4_device.py): vectorized
+         hash match finding + pointer-doubling greedy parse + scan-based
+         byte emission; decode via parallel token scan + log-step
+         back-reference resolution.
+
+Level semantics: LZ4 fast has no levels in the reference; the handle's
+opt_var carries the acceleration factor (>=1), like LZ4_compress_fast.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from ..api.handle import Handle
+from ..parallel import container
+from ..runtime import native
+from ..utils import dispatch
+from ..utils.config import TIER_HOST, get_config
+from . import lz4_stitch
+from .base import Codec
+
+_MAX_ONESHOT_GROW = 1 << 30
+
+
+class Lz4Codec(Codec):
+    name = "lz4"
+    version = "1.9.3-tpu"
+    min_level, max_level, default_level = 0, 0, 0
+
+    def compress_bound(self, n: int) -> int:
+        cfg = get_config()
+        return (native.lz4_compress_bound(n)
+                + native.rap_frame_bound(n, cfg.default_block_size))
+
+    def _block_size(self, handle: Handle) -> int:
+        return handle.block_size or get_config().default_block_size
+
+    def _rap_enabled(self, handle: Handle) -> bool:
+        if handle.enable_rap is not None:
+            return handle.enable_rap
+        return get_config().enable_rap
+
+    def _adapter(self, handle: Handle) -> container.BlockCodecAdapter:
+        cb = dispatch.resolve(self.name, "compress_blocks", handle.max_tier,
+                              handle.opt_off)
+        db = dispatch.resolve(self.name, "decompress_blocks", handle.max_tier,
+                              handle.opt_off)
+        accel = max(1, handle.opt_var)
+        bs = self._block_size(handle)
+        return container.BlockCodecAdapter(
+            compress_blocks=lambda blocks: cb(blocks, accel),
+            decompress_blocks=lambda chunks, dlens: db(chunks, dlens, bs))
+
+    def compress(self, handle: Handle, data: bytes) -> bytes:
+        if self._rap_enabled(handle):
+            out = container.compress_rapped(data, self._block_size(handle),
+                                            self._adapter(handle))
+            if out is not None:
+                return out
+        fn = dispatch.resolve(self.name, "compress", handle.max_tier,
+                              handle.opt_off)
+        return fn(data, max(1, handle.opt_var))
+
+    def decompress(self, handle: Handle, data: bytes,
+                   expected_size: Optional[int] = None) -> bytes:
+        out = container.decompress_rapped(data, self._adapter(handle))
+        if out is not None:
+            return out
+        return _oneshot_decompress(data, expected_size)
+
+
+def _oneshot_decompress(data: bytes, expected_size: Optional[int]) -> bytes:
+    """Serial-safe decode; grows the guess when the size is unknown (the
+    reference bench always knows dst size; library callers may not)."""
+    if expected_size is not None:
+        return native.lz4_decompress(data, expected_size)
+    guess = max(64, len(data) * 4)
+    while guess <= _MAX_ONESHOT_GROW:
+        try:
+            return native.lz4_decompress(data, guess)
+        except ValueError:
+            guess *= 4
+    raise ValueError("lz4 decompress: cannot size output")
+
+
+# --- host-tier variants -------------------------------------------------------
+
+@dispatch.register("lz4", "compress", TIER_HOST, "lz4_compress_host")
+def _compress_host(data: bytes, accel: int) -> bytes:
+    return native.lz4_compress(data, accel)
+
+
+@dispatch.register("lz4", "compress_blocks", TIER_HOST,
+                   "lz4_compress_blocks_host")
+def _compress_blocks_host(blocks: Sequence[bytes], accel: int):
+    frags = [native.lz4_compress_tail(b, accel) for b in blocks]
+    return lz4_stitch.stitch(frags, blocks)
+
+
+@dispatch.register("lz4", "decompress_blocks", TIER_HOST,
+                   "lz4_decompress_blocks_host")
+def _decompress_blocks_host(chunks: Sequence[bytes], dlens: Sequence[int],
+                            block_size: int) -> List[bytes]:
+    return [native.lz4_decompress(c, d) if d else b""
+            for c, d in zip(chunks, dlens)]

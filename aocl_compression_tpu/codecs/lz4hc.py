@@ -1,0 +1,79 @@
+"""LZ4HC codec — hash-chain deep-search compressor, levels 1-12.
+
+Capability parity: SURVEY.md §2.2 A2 (reference: /root/reference/algos/lz4/
+lz4hc.c — LZ4_compress_HC :2032; decompress shared with LZ4, api/codec.h:168).
+
+Tiers: HOST = own C++ hash-chain encoder (csrc/lz4_host.cpp
+atpu_lz4hc_compress); device tier shares LZ4's decode pipeline and adds a
+deeper (multi-probe) device match finder.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from ..api.handle import Handle
+from ..parallel import container
+from ..runtime import native
+from ..utils import dispatch
+from ..utils.config import TIER_HOST, get_config
+from . import lz4_stitch
+from .base import Codec
+from .lz4 import _oneshot_decompress
+
+
+class Lz4hcCodec(Codec):
+    name = "lz4hc"
+    version = "1.9.3-tpu"
+    min_level, max_level, default_level = 1, 12, 9
+
+    def compress_bound(self, n: int) -> int:
+        cfg = get_config()
+        return (native.lz4_compress_bound(n)
+                + native.rap_frame_bound(n, cfg.default_block_size))
+
+    def _block_size(self, handle: Handle) -> int:
+        return handle.block_size or get_config().default_block_size
+
+    def _adapter(self, handle: Handle) -> container.BlockCodecAdapter:
+        cb = dispatch.resolve(self.name, "compress_blocks", handle.max_tier,
+                              handle.opt_off)
+        # decode is LZ4's, same as the reference's shared decompressor
+        db = dispatch.resolve("lz4", "decompress_blocks", handle.max_tier,
+                              handle.opt_off)
+        level = self.clamp_level(handle.level or self.default_level)
+        bs = self._block_size(handle)
+        return container.BlockCodecAdapter(
+            compress_blocks=lambda blocks: cb(blocks, level),
+            decompress_blocks=lambda chunks, dlens: db(chunks, dlens, bs))
+
+    def compress(self, handle: Handle, data: bytes) -> bytes:
+        rap = (handle.enable_rap if handle.enable_rap is not None
+               else get_config().enable_rap)
+        if rap:
+            out = container.compress_rapped(data, self._block_size(handle),
+                                            self._adapter(handle))
+            if out is not None:
+                return out
+        fn = dispatch.resolve(self.name, "compress", handle.max_tier,
+                              handle.opt_off)
+        return fn(data, self.clamp_level(handle.level or self.default_level))
+
+    def decompress(self, handle: Handle, data: bytes,
+                   expected_size: Optional[int] = None) -> bytes:
+        out = container.decompress_rapped(data, self._adapter(handle))
+        if out is not None:
+            return out
+        return _oneshot_decompress(data, expected_size)
+
+
+@dispatch.register("lz4hc", "compress", TIER_HOST, "lz4hc_compress_host")
+def _compress_host(data: bytes, level: int) -> bytes:
+    return native.lz4hc_compress(data, level)
+
+
+@dispatch.register("lz4hc", "compress_blocks", TIER_HOST,
+                   "lz4hc_compress_blocks_host")
+def _compress_blocks_host(blocks: Sequence[bytes], level: int):
+    frags = [native.lz4hc_compress_tail(b, level) for b in blocks]
+    return lz4_stitch.stitch(frags, blocks)

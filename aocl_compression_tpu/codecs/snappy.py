@@ -1,0 +1,114 @@
+"""Snappy codec — raw format.
+
+Capability parity: SURVEY.md §2.2 A5 (reference: /root/reference/algos/snappy/
+snappy.cc — RawCompress :2512, RawUncompress :2282,
+GetUncompressedLengthFromMTCompressedBuffer :596-604).
+
+MT/RAP layout mirrors the reference: the stream keeps ONE varint length
+preamble placed right after the RAP frame; chunk fragments are raw element
+streams (no per-chunk preamble) so the concatenation after skipping the RAP
+frame is a single valid snappy stream for legacy decoders.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from ..api.handle import Handle
+from ..parallel import container
+from ..runtime import native
+from ..utils import dispatch
+from ..utils.config import TIER_HOST, get_config
+from .base import Codec
+
+
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    while n >= 0x80:
+        out.append((n & 0x7F) | 0x80)
+        n >>= 7
+    out.append(n)
+    return bytes(out)
+
+
+def _varint_len(data: bytes) -> int:
+    for i, b in enumerate(data[:5]):
+        if not (b & 0x80):
+            return i + 1
+    raise ValueError("bad varint")
+
+
+def _strip_preamble(stream: bytes) -> bytes:
+    return stream[_varint_len(stream):]
+
+
+class SnappyCodec(Codec):
+    name = "snappy"
+    version = "2020-07-11-tpu"
+    min_level, max_level, default_level = 0, 0, 0
+
+    def compress_bound(self, n: int) -> int:
+        cfg = get_config()
+        return (native.snappy_max_compressed_length(n)
+                + native.rap_frame_bound(n, cfg.default_block_size))
+
+    def _block_size(self, handle: Handle) -> int:
+        return handle.block_size or get_config().default_block_size
+
+    def _adapter(self, handle: Handle) -> container.BlockCodecAdapter:
+        cb = dispatch.resolve(self.name, "compress_blocks", handle.max_tier,
+                              handle.opt_off)
+        db = dispatch.resolve(self.name, "decompress_blocks", handle.max_tier,
+                              handle.opt_off)
+        bs = self._block_size(handle)
+        return container.BlockCodecAdapter(
+            compress_blocks=cb,
+            decompress_blocks=lambda chunks, dlens: db(chunks, dlens, bs),
+            preamble=_varint)
+
+    def compress(self, handle: Handle, data: bytes) -> bytes:
+        rap = (handle.enable_rap if handle.enable_rap is not None
+               else get_config().enable_rap)
+        if rap:
+            out = container.compress_rapped(data, self._block_size(handle),
+                                            self._adapter(handle))
+            if out is not None:
+                return out
+        fn = dispatch.resolve(self.name, "compress", handle.max_tier,
+                              handle.opt_off)
+        return fn(data)
+
+    def decompress(self, handle: Handle, data: bytes,
+                   expected_size: Optional[int] = None) -> bytes:
+        out = container.decompress_rapped(data, self._adapter(handle))
+        if out is not None:
+            return out
+        return native.snappy_uncompress(data)
+
+    def uncompressed_length(self, data: bytes) -> int:
+        """Parity with GetUncompressedLengthFromMTCompressedBuffer: reads the
+        varint length, skipping a RAP frame if present (snappy.cc:596-604)."""
+        return native.snappy_uncompressed_length(
+            container.skip_rap_frame(data))
+
+
+@dispatch.register("snappy", "compress", TIER_HOST, "snappy_compress_host")
+def _compress_host(data: bytes) -> bytes:
+    return native.snappy_compress(data)
+
+
+@dispatch.register("snappy", "compress_blocks", TIER_HOST,
+                   "snappy_compress_blocks_host")
+def _compress_blocks_host(blocks: Sequence[bytes]):
+    # raw element fragments: compress each block, strip its varint preamble;
+    # snappy elements are self-delimiting so no boundary stitch is needed
+    return ([_strip_preamble(native.snappy_compress(b)) for b in blocks],
+            [len(b) for b in blocks])
+
+
+@dispatch.register("snappy", "decompress_blocks", TIER_HOST,
+                   "snappy_decompress_blocks_host")
+def _decompress_blocks_host(chunks: Sequence[bytes], dlens: Sequence[int],
+                            block_size: int) -> List[bytes]:
+    return [native.snappy_uncompress(_varint(d) + c)
+            for c, d in zip(chunks, dlens)]

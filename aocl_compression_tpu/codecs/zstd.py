@@ -1,0 +1,144 @@
+"""ZSTD codec — the flagship entropy-coded format.
+
+Capability parity: SURVEY.md §2.2 A7 (reference: /root/reference/algos/zstd —
+level table zstd_compress.c:7311-7405, RAP-in-skippable-frame embedding
+:5324-5387, MT decode zstd_decompress.c:1252-1330).
+
+Tiers:
+  HOST — the baked-in `zstandard` library (format-exact, levels 1-22). This
+         is the round-1 compatibility oracle; the own FSE/Huffman device
+         pipeline (parallel ANS Pallas kernels) lands at higher tiers and is
+         cross-checked against it.
+
+MT/RAP layout mirrors the reference exactly: the RAP frame rides inside a
+standard zstd *skippable frame* (magic 0x184D2A50, variant 0) so stock zstd
+tools still decode the stream; per-chunk RAP offsets are relative to the RAP
+frame start (AOCL_write_skippable_rap_frame, zstd_compress.c:5360).
+Each chunk is an independent zstd frame; concatenated zstd frames are a valid
+zstd stream by spec.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import List, Optional, Sequence
+
+from ..api.handle import Handle
+from ..parallel import container
+from ..runtime import native
+from ..utils import dispatch
+from ..utils.config import TIER_HOST, get_config
+from .base import Codec
+
+_SKIPPABLE_MAGIC = 0x184D2A50
+_SKIPPABLE_HEADER_SIZE = 8
+
+
+def _zstd():
+    import zstandard
+    return zstandard
+
+
+class ZstdCodec(Codec):
+    name = "zstd"
+    version = "1.5.5-tpu"
+    min_level, max_level, default_level = 1, 22, 3
+
+    def compress_bound(self, n: int) -> int:
+        # standard zstd bound + room for the skippable RAP frame
+        bound = n + (n >> 8) + 64
+        cfg = get_config()
+        return (bound + _SKIPPABLE_HEADER_SIZE
+                + native.rap_frame_bound(n, cfg.default_block_size))
+
+    def _block_size(self, handle: Handle) -> int:
+        # reference derives the chunk from 1<<windowLog * factor
+        # (zstd_compress.c:5417-5420); our device blocks set the default.
+        return handle.block_size or get_config().default_block_size
+
+    def compress(self, handle: Handle, data: bytes) -> bytes:
+        level = self.clamp_level(handle.level or self.default_level)
+        rap = (handle.enable_rap if handle.enable_rap is not None
+               else get_config().enable_rap)
+        bs = self._block_size(handle)
+        if rap and len(data) >= 2 * bs:
+            return self._compress_rapped(handle, data, level, bs)
+        fn = dispatch.resolve(self.name, "compress", handle.max_tier,
+                              handle.opt_off)
+        return fn(data, level)
+
+    def _compress_rapped(self, handle: Handle, data: bytes, level: int,
+                         bs: int) -> bytes:
+        blocks = container.split_blocks(data, bs)
+        cb = dispatch.resolve(self.name, "compress_blocks", handle.max_tier,
+                              handle.opt_off)
+        chunks, dlens = cb(blocks, level)
+        n = len(blocks)
+        frame_len = native.rap_frame_len(n)
+        offsets, lens = [], []
+        pos = frame_len  # relative to RAP frame start, matching the reference
+        for ch in chunks:
+            offsets.append(pos)
+            lens.append(len(ch))
+            pos += len(ch)
+        rap = native.rap_write(n, offsets, lens, dlens)
+        skip_hdr = struct.pack("<II", _SKIPPABLE_MAGIC, len(rap))
+        return skip_hdr + rap + b"".join(chunks)
+
+    def decompress(self, handle: Handle, data: bytes,
+                   expected_size: Optional[int] = None) -> bytes:
+        if len(data) >= _SKIPPABLE_HEADER_SIZE:
+            magic, size = struct.unpack_from("<II", data)
+            if (magic & 0xFFFFFFF0) == _SKIPPABLE_MAGIC:
+                body = data[_SKIPPABLE_HEADER_SIZE:]
+                parsed = native.rap_parse(body)
+                if parsed is not None:
+                    offsets, lens, dlens = parsed
+                    chunks = [bytes(body[o:o + l])
+                              for o, l in zip(offsets, lens)]
+                    db = dispatch.resolve(self.name, "decompress_blocks",
+                                          handle.max_tier, handle.opt_off)
+                    return b"".join(db(chunks, [int(d) for d in dlens]))
+                # unknown skippable frame: stock zstd skips it; so do we
+                data = data[_SKIPPABLE_HEADER_SIZE + size:]
+        fn = dispatch.resolve(self.name, "decompress", handle.max_tier,
+                              handle.opt_off)
+        return fn(data, expected_size)
+
+
+@dispatch.register("zstd", "compress", TIER_HOST, "zstd_compress_host")
+def _compress_host(data: bytes, level: int) -> bytes:
+    return _zstd().ZstdCompressor(level=level).compress(data)
+
+
+@dispatch.register("zstd", "compress_blocks", TIER_HOST,
+                   "zstd_compress_blocks_host")
+def _compress_blocks_host(blocks: Sequence[bytes], level: int):
+    cctx = _zstd().ZstdCompressor(level=level)
+    return [cctx.compress(b) for b in blocks], [len(b) for b in blocks]
+
+
+@dispatch.register("zstd", "decompress", TIER_HOST, "zstd_decompress_host")
+def _decompress_host(data: bytes, expected_size=None) -> bytes:
+    z = _zstd()
+    dctx = z.ZstdDecompressor()
+    # handle multi-frame streams (concatenated frames are valid zstd)
+    out = []
+    buf = memoryview(data)
+    while len(buf) > 0:
+        dobj = dctx.decompressobj()
+        out.append(dobj.decompress(bytes(buf)))
+        consumed = len(buf) - len(dobj.unused_data)
+        buf = memoryview(dobj.unused_data) if dobj.unused_data else buf[:0]
+        if consumed == 0:
+            break
+    return b"".join(out)
+
+
+@dispatch.register("zstd", "decompress_blocks", TIER_HOST,
+                   "zstd_decompress_blocks_host")
+def _decompress_blocks_host(chunks: Sequence[bytes],
+                            dlens: Sequence[int]) -> List[bytes]:
+    dctx = _zstd().ZstdDecompressor()
+    return [dctx.decompress(c, max_output_size=d)
+            for c, d in zip(chunks, dlens)]

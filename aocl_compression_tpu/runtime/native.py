@@ -1,0 +1,233 @@
+"""ctypes bindings for the native host runtime (csrc/libaocl_tpu_host.so).
+
+The native library holds the host-tier codecs (own-implementation LZ4 block,
+LZ4HC, Snappy raw) and the RAP container writer/parser — the TPU-native
+equivalent of the reference's C/C++ codec layer (SURVEY.md §2.2) and threads
+runtime (§2.1 F6/F7). Built lazily with `make` on first import if missing.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_CSRC = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), "csrc")
+_LIBPATH = os.path.join(_CSRC, "libaocl_tpu_host.so")
+
+_lib = None
+_lock = threading.Lock()
+
+_u8p = ctypes.POINTER(ctypes.c_uint8)
+_u32p = ctypes.POINTER(ctypes.c_uint32)
+_i64 = ctypes.c_int64
+_i32 = ctypes.c_int32
+
+
+def _build() -> None:
+    subprocess.run(["make", "-C", _CSRC, "-s"], check=True)
+
+
+def get_lib() -> ctypes.CDLL:
+    global _lib
+    if _lib is not None:
+        return _lib
+    with _lock:
+        if _lib is not None:
+            return _lib
+        srcs = [os.path.join(_CSRC, f) for f in os.listdir(_CSRC)
+                if f.endswith(".cpp")]
+        if (not os.path.exists(_LIBPATH)
+                or any(os.path.getmtime(s) > os.path.getmtime(_LIBPATH)
+                       for s in srcs)):
+            _build()
+        lib = ctypes.CDLL(_LIBPATH)
+        for name, restype, argtypes in [
+            ("atpu_lz4_compress_bound", _i64, [_i64]),
+            ("atpu_lz4_compress", _i64, [_u8p, _i64, _u8p, _i64, _i32]),
+            ("atpu_lz4_compress_tail", _i64,
+             [_u8p, _i64, _u8p, _i64, _i32, ctypes.POINTER(_i64)]),
+            ("atpu_lz4_decompress", _i64, [_u8p, _i64, _u8p, _i64]),
+            ("atpu_lz4hc_compress", _i64, [_u8p, _i64, _u8p, _i64, _i32]),
+            ("atpu_lz4hc_compress_tail", _i64,
+             [_u8p, _i64, _u8p, _i64, _i32, ctypes.POINTER(_i64)]),
+            ("atpu_snappy_max_compressed_length", _i64, [_i64]),
+            ("atpu_snappy_compress", _i64, [_u8p, _i64, _u8p, _i64]),
+            ("atpu_snappy_uncompressed_length", _i64, [_u8p, _i64]),
+            ("atpu_snappy_uncompress", _i64, [_u8p, _i64, _u8p, _i64]),
+            ("atpu_rap_frame_len", _i64, [_i32]),
+            ("atpu_rap_write", _i64, [_u8p, _i64, _i32, _u32p, _u32p, _u32p]),
+            ("atpu_rap_parse", _i64, [_u8p, _i64, _u32p, _u32p, _u32p, _i32]),
+            ("atpu_rap_skip", _i64, [_u8p, _i64]),
+            ("atpu_rap_frame_bound", _i64, [_i64, _i64]),
+        ]:
+            fn = getattr(lib, name)
+            fn.restype = restype
+            fn.argtypes = argtypes
+        _lib = lib
+        return _lib
+
+
+def _as_u8p(buf: np.ndarray):
+    return buf.ctypes.data_as(_u8p)
+
+
+def _tobuf(data: bytes) -> np.ndarray:
+    return np.frombuffer(data, dtype=np.uint8)
+
+
+# --- LZ4 --------------------------------------------------------------------
+
+def lz4_compress_bound(n: int) -> int:
+    return get_lib().atpu_lz4_compress_bound(n)
+
+
+def lz4_compress(data: bytes, accel: int = 1) -> bytes:
+    lib = get_lib()
+    src = _tobuf(data)
+    dst = np.empty(lib.atpu_lz4_compress_bound(len(data)), dtype=np.uint8)
+    n = lib.atpu_lz4_compress(_as_u8p(src), len(data), _as_u8p(dst),
+                              dst.size, accel)
+    if n < 0:
+        raise ValueError("lz4 host compress failed")
+    return dst[:n].tobytes()
+
+
+def lz4_compress_tail(data: bytes, accel: int = 1) -> tuple:
+    """Compress and also return the trailing-literal count of the final
+    literal-only sequence (needed by the RAP boundary stitcher)."""
+    lib = get_lib()
+    src = _tobuf(data)
+    dst = np.empty(lib.atpu_lz4_compress_bound(len(data)), dtype=np.uint8)
+    tail = _i64(0)
+    n = lib.atpu_lz4_compress_tail(_as_u8p(src), len(data), _as_u8p(dst),
+                                   dst.size, accel, ctypes.byref(tail))
+    if n < 0:
+        raise ValueError("lz4 host compress failed")
+    return dst[:n].tobytes(), tail.value
+
+
+def lz4hc_compress_tail(data: bytes, level: int = 9) -> tuple:
+    lib = get_lib()
+    src = _tobuf(data)
+    dst = np.empty(lib.atpu_lz4_compress_bound(len(data)), dtype=np.uint8)
+    tail = _i64(0)
+    n = lib.atpu_lz4hc_compress_tail(_as_u8p(src), len(data), _as_u8p(dst),
+                                     dst.size, level, ctypes.byref(tail))
+    if n < 0:
+        raise ValueError("lz4hc host compress failed")
+    return dst[:n].tobytes(), tail.value
+
+
+def lz4_decompress(data: bytes, expected_size: int) -> bytes:
+    lib = get_lib()
+    src = _tobuf(data)
+    dst = np.empty(max(expected_size, 1), dtype=np.uint8)
+    n = lib.atpu_lz4_decompress(_as_u8p(src), len(data), _as_u8p(dst),
+                                expected_size)
+    if n < 0:
+        raise ValueError("lz4 host decompress failed (corrupt stream?)")
+    return dst[:n].tobytes()
+
+
+def lz4hc_compress(data: bytes, level: int = 9) -> bytes:
+    lib = get_lib()
+    src = _tobuf(data)
+    dst = np.empty(lib.atpu_lz4_compress_bound(len(data)), dtype=np.uint8)
+    n = lib.atpu_lz4hc_compress(_as_u8p(src), len(data), _as_u8p(dst),
+                                dst.size, level)
+    if n < 0:
+        raise ValueError("lz4hc host compress failed")
+    return dst[:n].tobytes()
+
+
+# --- Snappy -----------------------------------------------------------------
+
+def snappy_max_compressed_length(n: int) -> int:
+    return get_lib().atpu_snappy_max_compressed_length(n)
+
+
+def snappy_compress(data: bytes) -> bytes:
+    lib = get_lib()
+    src = _tobuf(data)
+    dst = np.empty(lib.atpu_snappy_max_compressed_length(len(data)),
+                   dtype=np.uint8)
+    n = lib.atpu_snappy_compress(_as_u8p(src), len(data), _as_u8p(dst),
+                                 dst.size)
+    if n < 0:
+        raise ValueError("snappy host compress failed")
+    return dst[:n].tobytes()
+
+
+def snappy_uncompressed_length(data: bytes) -> int:
+    n = get_lib().atpu_snappy_uncompressed_length(_as_u8p(_tobuf(data)),
+                                                  len(data))
+    if n < 0:
+        raise ValueError("snappy: bad length preamble")
+    return n
+
+
+def snappy_uncompress(data: bytes) -> bytes:
+    lib = get_lib()
+    src = _tobuf(data)
+    expected = snappy_uncompressed_length(data)
+    dst = np.empty(max(expected, 1), dtype=np.uint8)
+    n = lib.atpu_snappy_uncompress(_as_u8p(src), len(data), _as_u8p(dst),
+                                   expected)
+    if n < 0:
+        raise ValueError("snappy host decompress failed (corrupt stream?)")
+    return dst[:n].tobytes()
+
+
+# --- RAP container ----------------------------------------------------------
+
+def rap_frame_len(n_main: int) -> int:
+    return get_lib().atpu_rap_frame_len(n_main)
+
+
+def rap_write(n_main: int, offsets, lens, dlens) -> bytes:
+    lib = get_lib()
+    offs = np.ascontiguousarray(offsets, dtype=np.uint32)
+    lns = np.ascontiguousarray(lens, dtype=np.uint32)
+    dls = np.ascontiguousarray(dlens, dtype=np.uint32)
+    dst = np.empty(lib.atpu_rap_frame_len(n_main), dtype=np.uint8)
+    n = lib.atpu_rap_write(_as_u8p(dst), dst.size, n_main,
+                           offs.ctypes.data_as(_u32p),
+                           lns.ctypes.data_as(_u32p),
+                           dls.ctypes.data_as(_u32p))
+    if n < 0:
+        raise ValueError("rap write failed")
+    return dst[:n].tobytes()
+
+
+def rap_parse(data: bytes) -> Optional[tuple]:
+    """Returns (offsets, lens, dlens) arrays, or None for a legacy stream."""
+    lib = get_lib()
+    src = _tobuf(data)
+    cap = 1 << 16
+    offs = np.empty(cap, dtype=np.uint32)
+    lns = np.empty(cap, dtype=np.uint32)
+    dls = np.empty(cap, dtype=np.uint32)
+    n = lib.atpu_rap_parse(_as_u8p(src), len(data),
+                           offs.ctypes.data_as(_u32p),
+                           lns.ctypes.data_as(_u32p),
+                           dls.ctypes.data_as(_u32p), cap)
+    if n < 0:
+        raise ValueError("malformed RAP frame")
+    if n == 0:
+        return None
+    return offs[:n].copy(), lns[:n].copy(), dls[:n].copy()
+
+
+def rap_skip(data: bytes) -> int:
+    """Bytes to skip past a RAP frame (0 if none) — aocl_skip_rap_frame_mt."""
+    return get_lib().atpu_rap_skip(_as_u8p(_tobuf(data)), len(data))
+
+
+def rap_frame_bound(src_size: int, chunk_size: int) -> int:
+    return get_lib().atpu_rap_frame_bound(src_size, chunk_size)

@@ -1,0 +1,295 @@
+// Host-tier LZ4 block-format codec (own implementation, written to the
+// public LZ4 block format spec). Serves as the bit-exact oracle and the
+// small-input path of the TPU framework; the device pipeline
+// (aocl_compression_tpu/ops/) is cross-checked against it.
+//
+// Capability parity targets (see SURVEY.md §2.2 A1/A2):
+//   - greedy fast compressor with acceleration-controlled match skipping
+//     (reference behavior: algos/lz4/lz4.c:1447-1580, re-designed here)
+//   - safe decompressor (reference: algos/lz4/lz4.c:4898)
+//   - HC hash-chain compressor, levels 1-12 (reference: algos/lz4/lz4hc.c)
+//
+// Format rules honored: minmatch 4, 16-bit offsets, last sequence is
+// literals-only, last 5 bytes are literals, no match starts within the last
+// 12 bytes (MFLIMIT).
+
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+
+namespace {
+
+constexpr int kHashBits = 16;
+constexpr int kHashSize = 1 << kHashBits;
+constexpr int64_t kMfLimit = 12;      // no match may start after iend-12
+constexpr int64_t kLastLiterals = 5;  // final 5 bytes must be literals
+constexpr int64_t kMinMatch = 4;
+constexpr int64_t kMaxDistance = 65535;
+
+inline uint32_t read32(const uint8_t* p) {
+    uint32_t v;
+    std::memcpy(&v, p, 4);
+    return v;
+}
+
+inline uint32_t hash4(uint32_t v) {
+    return (v * 2654435761u) >> (32 - kHashBits);
+}
+
+// Emit one sequence: [token][litlen ext][literals][offset][matchlen ext].
+// matchLen < kMinMatch means "final literal-only sequence" (no offset field).
+inline uint8_t* emit_sequence(uint8_t* op, const uint8_t* lit, int64_t litLen,
+                              int64_t offset, int64_t matchLen) {
+    uint8_t* token = op++;
+    if (litLen >= 15) {
+        *token = 15 << 4;
+        int64_t rest = litLen - 15;
+        while (rest >= 255) { *op++ = 255; rest -= 255; }
+        *op++ = (uint8_t)rest;
+    } else {
+        *token = (uint8_t)(litLen << 4);
+    }
+    std::memcpy(op, lit, (size_t)litLen);
+    op += litLen;
+    if (matchLen >= kMinMatch) {
+        *op++ = (uint8_t)(offset & 0xff);
+        *op++ = (uint8_t)(offset >> 8);
+        int64_t ml = matchLen - kMinMatch;
+        if (ml >= 15) {
+            *token |= 15;
+            ml -= 15;
+            while (ml >= 255) { *op++ = 255; ml -= 255; }
+            *op++ = (uint8_t)ml;
+        } else {
+            *token |= (uint8_t)ml;
+        }
+    }
+    return op;
+}
+
+}  // namespace
+
+extern "C" {
+
+int64_t atpu_lz4_compress_bound(int64_t n) {
+    return n + n / 255 + 16;
+}
+
+// Greedy fast compressor. accel >= 1 widens the match-skip stride on
+// incompressible regions (the reference's dynamic-step idea,
+// algos/lz4/lz4.c:1447-1580, expressed as the classic searchMatchNb>>skip).
+// tail_lits (optional out): number of input bytes in the final literal-only
+// sequence — the MT stitcher needs it to merge fragment boundaries the way
+// the reference's serial stitch does (lz4.c:2736+, last_anchor_ptr).
+int64_t atpu_lz4_compress_tail(const uint8_t* src, int64_t srcLen,
+                               uint8_t* dst, int64_t dstCap, int accel,
+                               int64_t* tail_lits) {
+    if (srcLen < 0 || dstCap < atpu_lz4_compress_bound(srcLen)) return -1;
+    if (accel < 1) accel = 1;
+    uint8_t* op = dst;
+    const uint8_t* anchor = src;
+    const uint8_t* iend = src + srcLen;
+
+    if (srcLen > kMfLimit) {
+        uint32_t* table = (uint32_t*)std::calloc(kHashSize, sizeof(uint32_t));
+        if (!table) return -1;
+        const uint8_t* ip = src;
+        const uint8_t* mflimit = iend - kMfLimit;
+        constexpr int kSkipTrigger = 6;
+
+        table[hash4(read32(ip))] = 0;
+        ip++;
+        uint32_t fwdH = hash4(read32(ip));
+
+        for (;;) {
+            const uint8_t* match;
+            const uint8_t* fwdIp = ip;
+            int64_t step = 1;
+            int64_t searchMatchNb = (int64_t)accel << kSkipTrigger;
+            // --- find a 4-byte match within the 64KB window ---
+            do {
+                uint32_t h = fwdH;
+                ip = fwdIp;
+                fwdIp = ip + step;
+                step = searchMatchNb++ >> kSkipTrigger;
+                if (fwdIp > mflimit) goto last_literals;
+                match = src + table[h];
+                fwdH = hash4(read32(fwdIp));
+                table[h] = (uint32_t)(ip - src);
+            } while (read32(match) != read32(ip) || match + kMaxDistance < ip
+                     || match >= ip);
+            // --- extend backwards ---
+            while (ip > anchor && match > src && ip[-1] == match[-1]) {
+                ip--;
+                match--;
+            }
+            // --- extend forwards (stop before the last-5-literals zone) ---
+            {
+                const uint8_t* mlimit = iend - kLastLiterals;
+                int64_t mlen = kMinMatch;
+                while (ip + mlen < mlimit && ip[mlen] == match[mlen]) mlen++;
+                op = emit_sequence(op, anchor, ip - anchor, ip - match, mlen);
+                ip += mlen;
+                anchor = ip;
+            }
+            if (ip > mflimit) break;
+            // refresh the table near the match end, then continue
+            table[hash4(read32(ip - 2))] = (uint32_t)(ip - 2 - src);
+            fwdH = hash4(read32(ip));
+        }
+    last_literals:
+        std::free(table);
+    }
+    // final literal-only sequence (may be the only one for tiny inputs)
+    if (tail_lits) *tail_lits = iend - anchor;
+    op = emit_sequence(op, anchor, iend - anchor, 0, 0);
+    return op - dst;
+}
+
+int64_t atpu_lz4_compress(const uint8_t* src, int64_t srcLen,
+                          uint8_t* dst, int64_t dstCap, int accel) {
+    return atpu_lz4_compress_tail(src, srcLen, dst, dstCap, accel, nullptr);
+}
+
+// Safe decompressor: validates lengths/offsets against both buffers.
+int64_t atpu_lz4_decompress(const uint8_t* src, int64_t srcLen,
+                            uint8_t* dst, int64_t dstCap) {
+    const uint8_t* ip = src;
+    const uint8_t* iend = src + srcLen;
+    uint8_t* op = dst;
+    uint8_t* oend = dst + dstCap;
+    if (srcLen <= 0) return srcLen == 0 ? 0 : -1;
+    while (ip < iend) {
+        uint32_t token = *ip++;
+        int64_t litLen = token >> 4;
+        if (litLen == 15) {
+            uint8_t b;
+            do {
+                if (ip >= iend) return -1;
+                b = *ip++;
+                litLen += b;
+            } while (b == 255);
+        }
+        if (litLen > iend - ip || litLen > oend - op) return -1;
+        std::memcpy(op, ip, (size_t)litLen);
+        ip += litLen;
+        op += litLen;
+        if (ip >= iend) break;  // literal-only final sequence
+        if (iend - ip < 2) return -1;
+        int64_t offset = (int64_t)ip[0] | ((int64_t)ip[1] << 8);
+        ip += 2;
+        if (offset == 0 || offset > op - dst) return -1;
+        int64_t mlen = (int64_t)(token & 15) + kMinMatch;
+        if ((token & 15) == 15) {
+            uint8_t b;
+            do {
+                if (ip >= iend) return -1;
+                b = *ip++;
+                mlen += b;
+            } while (b == 255);
+        }
+        if (mlen > oend - op) return -1;
+        const uint8_t* m = op - offset;
+        for (int64_t i = 0; i < mlen; i++) op[i] = m[i];  // overlap-correct
+        op += mlen;
+    }
+    return op - dst;
+}
+
+// ---------------------------------------------------------------------------
+// HC compressor: hash-chain match finder with level-controlled search depth
+// (reference capability: algos/lz4/lz4hc.c levels 1-12; own design).
+// ---------------------------------------------------------------------------
+
+int64_t atpu_lz4hc_compress_tail(const uint8_t* src, int64_t srcLen,
+                                 uint8_t* dst, int64_t dstCap, int level,
+                                 int64_t* tail_lits) {
+    if (srcLen < 0 || dstCap < atpu_lz4_compress_bound(srcLen)) return -1;
+    if (level < 1) level = 9;
+    if (level > 12) level = 12;
+    // search depth doubles per level: 1<<(level-1), capped
+    int64_t maxAttempts = (int64_t)1 << (level - 1);
+    if (maxAttempts > 4096) maxAttempts = 4096;
+
+    uint8_t* op = dst;
+    const uint8_t* anchor = src;
+    const uint8_t* iend = src + srcLen;
+
+    if (srcLen > kMfLimit) {
+        const int64_t window = kMaxDistance + 1;  // 65536 chain slots
+        int32_t* head = (int32_t*)std::malloc(kHashSize * sizeof(int32_t));
+        int32_t* prev = (int32_t*)std::malloc(window * sizeof(int32_t));
+        if (!head || !prev) { std::free(head); std::free(prev); return -1; }
+        for (int i = 0; i < kHashSize; i++) head[i] = -1;
+        const uint8_t* ip = src;
+        const uint8_t* mflimit = iend - kMfLimit;
+        const uint8_t* mlimit = iend - kLastLiterals;
+        int64_t nextInsert = 0;  // next position to insert into chains
+
+        auto insert_upto = [&](int64_t pos) {
+            while (nextInsert < pos) {
+                uint32_t h = hash4(read32(src + nextInsert));
+                prev[nextInsert & kMaxDistance] = head[h];
+                head[h] = (int32_t)nextInsert;
+                nextInsert++;
+            }
+        };
+
+        while (ip <= mflimit) {
+            int64_t pos = ip - src;
+            insert_upto(pos + 1);
+            // --- chain search for the longest match ---
+            int64_t bestLen = kMinMatch - 1;
+            int64_t bestOff = 0;
+            int32_t cand = prev[pos & kMaxDistance];  // newest candidate before pos
+            {
+                uint32_t h = hash4(read32(ip));
+                cand = head[h] == (int32_t)pos ? prev[pos & kMaxDistance]
+                                               : head[h];
+            }
+            int64_t attempts = maxAttempts;
+            while (cand >= 0 && pos - cand <= kMaxDistance && attempts--) {
+                const uint8_t* m = src + cand;
+                if (m[bestLen] == ip[bestLen] && read32(m) == read32(ip)) {
+                    int64_t len = kMinMatch;
+                    while (ip + len < mlimit && ip[len] == m[len]) len++;
+                    if (len > bestLen) {
+                        bestLen = len;
+                        bestOff = pos - cand;
+                    }
+                }
+                cand = prev[cand & kMaxDistance];
+                // guard against wrapped slots pointing forward
+                if (cand >= (int32_t)pos) break;
+            }
+            if (bestLen >= kMinMatch) {
+                const uint8_t* match = ip - bestOff;
+                // extend backwards
+                while (ip > anchor && match > src && ip[-1] == match[-1]) {
+                    ip--;
+                    match--;
+                    bestLen++;
+                }
+                op = emit_sequence(op, anchor, ip - anchor, bestOff, bestLen);
+                ip += bestLen;
+                anchor = ip;
+                insert_upto(ip - src < (mflimit - src) ? ip - src
+                                                       : mflimit - src);
+            } else {
+                ip++;
+            }
+        }
+        std::free(head);
+        std::free(prev);
+    }
+    if (tail_lits) *tail_lits = iend - anchor;
+    op = emit_sequence(op, anchor, iend - anchor, 0, 0);
+    return op - dst;
+}
+
+int64_t atpu_lz4hc_compress(const uint8_t* src, int64_t srcLen,
+                            uint8_t* dst, int64_t dstCap, int level) {
+    return atpu_lz4hc_compress_tail(src, srcLen, dst, dstCap, level, nullptr);
+}
+
+}  // extern "C"

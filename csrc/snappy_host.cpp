@@ -1,0 +1,231 @@
+// Host-tier Snappy raw-format codec (own implementation, written to the
+// public Snappy format description). Oracle + small-input path; the device
+// pipeline in aocl_compression_tpu/ops/ is cross-checked against it.
+//
+// Capability parity target: SURVEY.md §2.2 A5 (reference:
+// /root/reference/algos/snappy/snappy.cc — CompressFragment / RawUncompress).
+//
+// Format: varint32 uncompressed length, then elements:
+//   tag & 3 == 0: literal, len-1 in tag>>2 (<=59), 60..63 => 1..4 extra
+//                 little-endian length bytes
+//   tag & 3 == 1: copy, 1-byte offset: len = ((tag>>2)&7)+4 (4..11),
+//                 offset = ((tag>>5)<<8 | next byte)  (<=2047)
+//   tag & 3 == 2: copy, 2-byte LE offset: len = (tag>>2)+1 (1..64)
+//   tag & 3 == 3: copy, 4-byte LE offset (not emitted; decoded for parity)
+
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+
+namespace {
+
+constexpr int kHashBits = 14;
+constexpr int kHashSize = 1 << kHashBits;
+
+inline uint32_t read32(const uint8_t* p) {
+    uint32_t v;
+    std::memcpy(&v, p, 4);
+    return v;
+}
+
+inline uint32_t shash(uint32_t v) {
+    return (v * 0x1e35a7bd) >> (32 - kHashBits);
+}
+
+inline uint8_t* put_varint32(uint8_t* op, uint32_t v) {
+    while (v >= 0x80) {
+        *op++ = (uint8_t)(v | 0x80);
+        v >>= 7;
+    }
+    *op++ = (uint8_t)v;
+    return op;
+}
+
+inline const uint8_t* get_varint32(const uint8_t* ip, const uint8_t* iend,
+                                   uint32_t* out) {
+    uint32_t v = 0;
+    int shift = 0;
+    while (ip < iend && shift <= 28) {
+        uint8_t b = *ip++;
+        v |= (uint32_t)(b & 0x7f) << shift;
+        if (!(b & 0x80)) {
+            *out = v;
+            return ip;
+        }
+        shift += 7;
+    }
+    return nullptr;
+}
+
+inline uint8_t* emit_literal(uint8_t* op, const uint8_t* lit, int64_t len) {
+    while (len > 0) {
+        int64_t n = len;  // snappy literals can be arbitrarily long
+        int64_t l = n - 1;
+        if (l < 60) {
+            *op++ = (uint8_t)(l << 2);
+        } else if (l < (1 << 8)) {
+            *op++ = 60 << 2;
+            *op++ = (uint8_t)l;
+        } else if (l < (1 << 16)) {
+            *op++ = 61 << 2;
+            *op++ = (uint8_t)l;
+            *op++ = (uint8_t)(l >> 8);
+        } else if (l < (1 << 24)) {
+            *op++ = 62 << 2;
+            *op++ = (uint8_t)l;
+            *op++ = (uint8_t)(l >> 8);
+            *op++ = (uint8_t)(l >> 16);
+        } else {
+            *op++ = 63 << 2;
+            *op++ = (uint8_t)l;
+            *op++ = (uint8_t)(l >> 8);
+            *op++ = (uint8_t)(l >> 16);
+            *op++ = (uint8_t)(l >> 24);
+        }
+        std::memcpy(op, lit, (size_t)n);
+        op += n;
+        lit += n;
+        len -= n;
+    }
+    return op;
+}
+
+// Emit a copy of total length len at offset; splits into <=64-byte elements.
+inline uint8_t* emit_copy(uint8_t* op, int64_t offset, int64_t len) {
+    // long matches: emit 64-byte copies while more than 68 remain so the
+    // tail can always be expressed (>=4)
+    while (len >= 68) {
+        *op++ = (uint8_t)(2 | ((64 - 1) << 2));
+        *op++ = (uint8_t)offset;
+        *op++ = (uint8_t)(offset >> 8);
+        len -= 64;
+    }
+    if (len > 64) {
+        *op++ = (uint8_t)(2 | ((60 - 1) << 2));
+        *op++ = (uint8_t)offset;
+        *op++ = (uint8_t)(offset >> 8);
+        len -= 60;
+    }
+    if (len >= 4 && len < 12 && offset < 2048) {
+        *op++ = (uint8_t)(1 | ((len - 4) << 2) | ((offset >> 8) << 5));
+        *op++ = (uint8_t)offset;
+    } else {
+        *op++ = (uint8_t)(2 | ((len - 1) << 2));
+        *op++ = (uint8_t)offset;
+        *op++ = (uint8_t)(offset >> 8);
+    }
+    return op;
+}
+
+}  // namespace
+
+extern "C" {
+
+int64_t atpu_snappy_max_compressed_length(int64_t n) {
+    return 32 + n + n / 6;
+}
+
+int64_t atpu_snappy_compress(const uint8_t* src, int64_t srcLen,
+                             uint8_t* dst, int64_t dstCap) {
+    if (srcLen < 0 || dstCap < atpu_snappy_max_compressed_length(srcLen))
+        return -1;
+    uint8_t* op = put_varint32(dst, (uint32_t)srcLen);
+    const uint8_t* ip = src;
+    const uint8_t* anchor = src;
+    const uint8_t* iend = src + srcLen;
+
+    if (srcLen >= 15) {
+        uint16_t* table = (uint16_t*)std::calloc(kHashSize, sizeof(uint16_t));
+        if (!table) return -1;
+        // table stores pos+1 within the current 64KB base window; rebase to
+        // keep entries 16-bit like classic snappy fragments
+        const uint8_t* base = src;
+        const uint8_t* mflimit = iend - 15;
+        ip++;
+        while (ip < mflimit) {
+            // rebase the window if we've moved 64KB past base
+            if (ip - base >= 65536) {
+                base = ip;
+                std::memset(table, 0, kHashSize * sizeof(uint16_t));
+            }
+            uint32_t h = shash(read32(ip));
+            const uint8_t* match = base + table[h];
+            table[h] = (uint16_t)(ip - base);
+            if (match < ip && read32(match) == read32(ip)) {
+                int64_t mlen = 4;
+                const uint8_t* mend = iend;
+                while (ip + mlen < mend && ip[mlen] == match[mlen]) mlen++;
+                op = emit_literal(op, anchor, ip - anchor);
+                op = emit_copy(op, ip - match, mlen);
+                ip += mlen;
+                anchor = ip;
+                if (ip < mflimit)
+                    table[shash(read32(ip - 1))] = (uint16_t)(ip - 1 - base);
+            } else {
+                ip++;
+            }
+        }
+        std::free(table);
+    }
+    op = emit_literal(op, anchor, iend - anchor);
+    return op - dst;
+}
+
+int64_t atpu_snappy_uncompressed_length(const uint8_t* src, int64_t srcLen) {
+    uint32_t n;
+    const uint8_t* p = get_varint32(src, src + srcLen, &n);
+    return p ? (int64_t)n : -1;
+}
+
+int64_t atpu_snappy_uncompress(const uint8_t* src, int64_t srcLen,
+                               uint8_t* dst, int64_t dstCap) {
+    const uint8_t* iend = src + srcLen;
+    uint32_t expect;
+    const uint8_t* ip = get_varint32(src, iend, &expect);
+    if (!ip || (int64_t)expect > dstCap) return -1;
+    uint8_t* op = dst;
+    uint8_t* oend = dst + expect;
+    while (ip < iend) {
+        uint32_t tag = *ip++;
+        uint32_t type = tag & 3;
+        if (type == 0) {
+            int64_t len = (tag >> 2) + 1;
+            if (len > 60) {
+                int nb = (int)len - 60;
+                if (ip + nb > iend) return -1;
+                len = 0;
+                for (int i = 0; i < nb; i++) len |= (int64_t)ip[i] << (8 * i);
+                len += 1;
+                ip += nb;
+            }
+            if (len > iend - ip || len > oend - op) return -1;
+            std::memcpy(op, ip, (size_t)len);
+            ip += len;
+            op += len;
+        } else {
+            int64_t len, offset;
+            if (type == 1) {
+                if (ip >= iend) return -1;
+                len = ((tag >> 2) & 7) + 4;
+                offset = ((int64_t)(tag >> 5) << 8) | *ip++;
+            } else if (type == 2) {
+                if (ip + 2 > iend) return -1;
+                len = (tag >> 2) + 1;
+                offset = (int64_t)ip[0] | ((int64_t)ip[1] << 8);
+                ip += 2;
+            } else {
+                if (ip + 4 > iend) return -1;
+                len = (tag >> 2) + 1;
+                offset = (int64_t)read32(ip);
+                ip += 4;
+            }
+            if (offset == 0 || offset > op - dst || len > oend - op) return -1;
+            const uint8_t* m = op - offset;
+            for (int64_t i = 0; i < len; i++) op[i] = m[i];
+            op += len;
+        }
+    }
+    return (op == oend) ? op - dst : -1;
+}
+
+}  // extern "C"
