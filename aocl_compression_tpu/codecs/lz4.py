@@ -23,7 +23,7 @@ from ..api.handle import Handle
 from ..parallel import container
 from ..runtime import native
 from ..utils import dispatch
-from ..utils.config import TIER_HOST, get_config
+from ..utils.config import TIER_HOST, TIER_XLA, get_config
 from . import lz4_stitch
 from .base import Codec
 
@@ -111,3 +111,35 @@ def _decompress_blocks_host(chunks: Sequence[bytes], dlens: Sequence[int],
                             block_size: int) -> List[bytes]:
     return [native.lz4_decompress(c, d) if d else b""
             for c, d in zip(chunks, dlens)]
+
+
+# --- device-tier variants (ops/lz4_device.py) --------------------------------
+
+@dispatch.register("lz4", "compress_blocks", TIER_XLA,
+                   "lz4_compress_blocks_xla")
+def _compress_blocks_xla(blocks: Sequence[bytes], accel: int):
+    from ..ops import lz4_device
+    bodies, tails = lz4_device.encode_blocks(blocks, accel)
+    return lz4_stitch.stitch_bodies(bodies, tails, blocks)
+
+
+@dispatch.register("lz4", "decompress_blocks", TIER_XLA,
+                   "lz4_decompress_blocks_xla")
+def _decompress_blocks_xla(chunks: Sequence[bytes], dlens: Sequence[int],
+                           block_size: int) -> List[bytes]:
+    from ..ops import lz4_device
+    return lz4_device.decode_blocks(chunks, dlens, block_size)
+
+
+@dispatch.register("lz4", "compress", TIER_XLA, "lz4_compress_xla")
+def _compress_xla(data: bytes, accel: int) -> bytes:
+    """Single-shot serial stream via the device pipeline: stitch the block
+    fragments and join them without a RAP frame."""
+    from ..ops import lz4_device
+    bs = get_config().default_block_size
+    if len(data) < 1024:  # device dispatch overhead dwarfs tiny inputs
+        return native.lz4_compress(data, accel)
+    blocks = container.split_blocks(data, bs)
+    bodies, tails = lz4_device.encode_blocks(blocks, accel)
+    chunks, _ = lz4_stitch.stitch_bodies(bodies, tails, blocks)
+    return b"".join(chunks)

@@ -74,19 +74,28 @@ def prepend_literals(lits: bytes, body: bytes) -> bytes:
 
 def stitch(fragments: Sequence[Tuple[bytes, int]],
            blocks: Sequence[bytes]) -> Tuple[List[bytes], List[int]]:
-    """Merge per-block fragments into RAP chunk regions.
+    """Merge per-block full fragment streams into RAP chunk regions.
 
     fragments[k] = (full fragment stream, tail literal count) for blocks[k].
-    Returns (chunk byte regions, decoded length per region); concatenating
-    the regions yields one valid serial LZ4 stream, and each region is
-    independently decodable to its decoded length.
+    """
+    bodies = [s[:len(s) - final_sequence_len(t)] for s, t in fragments]
+    return stitch_bodies(bodies, [t for _, t in fragments], blocks)
+
+
+def stitch_bodies(bodies: Sequence[bytes], tails: Sequence[int],
+                  blocks: Sequence[bytes]) -> Tuple[List[bytes], List[int]]:
+    """Merge per-block (body, tail) pairs into RAP chunk regions.
+
+    bodies[k] excludes the final literal-only sequence (the device encoder
+    emits exactly this); tails[k] is its literal count. Returns (chunk byte
+    regions, decoded length per region); concatenating the regions yields
+    one valid serial LZ4 stream, and each region is independently decodable
+    to its decoded length.
     """
     chunks: List[bytes] = []
     dlens: List[int] = []
     pending = b""  # literal bytes deferred across the boundary
-    for frag, blk in zip(fragments, blocks):
-        stream, tail = frag
-        body = stream[:len(stream) - final_sequence_len(tail)]
+    for body, tail, blk in zip(bodies, tails, blocks):
         tail_bytes = blk[len(blk) - tail:] if tail else b""
         if body:
             chunks.append(prepend_literals(pending, body))

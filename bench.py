@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Headline benchmark: LZ4 level-1 device-pipeline encode throughput.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: upstream lz4 1.9.2 single-core compress on Silesia = 740 MB/s
+(BASELINE.md; /root/reference/algos/zstd/README.md:54). vs_baseline =
+value / 740.
+
+Methodology mirrors the reference bench (-p best-of-N, test/codec_bench.c:904):
+best of N timed iterations over a Silesia-like synthetic corpus (no corpus
+download in this environment). The compressed payload is materialized in
+device HBM; per-block sizes are fetched to host each iteration (container
+assembly needs them), so timing covers the full on-device encode.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def _corpus(total: int, seed: int = 42) -> bytes:
+    """Silesia stand-in: mix of text-like, structured binary, and random."""
+    rng = np.random.default_rng(seed)
+    parts = []
+    n = 0
+    words = [b"the ", b"of ", b"compression ", b"data ", b"block ",
+             b"match ", b"hash ", b"entropy ", b"stream ", b"window "]
+    while n < total * 2 // 3:
+        w = words[rng.integers(0, len(words))]
+        parts.append(w)
+        n += len(w)
+    rec = rng.integers(0, 256, 64, dtype=np.uint8).tobytes()
+    while n < total * 11 // 12:
+        parts.append(rec)
+        n += len(rec)
+    tail = rng.integers(0, 256, total - n + 16, dtype=np.uint8).tobytes()
+    parts.append(tail)
+    return b"".join(parts)[:total]
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from aocl_compression_tpu.ops import lz4_device
+
+    B = 65536
+    N = 256  # 16 MiB per iteration
+    data = _corpus(B * N)
+    arr = np.frombuffer(data, dtype=np.uint8).reshape(N, B)
+    lens = np.full(N, B, dtype=np.int32)
+
+    enc = lz4_device.make_encoder(B)
+    ja, jl = jnp.asarray(arr), jnp.asarray(lens)
+
+    # warmup / compile
+    out, sizes, tails = enc(ja, jl)
+    _ = np.asarray(sizes)
+
+    best = float("inf")
+    iters = 5
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out, sizes, tails = enc(ja, jl)
+        _ = np.asarray(sizes)  # forces execution; payload stays in HBM
+        dt = time.perf_counter() - t0
+        best = min(best, dt)
+
+    mb = len(data) / 1e6
+    value = mb / best
+    print(json.dumps({
+        "metric": "lz4_l1_device_encode_throughput",
+        "value": round(value, 2),
+        "unit": "MB/s",
+        "vs_baseline": round(value / 740.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -9,11 +9,14 @@ imports anywhere.
 import os
 import random
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # tests never touch the (tunneled) TPU
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+# The general suite pins the host tier so codec tests stay fast; device-tier
+# tests opt in explicitly with small block sizes (test_device_lz4.py).
+os.environ.setdefault("AOCL_ENABLE_INSTRUCTIONS", "HOST")
 
 import pytest  # noqa: E402
 

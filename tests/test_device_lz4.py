@@ -1,0 +1,119 @@
+"""Device LZ4 pipeline tests (CPU backend, virtual devices, small blocks).
+
+Cross-checks the fully parallel encoder/decoder (ops/lz4_device.py) against
+the C++ host oracle (csrc/lz4_host.cpp) — the reference's
+optimized-vs-reference-path oracle strategy (SURVEY.md §4)."""
+
+import os
+import random
+
+import numpy as np
+import pytest
+
+from aocl_compression_tpu.codecs import lz4_stitch
+from aocl_compression_tpu.ops import lz4_device as dev
+from aocl_compression_tpu.runtime import native
+
+B = 1024  # small blocks keep CPU-backend compiles fast
+
+
+def _payload(kind: str, n: int, seed: int = 0) -> bytes:
+    rng = random.Random(seed)
+    if kind == "text":
+        words = [b"hash ", b"match ", b"the ", b"block ", b"stream "]
+        out = bytearray()
+        while len(out) < n:
+            out += rng.choice(words)
+        return bytes(out[:n])
+    if kind == "rle":
+        return b"a" * n
+    if kind == "periodic":
+        return (b"abcxyz" * (n // 6 + 1))[:n]
+    if kind == "random":
+        return bytes(rng.randrange(256) for _ in range(n))
+    if kind == "mixed":
+        return (_payload("text", n // 2, seed)
+                + _payload("random", n - n // 2, seed + 1))
+    raise ValueError(kind)
+
+
+KINDS = ["text", "rle", "periodic", "random", "mixed"]
+
+
+@pytest.mark.parametrize("kind", KINDS)
+def test_device_encode_oracle_decodes(kind):
+    blocks = [_payload(kind, B, s) for s in range(3)] + \
+             [_payload(kind, 333, 9)]
+    bodies, tails = dev.encode_blocks(blocks)
+    chunks, dlens = lz4_stitch.stitch_bodies(bodies, tails, blocks)
+    total = b"".join(blocks)
+    assert sum(dlens) == len(total)
+    # serial C++ oracle must decode the stitched concatenation
+    assert native.lz4_decompress(b"".join(chunks), len(total)) == total
+
+
+@pytest.mark.parametrize("kind", KINDS)
+def test_device_decode_roundtrip(kind):
+    blocks = [_payload(kind, B, s) for s in range(3)]
+    bodies, tails = dev.encode_blocks(blocks)
+    chunks, dlens = lz4_stitch.stitch_bodies(bodies, tails, blocks)
+    total = b"".join(blocks)
+    outs = dev.decode_blocks(chunks, dlens, B)
+    assert b"".join(outs) == total
+
+
+def test_device_decodes_host_streams():
+    """Device decoder on host-compressed chunks (cross-implementation)."""
+    blocks = [_payload("text", B, s) for s in range(4)]
+    frags = [native.lz4_compress_tail(b) for b in blocks]
+    chunks, dlens = lz4_stitch.stitch(frags, blocks)
+    outs = dev.decode_blocks(chunks, dlens, B)
+    assert b"".join(outs) == b"".join(blocks)
+
+
+def test_host_decodes_device_streams():
+    """Host decoder on device-compressed chunks (the reverse)."""
+    blocks = [_payload("mixed", B, s) for s in range(4)]
+    bodies, tails = dev.encode_blocks(blocks)
+    chunks, dlens = lz4_stitch.stitch_bodies(bodies, tails, blocks)
+    pos = 0
+    total = b"".join(blocks)
+    for ch, d in zip(chunks, dlens):
+        if d:
+            assert native.lz4_decompress(ch, d) == total[pos:pos + d]
+        pos += d
+
+
+def test_device_tier_through_unified_api():
+    import aocl_compression_tpu as actpu
+    os.environ["AOCL_ENABLE_INSTRUCTIONS"] = "XLA"
+    try:
+        data = _payload("text", 4 * B, 1)
+        h = actpu.setup("lz4", block_size=B)
+        c = actpu.compress(h, data)
+        assert actpu.decompress(h, c) == data
+        # and the host tier can decode the same stream
+        os.environ["AOCL_ENABLE_INSTRUCTIONS"] = "HOST"
+        assert actpu.decompress(h, c) == data
+    finally:
+        os.environ["AOCL_ENABLE_INSTRUCTIONS"] = "HOST"
+
+
+def test_dryrun_multichip_8():
+    """The driver's multi-chip validation path on the 8-device CPU mesh."""
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(8)
+
+
+def test_entry_compiles():
+    import jax
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    out = jax.block_until_ready(jax.jit(fn)(*args))
+    assert out[0].dtype == np.uint8

@@ -17,6 +17,9 @@ from aocl_compression_tpu.utils.config import (TIER_HOST, TIER_XLA,
 def _clean_env():
     saved = {k: os.environ.pop(k, None)
              for k in ("AOCL_ENABLE_INSTRUCTIONS", "AOCL_DISABLE_OPT")}
+    # keep codec runs inside these tests on the host tier unless a test
+    # explicitly overrides (device tiers compile slowly on the CPU backend)
+    os.environ["AOCL_ENABLE_INSTRUCTIONS"] = "HOST"
     yield
     for k, v in saved.items():
         if v is None:
