@@ -1,44 +1,56 @@
 """LZ4 block codec as a fully parallel TPU device pipeline (tier XLA).
 
 A TPU-first re-design of the reference's serial greedy encoder/decoder
-(/root/reference/algos/lz4/lz4.c:1447-1580 compress hot loop, :4898 decode):
-nothing here translates the C control flow — every stage is a data-parallel
-primitive XLA maps onto the VPU:
+(/root/reference/algos/lz4/lz4.c:1447-1580 compress hot loop, :4898 decode).
+Nothing here translates the C control flow — every stage is re-cast onto the
+primitives this hardware is actually fast at. Measured on the target chip
+(see BENCH notes): elementwise word ops and `lax.sort` (bitonic, carries
+payloads for free) run 5-30x faster than random gather/scatter, so the
+pipeline is built "sort-centric":
 
 Encode (per block, vmapped over the batch):
-  1. hashing        — vectorized u32 hash of every position's 4-byte window.
-  2. match finding  — nearest previous occurrence of the same hash via one
-                      stable argsort (the "hash table insert at every
-                      position" semantic, batched); plus EXACT run lengths
-                      for small offsets (1..8) via mismatch next-index scans,
-                      which covers RLE/periodic data that a capped
-                      comparison would truncate.
-  3. match lengths  — unrolled vector byte-compares, capped at MATCH_CAP for
-                      hash candidates (small-offset lengths are exact).
-  4. greedy parse   — the sequential "jump by match length" chain from
-                      position 0 is materialized in O(log B) rounds of
-                      pointer doubling (gather + scatter-max), the classic
-                      parallel-chase trick (cf. PAPERS.md massively-parallel
-                      decompression literature).
-  5. emission       — per-sequence byte sizes -> exclusive scan -> every
-                      output byte computes its own value from (sequence id,
-                      delta) via searchsorted + select chains. Variable-
-                      length serialization becomes stream compaction.
+  1. hashing        — vectorized u32 hash of every position's 4-byte window
+                      (word domain: bytes are 12x slower than words here).
+  2. match finding  — ONE variadic sort of key (hash<<16 | pos) carrying the
+                      position's next NW words as payloads. In sorted order
+                      the previous (and 2nd-previous) entry with the same
+                      hash is the nearest candidate; match length comes from
+                      comparing the carried word chains — zero gathers.
+                      Small offsets (1..4, 8) get EXACT run lengths via
+                      shifted compares + reverse cummin (covers RLE/periodic
+                      data beyond the word-chain cap). One more variadic
+                      sort restores position order.
+  3. parse          — two modes:
+                      accel<=1 (exact): the serial greedy "jump by match
+                      length" chain materialized via O(log B) pointer
+                      doubling on the full byte domain (slow: log B full
+                      gathers).
+                      accel>=2 (grid): sequences may start only on a G-byte
+                      grid (G = 4<<(accel-1)); matches keep their full length
+                      and arbitrary offsets, the bytes between a match end
+                      and the next grid anchor become ordinary literals of
+                      the next sequence — still format-exact LZ4, ~G/2 extra
+                      literal bytes per sequence, but the chain lives on a
+                      B/G domain so the doubling gathers shrink 8-16x.
+  4. emission       — per-sequence sizes -> exclusive scan -> three
+                      scatter+cummax "fills" broadcast each covering
+                      sequence's fields to every output byte (the packed
+                      fill values are strictly monotone per sequence, which
+                      is what makes cummax a valid segmented broadcast).
+                      The only gather left is the literal-byte fetch.
 
 Decode (per block, vmapped):
   1. token scan     — for EVERY byte position, compute "if a token started
                       here, where is the next token and how many bytes would
                       it produce" (255-run extension counts come from
                       next-non-255 reverse scans).
-  2. chain marking  — pointer doubling from position 0 marks the real token
-                      starts.
-  3. scatter map    — exclusive scan of produced-lengths gives each token's
-                      output span; each output byte finds its token via
-                      searchsorted and becomes either a literal (chunk
-                      gather) or a back-reference (o - offset).
-  4. resolution     — back-references are resolved in O(log B) rounds of
-                      src = src[src] pointer jumping (handles overlapping
-                      RLE copies exactly).
+  2. chain marking  — pointer doubling from position 0 marks real tokens.
+  3. scatter map    — monotone scatter+cummax fills give each output byte
+                      its covering token's fields (no searchsorted).
+  4. resolution     — back-references resolved by src = src[src] pointer
+                      jumping inside a while_loop that stops as soon as a
+                      pass changes nothing (typical data: 2-3 passes, not
+                      log B).
 
 Blocks are independent (fresh history), so the whole batch runs as one
 jit-compiled program over (N, B) arrays; the RAP container stitches the
@@ -53,12 +65,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-HASH_BITS = 16
-MATCH_CAP = 48         # max hash-candidate match length checked vectorized
-SMALL_OFFSETS = 8      # offsets 1..8 get exact (uncapped) run lengths
+HASH_BITS = 15         # key packs (hash << 16) | pos into a positive int32
+NW = 12                # extension words carried through the sort
+MATCH_CAP = 4 + 4 * NW  # max hash-candidate match length (52)
+SMALL_OFFSETS = (1, 2, 3, 4, 8)   # offsets with exact (uncapped) run lengths
 MIN_MATCH = 4
 MFLIMIT = 12           # no match may start within the last 12 bytes
 LAST_LITERALS = 5
+_NEG = jnp.int32(-(1 << 31))
 
 
 def _i32(x):
@@ -70,59 +84,100 @@ def out_capacity(block_size: int) -> int:
     return block_size + block_size // 255 + 64
 
 
+def grid_for_accel(accel: int) -> int:
+    """Map LZ4 acceleration to the parse mode: 0 = exact greedy chain,
+    else the sequence-anchor grid stride (reference analog: the dynamic
+    match-skip step of AOCL_LZ4_compress_fast_extState, lz4.c:1447-1580)."""
+    if accel <= 1:
+        return 0
+    return min(64, 4 << (accel - 1))
+
+
 # =============================================================================
 # Encoder
 # =============================================================================
 
-def _find_matches(data_u8: jnp.ndarray, n: jnp.ndarray, B: int):
-    """Per-position best (offset, matchlen) candidates.
-
-    Returns (mlen, moff, valid): best match length/offset at each position,
-    already clamped to the format's end-of-block rules for a block of
-    "actual length" n (the batch pads the last block).
-    """
+def _window_words(data_u8: jnp.ndarray, B: int):
+    """w[k][i] = 4 bytes at position i + 4k, little-endian, as uint32."""
     d = data_u8.astype(jnp.uint32)
-    pad = jnp.concatenate([d, jnp.zeros(MATCH_CAP + 8, jnp.uint32)])
+    pad = jnp.concatenate([d, jnp.zeros(4 * NW + 8, jnp.uint32)])
+
+    def word_at(s):
+        return (pad[s:s + B] | (pad[s + 1:s + B + 1] << 8)
+                | (pad[s + 2:s + B + 2] << 16)
+                | (pad[s + 3:s + B + 3] << 24))
+
+    return [word_at(4 * k) for k in range(NW + 1)]
+
+
+def _chain_match_len(cur, prev, ok0):
+    """Match length (>= MIN_MATCH where ok0) from two carried word chains."""
+    mlen = jnp.where(ok0, jnp.int32(MIN_MATCH), 0)
+    alive = ok0
+    for k in range(1, NW + 1):
+        x = cur[k] ^ prev[k]
+        eqw = x == 0
+        b0 = (x & 0xFF) == 0
+        b1 = (x & 0xFFFF) == 0
+        b2 = (x & 0xFFFFFF) == 0
+        partial = b0.astype(jnp.int32) + b1.astype(jnp.int32) \
+            + b2.astype(jnp.int32)
+        mlen = mlen + jnp.where(alive, jnp.where(eqw, 4, partial), 0)
+        alive = alive & eqw
+    return mlen
+
+
+def _find_matches(data_u8: jnp.ndarray, n: jnp.ndarray, B: int):
+    """Per-position best (offset, matchlen) candidates — sort-centric.
+
+    Returns (mlen, moff, valid) clamped to the format's end-of-block rules
+    for a block of "actual length" n (the batch pads the last block).
+    """
     idx = jnp.arange(B, dtype=jnp.int32)
+    words = _window_words(data_u8, B)
+    w0 = words[0]
+    h = (w0 * jnp.uint32(2654435761)) >> jnp.uint32(32 - HASH_BITS)
+    key = ((h << 16) | idx.astype(jnp.uint32)).astype(jnp.int32)
 
-    # 4-byte little-endian window value at every position
-    v = (pad[:B] | (pad[1:B + 1] << 8) | (pad[2:B + 2] << 16)
-         | (pad[3:B + 3] << 24))
-    h = ((v * jnp.uint32(2654435761)) >> jnp.uint32(32 - HASH_BITS))
+    ops = jax.lax.sort([key] + [w.astype(jnp.int32) for w in words],
+                       num_keys=1)
+    skey, swords = ops[0], ops[1:]
+    spos = skey & 0xFFFF
+    shash = jax.lax.shift_right_logical(skey, 16)
 
-    # --- nearest previous position with the same hash (one stable sort) ----
-    order = jnp.argsort(h, stable=True).astype(jnp.int32)
-    oh = h[order]
-    prev_sorted = jnp.where(oh[1:] == oh[:-1], order[:-1], -1)
-    prev_sorted = jnp.concatenate([jnp.full((1,), -1, jnp.int32),
-                                   prev_sorted])
-    cand = jnp.zeros(B, jnp.int32).at[order].set(prev_sorted)
+    def shifted(arr, s, fill):
+        return jnp.concatenate(
+            [jnp.full((s,), fill, arr.dtype), arr[:-s]])
 
-    cand_c = jnp.clip(cand, 0, B - 1)
-    hash_valid = (cand >= 0) & (v[cand_c] == v)
+    best_len = jnp.zeros(B, jnp.int32)
+    best_off = jnp.ones(B, jnp.int32)
+    for s in (1, 2):  # nearest and 2nd-nearest previous same-hash position
+        ph = shifted(shash, s, -1)
+        pp = shifted(spos, s, 0)
+        pw = [shifted(w, s, -1) for w in swords]
+        ok0 = (ph == shash) & (pw[0] == swords[0])
+        ml = _chain_match_len(swords, pw, ok0)
+        off = spos - pp
+        better = ml > best_len
+        best_len = jnp.where(better, ml, best_len)
+        best_off = jnp.where(better, off, best_off)
 
-    # --- capped match length for hash candidates ---------------------------
-    # first 4 bytes are equal by construction (same u32 window)
-    mlen_h = jnp.full(B, MIN_MATCH, jnp.int32)
-    alive = hash_valid
-    for k in range(MIN_MATCH, MATCH_CAP):
-        eq = pad[idx + k] == pad[jnp.clip(cand_c + k, 0, B + MATCH_CAP)]
-        alive = alive & eq
-        mlen_h = mlen_h + alive.astype(jnp.int32)
-    off_h = idx - cand
-    mlen_h = jnp.where(hash_valid, mlen_h, 0)
+    # restore position order: one more variadic sort keyed by position
+    _, mlen_h, off_h = jax.lax.sort([spos, best_len, best_off], num_keys=1)
 
     # --- exact run lengths for small offsets (RLE / short periods) ---------
-    best_len = mlen_h
-    best_off = jnp.where(hash_valid, off_h, 1)
+    # One batched reverse-cummin over all offsets (no flips: reverse=True).
+    d = data_u8.astype(jnp.int32)
+    best_len, best_off = mlen_h, off_h
     BIG = jnp.int32(2 * B)
-    for o in range(1, SMALL_OFFSETS + 1):
-        src = jnp.clip(idx - o, 0, B - 1)
-        agree = (d[src] == d) & (idx >= o)
-        # next disagreement at or after i (reverse running minimum)
-        mm_idx = jnp.where(~agree, idx, BIG)
-        nxt = jnp.flip(jax.lax.cummin(jnp.flip(mm_idx)))
-        run = jnp.minimum(nxt, _i32(B)) - idx
+    rows = []
+    for o in SMALL_OFFSETS:
+        agree = jnp.concatenate(
+            [jnp.zeros(o, bool), d[o:] == d[:-o]]) & (idx >= o)
+        rows.append(jnp.where(~agree, idx, BIG))
+    nxt_all = jax.lax.cummin(jnp.stack(rows), axis=1, reverse=True)
+    for i, o in enumerate(SMALL_OFFSETS):
+        run = jnp.minimum(nxt_all[i], _i32(B)) - idx
         better = (run >= MIN_MATCH) & (run > best_len)
         best_len = jnp.where(better, run, best_len)
         best_off = jnp.where(better, jnp.int32(o), best_off)
@@ -130,11 +185,11 @@ def _find_matches(data_u8: jnp.ndarray, n: jnp.ndarray, B: int):
     # --- end-of-block rules -------------------------------------------------
     best_len = jnp.minimum(best_len, n - LAST_LITERALS - idx)
     valid = (best_len >= MIN_MATCH) & (idx <= n - MFLIMIT - 1) & (idx < n)
-    return jnp.where(valid, best_len, 1), best_off, valid
+    return jnp.where(valid, best_len, 1), jnp.maximum(best_off, 1), valid
 
 
 def _greedy_parse(mlen: jnp.ndarray, valid: jnp.ndarray, B: int):
-    """Mark the positions the serial greedy parse would visit.
+    """Exact serial-greedy selection via pointer doubling on the byte domain.
 
     next[i] = i + (mlen if match else 1); chain-from-0 membership is
     computed with log2(B) rounds of (scatter-or marks, square the jump map).
@@ -159,22 +214,130 @@ def _greedy_parse(mlen: jnp.ndarray, valid: jnp.ndarray, B: int):
     return mark[:B].astype(bool)
 
 
-def _emit(data_u8, mark, valid, mlen, moff, n, B: int, OUTCAP: int,
-          MAXSEQ: int):
-    """Serialize selected sequences into the LZ4 body (no final sequence).
+def _grid_parse(mlen, moff, valid, B: int, G: int, MAXSEQ: int):
+    """Tile-anchor parse: one sequence may start per G-byte tile.
 
-    Returns (out bytes u8[OUTCAP], body_size, tail_literals).
+    Each tile elects its best candidate (max net coverage = matchlen minus
+    in-tile offset) with a cheap reshape+argmax; the greedy chain then lives
+    on the M = B//G tile domain, so each doubling round's gather/scatter is
+    G-times smaller than the exact parse's. Bytes between a match end and
+    the next elected candidate become ordinary literals of the next
+    sequence — format-exact LZ4, slightly fewer matches than serial greedy.
+    Returns the selected (pos, ml, off, nseq) compacted to MAXSEQ entries.
     """
+    M = B // G
+    shift = int(np.log2(G))
+    aidx = jnp.arange(M, dtype=jnp.int32)
     idx = jnp.arange(B, dtype=jnp.int32)
-    sel = mark & valid
-    nseq = jnp.sum(sel.astype(jnp.int32))
 
-    pos = jnp.nonzero(sel, size=MAXSEQ, fill_value=B)[0].astype(jnp.int32)
+    # Tile election as a shifted-max tournament on the flat byte domain —
+    # all fusable elementwise ops (a (M, G) reshape+argmax would relayout).
+    # score = net coverage (matchlen minus in-tile offset).
+    score = jnp.where(valid, mlen - (idx & (G - 1)), -1)
+    sml, spos, soff = mlen, idx, moff
+    for step in (1, 2, 4, 8, 16, 32)[:shift]:
+        sc2 = jnp.concatenate([score[step:], jnp.full(step, -1, jnp.int32)])
+        ml2 = jnp.concatenate([sml[step:], sml[:step]])
+        po2 = jnp.concatenate([spos[step:], spos[:step]])
+        of2 = jnp.concatenate([soff[step:], soff[:step]])
+        take = sc2 > score
+        score = jnp.maximum(score, sc2)
+        sml = jnp.where(take, ml2, sml)
+        spos = jnp.where(take, po2, spos)
+        soff = jnp.where(take, of2, soff)
+    cvalid = score[::G] >= 0
+    cpos = spos[::G]
+    cml = sml[::G]
+    coff = soff[::G]
+
+    # Independent 512-anchor sub-chains (one forced sequence boundary per
+    # sub-segment, ~0.1% ratio cost) keep the pointer-doubling loop at
+    # log2(SUBM) rounds instead of log2(M).
+    SUBM = min(M, 512)
+    S = M // SUBM
+    sub_end_pos = ((aidx // SUBM) + 1) * (SUBM * G)  # input-byte boundary
+    cml = jnp.minimum(cml, sub_end_pos - cpos)       # no cross-sub matches
+    cvalid = cvalid & (cml >= MIN_MATCH)
+
+    # next tile: the one the match end lands in, if its elected candidate
+    # starts at or after the end (and is a later tile); else the tile after
+    end = cpos + cml
+    t0 = jax.lax.shift_right_logical(end, shift)
+    t0c = jnp.clip(t0, 0, M - 1)
+    use_floor = cvalid & (t0 > aidx) & (t0 < M) & (cpos[t0c] >= end)
+    nxt = jnp.where(cvalid, jnp.where(use_floor, t0, t0 + 1), aidx + 1)
+
+    # flat global indices: a 1-D scatter/gather round is ~25% cheaper than
+    # the equivalent batched 2-D one on this chip
+    W = SUBM + 1
+    jloc = jnp.clip(nxt - (aidx // SUBM) * SUBM, 0, SUBM).reshape(S, SUBM)
+    jump = jnp.concatenate(
+        [jloc, jnp.full((S, 1), SUBM, jnp.int32)], axis=1)
+    gl = (jump + jnp.arange(S, dtype=jnp.int32)[:, None] * W).reshape(-1)
+    mark = jnp.zeros((S, W), jnp.int32).at[:, 0].set(
+        1 + (jump[:, 0] & 0)).reshape(-1)
+
+    def body(_, state):
+        mark, gl = state
+        hop = jnp.zeros(S * W, jnp.int32).at[gl].max(mark, mode="drop")
+        mark = jnp.maximum(mark, hop)
+        gl = gl[gl]
+        return mark, gl
+
+    rounds = int(np.ceil(np.log2(max(SUBM, 2)))) + 1
+    mark, _ = jax.lax.fori_loop(0, rounds, body, (mark, gl))
+    sel = mark.reshape(S, W)[:, :SUBM].reshape(M).astype(bool) & cvalid
+
+    return _compact_selected(sel, aidx, cpos, cml, coff, M, MAXSEQ)
+
+
+def _compact_selected(sel, order, pos, ml, off, DOM: int, MAXSEQ: int):
+    """Squeeze the selected sequences to the front, in order — one variadic
+    sort (far cheaper than nonzero+gathers on this chip)."""
+    selkey = jnp.where(sel, order, order + DOM)
+    _, ppos, pml, poff = jax.lax.sort([selkey, pos, ml, off], num_keys=1)
+    nseq = jnp.sum(sel.astype(jnp.int32))
     sid = jnp.arange(MAXSEQ, dtype=jnp.int32)
     real = sid < nseq
-    posc = jnp.clip(pos, 0, B - 1)
-    ml = jnp.where(real, mlen[posc], 0)
-    off = jnp.where(real, moff[posc], 1)
+
+    def take(x, fill):
+        x = x[:min(DOM, MAXSEQ)]
+        if MAXSEQ > DOM:
+            x = jnp.concatenate([x, jnp.full(MAXSEQ - DOM, fill, jnp.int32)])
+        return x
+
+    return (jnp.where(real, take(ppos, 0), 0),
+            jnp.where(real, take(pml, 0), 0),
+            jnp.where(real, take(poff, 1), 1), nseq)
+
+
+def _select_sequences(mark, valid, mlen, moff, B: int, MAXSEQ: int):
+    """Compact the exact parse's selected byte positions to MAXSEQ entries."""
+    sel = mark & valid
+    idx = jnp.arange(B, dtype=jnp.int32)
+    return _compact_selected(sel, idx, idx, mlen, moff, B, MAXSEQ)
+
+
+def _fill(values, starts, OUTCAP: int, init):
+    """Segmented broadcast: scatter `values` at `starts`, cummax-fill right.
+
+    Valid iff `values` is strictly increasing over real entries (callers pack
+    a strictly-monotone field into the high bits).
+    """
+    base = jnp.full(OUTCAP, init, jnp.int32)
+    t = base.at[starts].max(values, mode="drop")
+    return jax.lax.cummax(t)
+
+
+def _emit(data_u8, pos, ml, off, nseq, n, B: int, OUTCAP: int, MAXSEQ: int):
+    """Serialize the selected sequences into the LZ4 body (no final sequence).
+
+    Returns (out bytes u8[OUTCAP], body_size, tail_literals). All per-byte
+    sequence fields arrive via three monotone scatter+cummax fills; the only
+    gather is the literal-byte fetch from the input.
+    """
+    sid = jnp.arange(MAXSEQ, dtype=jnp.int32)
+    real = sid < nseq
 
     ends = pos + ml
     lit_start = jnp.concatenate([jnp.zeros(1, jnp.int32), ends[:-1]])
@@ -192,57 +355,71 @@ def _emit(data_u8, mark, valid, mlen, moff, n, B: int, OUTCAP: int,
     incl = jnp.cumsum(seq_sz)
     body = jnp.where(nseq > 0, incl[last], 0)
     excl = incl - seq_sz
-    # fill entries sort after every real output byte position
-    excl_sorted = jnp.where(real, excl, jnp.int32(OUTCAP + 1))
+
+    # --- monotone fills: every output byte learns its sequence's fields ----
+    starts = jnp.where(real, excl, jnp.int32(OUTCAP))  # OUTCAP slots drop
+    f_excl = _fill(excl, starts, OUTCAP, 0)
+    # pos < 2^16 strictly increases; lit_start likewise (ends are strict)
+    f_po = _fill(((pos << 16) | off) + _NEG, starts, OUTCAP, _NEG)
+    f_lm = _fill(((lit_start << 16) | ml) + _NEG, starts, OUTCAP, _NEG)
 
     j = jnp.arange(OUTCAP, dtype=jnp.int32)
-    s = jnp.clip(jnp.searchsorted(excl_sorted, j, side="right").astype(
-        jnp.int32) - 1, 0, MAXSEQ - 1)
-    delta = j - excl[s]
-    lit_s, ml_s, off_s = lit[s], ml[s], off[s]
-    nlx_s, start_s = nlx[s], lit_start[s]
+    delta = j - f_excl
+    po = f_po - _NEG
+    lm = f_lm - _NEG
+    pos_b = jax.lax.shift_right_logical(po, 16)
+    off_b = po & 0xFFFF
+    start_b = jax.lax.shift_right_logical(lm, 16)
+    ml_b = lm & 0xFFFF
+    lit_b = pos_b - start_b
+    nlx_b = jnp.where(lit_b < 15, 0, 1 + (lit_b - 15) // 255)
 
-    tok = (jnp.minimum(lit_s, 15) << 4) | jnp.minimum(ml_s - MIN_MATCH, 15)
-    lit_ext = jnp.clip(jnp.minimum(lit_s - 15 - 255 * (delta - 1), 255),
+    tok = (jnp.minimum(lit_b, 15) << 4) | jnp.minimum(ml_b - MIN_MATCH, 15)
+    lit_ext = jnp.clip(jnp.minimum(lit_b - 15 - 255 * (delta - 1), 255),
                        0, 255)
-    lit_byte_pos = jnp.clip(start_s + delta - 1 - nlx_s, 0, B - 1)
+    lit_byte_pos = jnp.clip(start_b + delta - 1 - nlx_b, 0, B - 1)
     lit_byte = data_u8[lit_byte_pos].astype(jnp.int32)
-    ml_ext_t = delta - (3 + nlx_s + lit_s)
-    ml_ext = jnp.clip(jnp.minimum(ml_s - 19 - 255 * ml_ext_t, 255), 0, 255)
+    ml_ext_t = delta - (3 + nlx_b + lit_b)
+    ml_ext = jnp.clip(jnp.minimum(ml_b - 19 - 255 * ml_ext_t, 255), 0, 255)
 
-    o_lo = 1 + nlx_s + lit_s
+    o_lo = 1 + nlx_b + lit_b
     byte = jnp.where(
         delta == 0, tok,
-        jnp.where(delta <= nlx_s, lit_ext,
+        jnp.where(delta <= nlx_b, lit_ext,
                   jnp.where(delta < o_lo, lit_byte,
-                            jnp.where(delta == o_lo, off_s & 255,
+                            jnp.where(delta == o_lo, off_b & 255,
                                       jnp.where(delta == o_lo + 1,
-                                                off_s >> 8, ml_ext)))))
+                                                off_b >> 8, ml_ext)))))
     out = jnp.where(j < body, byte, 0).astype(jnp.uint8)
     return out, body, tail
 
 
-def _encode_block(data_u8, n, B: int, OUTCAP: int, MAXSEQ: int):
+def _encode_block(data_u8, n, B: int, OUTCAP: int, MAXSEQ: int, G: int = 0):
     mlen, moff, valid = _find_matches(data_u8, n, B)
-    mark = _greedy_parse(mlen, valid, B)
-    return _emit(data_u8, mark, valid, mlen, moff, n, B, OUTCAP, MAXSEQ)
+    if G:
+        pos, ml, off, nseq = _grid_parse(mlen, moff, valid, B, G, MAXSEQ)
+    else:
+        mark = _greedy_parse(mlen, valid, B)
+        pos, ml, off, nseq = _select_sequences(mark, valid, mlen, moff,
+                                               B, MAXSEQ)
+    return _emit(data_u8, pos, ml, off, nseq, n, B, OUTCAP, MAXSEQ)
 
 
-@functools.lru_cache(maxsize=16)
-def make_encoder(block_size: int):
-    """Build the jitted batched encoder for a given block size.
+@functools.lru_cache(maxsize=32)
+def make_encoder(block_size: int, G: int = 0):
+    """Build the jitted batched encoder for a given block size / parse grid.
 
     Signature: (blocks u8[N, B], lens i32[N]) ->
                (bodies u8[N, OUTCAP], body_sizes i32[N], tails i32[N])
     """
     B = block_size
     OUTCAP = out_capacity(B)
-    MAXSEQ = B // MIN_MATCH + 2
+    MAXSEQ = (B // max(G, MIN_MATCH)) + 2
 
     @jax.jit
     def encode(blocks, lens):
         fn = functools.partial(_encode_block, B=B, OUTCAP=OUTCAP,
-                               MAXSEQ=MAXSEQ)
+                               MAXSEQ=MAXSEQ, G=G)
         return jax.vmap(fn)(blocks, lens)
 
     return encode
@@ -310,34 +487,37 @@ def _decode_block(chunk_u8, clen, dlen, C: int, B: int, MAXTOK: int):
     mark, _ = jax.lax.fori_loop(0, rounds, body, (mark, jump))
     mark = mark[:C].astype(bool) & (idx < clen)
 
-    # --- output spans --------------------------------------------------------
+    # --- output spans: monotone fills over the output domain ----------------
     prod_m = jnp.where(mark, produced, 0)
     out_start = jnp.cumsum(prod_m) - prod_m  # exclusive, per byte position
+    emitting = mark & (produced > 0)
+    tstart = jnp.where(emitting, out_start, jnp.int32(B))  # B slots drop
 
-    ntok = jnp.sum(mark.astype(jnp.int32))
-    tpos = jnp.nonzero(mark, size=MAXTOK, fill_value=C)[0].astype(jnp.int32)
-    tid = jnp.arange(MAXTOK, dtype=jnp.int32)
-    treal = tid < ntok
-    tposc = jnp.clip(tpos, 0, C - 1)
-    tstart = jnp.where(treal, out_start[tposc], jnp.int32(B + 1))
+    f_ts = _fill(out_start, tstart, B, 0)            # token's output start
+    # strictly monotone high bits: out_start (tokens emitting >0 bytes)
+    f_off = _fill(((out_start << 16) | (offs & 0xFFFF)) + _NEG, tstart,
+                  B, _NEG) - _NEG
+    f_mstart = _fill(out_start + lit, tstart, B, 0)  # match part begins here
+    f_a = _fill(a, tstart, B, 0)                     # literal source base
 
-    # --- each output byte finds its token, becomes literal or backref ------
     o = jnp.arange(B, dtype=jnp.int32)
-    s = jnp.clip(jnp.searchsorted(tstart, o, side="right").astype(
-        jnp.int32) - 1, 0, MAXTOK - 1)
-    rel = o - tstart[s]
-    p = tposc[s]
-    is_lit = rel < lit[p]
-    src = jnp.where(is_lit, -(a[p] + rel) - 1, o - offs[p])
+    rel = o - f_ts
+    is_lit = o < f_mstart
+    src = jnp.where(is_lit, -(f_a + rel) - 1, o - (f_off & 0xFFFF))
     src = jnp.where(o < dlen, src, -1)  # pad bytes: point at chunk[0]
 
-    # --- resolve back-reference chains (log rounds) -------------------------
-    def resolve(_, src):
-        gathered = src[jnp.clip(src, 0, B - 1)]
-        return jnp.where(src >= 0, gathered, src)
+    # --- resolve back-reference chains until a pass changes nothing --------
+    def cond(state):
+        src, changed = state
+        return changed
 
-    rounds2 = int(np.ceil(np.log2(max(B, 2)))) + 1
-    src = jax.lax.fori_loop(0, rounds2, resolve, src)
+    def step(state):
+        src, _ = state
+        gathered = src[jnp.clip(src, 0, B - 1)]
+        nsrc = jnp.where(src >= 0, gathered, src)
+        return nsrc, jnp.any(nsrc >= 0)
+
+    src, _ = jax.lax.while_loop(cond, step, (src, jnp.any(src >= 0)))
 
     pad = jnp.concatenate([chunk_u8, jnp.zeros(1, jnp.uint8)])
     out = pad[jnp.clip(-src - 1, 0, C)]
@@ -376,7 +556,6 @@ def _bucket(n: int, lo: int = 256) -> int:
 def encode_blocks(blocks, accel: int = 1):
     """Compress a list of blocks on device; returns (bodies, tails) where
     bodies exclude the final literal-only sequence (stitcher input)."""
-    del accel  # the device pipeline has no skip heuristic (yet)
     B = _bucket(max(len(b) for b in blocks))
     N = len(blocks)
     arr = np.zeros((N, B), dtype=np.uint8)
@@ -384,7 +563,10 @@ def encode_blocks(blocks, accel: int = 1):
     for i, b in enumerate(blocks):
         arr[i, :len(b)] = np.frombuffer(b, dtype=np.uint8)
         lens[i] = len(b)
-    enc = make_encoder(B)
+    G = grid_for_accel(accel)
+    if G and G * 4 > B:  # tiny blocks: grid overhead isn't worth it
+        G = 0
+    enc = make_encoder(B, G)
     out, sizes, tails = jax.block_until_ready(
         enc(jnp.asarray(arr), jnp.asarray(lens)))
     out_np = np.asarray(out)

@@ -32,6 +32,15 @@ def make_mesh(n_devices: Optional[int] = None,
               axis_name: str = "blocks") -> Mesh:
     devs = jax.devices()
     if n_devices is not None:
+        if len(devs) < n_devices:
+            # single-chip dev box: validate the n-way sharding on the
+            # virtual CPU mesh (xla_force_host_platform_device_count)
+            devs = jax.devices("cpu")
+        if len(devs) < n_devices:
+            raise ValueError(
+                f"need {n_devices} devices, have {len(devs)}; set "
+                "XLA_FLAGS=--xla_force_host_platform_device_count="
+                f"{n_devices} to dry-run the sharding on CPU")
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis_name,))
 

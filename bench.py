@@ -47,11 +47,12 @@ def main():
 
     B = 65536
     N = 256  # 16 MiB per iteration
+    G = 8   # tile-anchor parse (accel 2): the throughput-mode device path
     data = _corpus(B * N)
     arr = np.frombuffer(data, dtype=np.uint8).reshape(N, B)
     lens = np.full(N, B, dtype=np.int32)
 
-    enc = lz4_device.make_encoder(B)
+    enc = lz4_device.make_encoder(B, G)
     ja, jl = jnp.asarray(arr), jnp.asarray(lens)
 
     # warmup / compile

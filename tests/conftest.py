@@ -14,6 +14,15 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The environment's TPU relay force-registers itself ahead of JAX_PLATFORMS;
+# pin the config explicitly so tests really run on the virtual CPU mesh.
+import jax  # noqa: E402
+
+try:
+    jax.config.update("jax_platforms", "cpu")
+except RuntimeError:
+    pass
 # The general suite pins the host tier so codec tests stay fast; device-tier
 # tests opt in explicitly with small block sizes (test_device_lz4.py).
 os.environ.setdefault("AOCL_ENABLE_INSTRUCTIONS", "HOST")
