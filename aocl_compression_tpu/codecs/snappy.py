@@ -18,7 +18,7 @@ from ..api.handle import Handle
 from ..parallel import container
 from ..runtime import native
 from ..utils import dispatch
-from ..utils.config import TIER_HOST, get_config
+from ..utils.config import TIER_HOST, TIER_XLA, get_config
 from .base import Codec
 
 
@@ -61,8 +61,9 @@ class SnappyCodec(Codec):
         db = dispatch.resolve(self.name, "decompress_blocks", handle.max_tier,
                               handle.opt_off)
         bs = self._block_size(handle)
+        accel = max(1, handle.opt_var)
         return container.BlockCodecAdapter(
-            compress_blocks=cb,
+            compress_blocks=lambda blocks: cb(blocks, accel),
             decompress_blocks=lambda chunks, dlens: db(chunks, dlens, bs),
             preamble=_varint)
 
@@ -99,7 +100,7 @@ def _compress_host(data: bytes) -> bytes:
 
 @dispatch.register("snappy", "compress_blocks", TIER_HOST,
                    "snappy_compress_blocks_host")
-def _compress_blocks_host(blocks: Sequence[bytes]):
+def _compress_blocks_host(blocks: Sequence[bytes], accel: int = 1):
     # raw element fragments: compress each block, strip its varint preamble;
     # snappy elements are self-delimiting so no boundary stitch is needed
     return ([_strip_preamble(native.snappy_compress(b)) for b in blocks],
@@ -112,3 +113,20 @@ def _decompress_blocks_host(chunks: Sequence[bytes], dlens: Sequence[int],
                             block_size: int) -> List[bytes]:
     return [native.snappy_uncompress(_varint(d) + c)
             for c, d in zip(chunks, dlens)]
+
+
+# --- device-tier variants (ops/snappy_device.py) ------------------------------
+
+@dispatch.register("snappy", "compress_blocks", TIER_XLA,
+                   "snappy_compress_blocks_xla")
+def _compress_blocks_xla(blocks: Sequence[bytes], accel: int = 1):
+    from ..ops import snappy_device
+    return snappy_device.encode_blocks(blocks, accel)
+
+
+@dispatch.register("snappy", "decompress_blocks", TIER_XLA,
+                   "snappy_decompress_blocks_xla")
+def _decompress_blocks_xla(chunks: Sequence[bytes], dlens: Sequence[int],
+                           block_size: int) -> List[bytes]:
+    from ..ops import snappy_device
+    return snappy_device.decode_blocks(chunks, dlens, block_size)

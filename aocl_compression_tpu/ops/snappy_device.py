@@ -1,0 +1,335 @@
+"""Snappy raw-format codec as a parallel TPU device pipeline (tier XLA).
+
+Reference behavior: /root/reference/algos/snappy/snappy.cc —
+AOCL_CompressFragment (:~1100, match-skip compressor), the element emitters
+EmitLiteral/EmitCopy (:~700-800), and SnappyArrayWriter decode (:2282).
+Nothing is translated: match finding / parse / emission reuse the
+sort-centric machinery of ops/lz4_device.py (variadic-sort matcher,
+tile-anchor or exact pointer-doubling parse, monotone scatter+cummax fills);
+only the element serialization differs:
+
+  literal elements: tag (len-1)<<2, +1/+2 extra length bytes above 60/256
+  copy elements:    a match of length L splits exactly like the reference's
+                    EmitCopy: 64-byte 2-byte-offset copies while L >= 68,
+                    one 60-byte copy if 64 < L <= 67, then a final copy that
+                    uses the 2-byte tag form (1-byte offset, len 4-11,
+                    offset < 2048) when it qualifies.
+
+Each block encodes to a self-contained headerless element stream (snappy
+elements are self-delimiting), so container assembly is pure concatenation:
+the codec adds the single stream-level varint length preamble.
+
+Decode: parallel tag scan (every byte position speculatively parsed as an
+element start) -> pointer-doubling chain marking -> monotone fills ->
+while_loop back-reference resolution — same shape as the LZ4 decoder.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import lz4_device as lz
+from .lz4_device import (_fill, _i32, _NEG, MIN_MATCH, _bucket,
+                         grid_for_accel)
+
+
+def out_capacity(block_size: int) -> int:
+    """snappy MaxCompressedLength bound: 32 + n + n/6 (snappy.cc:218)."""
+    return 32 + block_size + block_size // 6
+
+
+# =============================================================================
+# Encoder
+# =============================================================================
+
+def _lit_hdr(lit):
+    """Literal element header size: 0 (no element), 1, 2 or 3 bytes."""
+    return jnp.where(lit == 0, 0,
+                     jnp.where(lit <= 60, 1, jnp.where(lit <= 256, 2, 3)))
+
+
+def _copy_split(ml, off):
+    """Reference EmitCopy splitting: (n64, has60, final_len, qualifies)."""
+    n64 = jnp.maximum(0, (ml - MIN_MATCH) // 64)
+    l2 = ml - 64 * n64
+    has60 = (l2 > 64).astype(jnp.int32)
+    l3 = l2 - 60 * has60
+    qual = (l3 < 12) & (off < 2048) & (l3 >= 4)
+    return n64, has60, l3, qual
+
+
+def _emit_snappy(data_u8, pos, ml, off, nseq, n, B: int, OUTCAP: int,
+                 MAXSEQ: int):
+    """Serialize sequences into a headerless snappy element stream.
+
+    Returns (out u8[OUTCAP], body_size, tail_literals); the tail literal
+    element is appended host-side (codecs/snappy.py) like LZ4's stitcher.
+    """
+    sid = jnp.arange(MAXSEQ, dtype=jnp.int32)
+    real = sid < nseq
+
+    ends = pos + ml
+    lit_start = jnp.concatenate([jnp.zeros(1, jnp.int32), ends[:-1]])
+    lit_start = jnp.where(real, lit_start, 0)
+    lit = jnp.where(real, pos - lit_start, 0)
+
+    last = jnp.clip(nseq - 1, 0, MAXSEQ - 1)
+    tail_start = jnp.where(nseq > 0, ends[last], 0)
+    tail = n - tail_start
+
+    hdr = _lit_hdr(lit)
+    n64, has60, l3, qual = _copy_split(ml, off)
+    ncopy = n64 + has60 + 1
+    seq_sz = jnp.where(real,
+                       hdr + lit + 3 * (ncopy - 1)
+                       + jnp.where(qual, 2, 3), 0)
+    incl = jnp.cumsum(seq_sz)
+    body = jnp.where(nseq > 0, incl[last], 0)
+    excl = incl - seq_sz
+
+    starts = jnp.where(real, excl, jnp.int32(OUTCAP))
+    f_excl = _fill(excl, starts, OUTCAP, 0)
+    f_po = _fill(((pos << 16) | off) + _NEG, starts, OUTCAP, _NEG)
+    f_lm = _fill(((lit_start << 16) | ml) + _NEG, starts, OUTCAP, _NEG)
+
+    j = jnp.arange(OUTCAP, dtype=jnp.int32)
+    delta = j - f_excl
+    po = f_po - _NEG
+    lm = f_lm - _NEG
+    pos_b = jax.lax.shift_right_logical(po, 16)
+    off_b = po & 0xFFFF
+    start_b = jax.lax.shift_right_logical(lm, 16)
+    ml_b = lm & 0xFFFF
+    lit_b = pos_b - start_b
+    hdr_b = _lit_hdr(lit_b)
+    n64_b, has60_b, l3_b, qual_b = _copy_split(ml_b, off_b)
+    ncopy_b = n64_b + has60_b + 1
+
+    # --- literal element ----------------------------------------------------
+    lit_tag = jnp.where(
+        lit_b <= 60, (lit_b - 1) << 2,
+        jnp.where(lit_b <= 256, 60 << 2, 61 << 2))
+    lm1 = lit_b - 1
+    lit_hdr_byte = jnp.where(delta == 0, lit_tag,
+                             jnp.where(delta == 1, lm1 & 0xFF,
+                                       (lm1 >> 8) & 0xFF))
+    lit_byte_pos = jnp.clip(start_b + delta - hdr_b, 0, B - 1)
+    lit_byte = data_u8[lit_byte_pos].astype(jnp.int32)
+
+    # --- copy elements ------------------------------------------------------
+    rel = delta - hdr_b - lit_b
+    c = rel // 3                       # all non-final ops are 3 bytes
+    r = rel - 3 * c
+    is_final = c == (ncopy_b - 1)
+    relf = rel - 3 * (ncopy_b - 1)     # offset within the final op
+    # middle op length: 64 for c < n64, else 60 (the has60 op)
+    mid_tag = jnp.where(c < n64_b, 0x02 | (63 << 2), 0x02 | (59 << 2))
+    fin_tag = jnp.where(
+        qual_b,
+        0x01 | ((l3_b - 4) << 2) | ((off_b >> 8) << 5),
+        0x02 | ((l3_b - 1) << 2))
+    copy_byte = jnp.where(
+        is_final,
+        jnp.where(relf == 0, fin_tag,
+                  jnp.where(relf == 1, off_b & 0xFF, off_b >> 8)),
+        jnp.where(r == 0, mid_tag,
+                  jnp.where(r == 1, off_b & 0xFF, off_b >> 8)))
+
+    byte = jnp.where(delta < hdr_b, lit_hdr_byte,
+                     jnp.where(delta < hdr_b + lit_b, lit_byte, copy_byte))
+    out = jnp.where(j < body, byte, 0).astype(jnp.uint8)
+    return out, body, tail
+
+
+def _encode_block(data_u8, n, B: int, OUTCAP: int, MAXSEQ: int, G: int = 0):
+    mlen, moff, valid = lz._find_matches(data_u8, n, B)
+    if G:
+        pos, ml, off, nseq = lz._grid_parse(mlen, moff, valid, B, G, MAXSEQ)
+    else:
+        mark = lz._greedy_parse(mlen, valid, B)
+        pos, ml, off, nseq = lz._select_sequences(mark, valid, mlen, moff,
+                                                  B, MAXSEQ)
+    return _emit_snappy(data_u8, pos, ml, off, nseq, n, B, OUTCAP, MAXSEQ)
+
+
+@functools.lru_cache(maxsize=32)
+def make_encoder(block_size: int, G: int = 0):
+    B = block_size
+    OUTCAP = out_capacity(B)
+    MAXSEQ = (B // max(G, MIN_MATCH)) + 2
+
+    @jax.jit
+    def encode(blocks, lens):
+        fn = functools.partial(_encode_block, B=B, OUTCAP=OUTCAP,
+                               MAXSEQ=MAXSEQ, G=G)
+        return jax.vmap(fn)(blocks, lens)
+
+    return encode
+
+
+def literal_element(lits: bytes) -> bytes:
+    """Host-side literal element (the per-block tail)."""
+    n = len(lits)
+    if n == 0:
+        return b""
+    if n <= 60:
+        return bytes([(n - 1) << 2]) + lits
+    if n <= 256:
+        return bytes([60 << 2, n - 1]) + lits
+    return bytes([61 << 2, (n - 1) & 0xFF, (n - 1) >> 8]) + lits
+
+
+def encode_blocks(blocks, accel: int = 1):
+    """Compress blocks on device into self-contained headerless element
+    streams; returns (fragments, dlens) ready for container assembly."""
+    B = _bucket(max(len(b) for b in blocks))
+    N = len(blocks)
+    arr = np.zeros((N, B), dtype=np.uint8)
+    lens = np.zeros(N, dtype=np.int32)
+    for i, b in enumerate(blocks):
+        arr[i, :len(b)] = np.frombuffer(b, dtype=np.uint8)
+        lens[i] = len(b)
+    G = grid_for_accel(accel)
+    if G and G * 4 > B:
+        G = 0
+    enc = make_encoder(B, G)
+    out, sizes, tails = jax.block_until_ready(
+        enc(jnp.asarray(arr), jnp.asarray(lens)))
+    out_np = np.asarray(out)
+    sizes_np = np.asarray(sizes)
+    tails_np = np.asarray(tails)
+    frags = []
+    for i, b in enumerate(blocks):
+        body = out_np[i, :sizes_np[i]].tobytes()
+        t = int(tails_np[i])
+        frags.append(body + literal_element(b[len(b) - t:]) if t else body)
+    return frags, [len(b) for b in blocks]
+
+
+# =============================================================================
+# Decoder
+# =============================================================================
+
+def _tag_scan(chunk_u8, clen, C: int):
+    """Speculative element parse at every byte position: returns
+    (next element pos, produced bytes, literal len, literal start, offset)."""
+    d = chunk_u8.astype(jnp.int32)
+    pad = jnp.concatenate([d, jnp.zeros(8, jnp.int32)])
+    idx = jnp.arange(C, dtype=jnp.int32)
+
+    tag = pad[idx]
+    typ = tag & 3
+    arg = tag >> 2
+
+    # literal: length from tag or 1-2 extra bytes (62/63 four-byte forms do
+    # not occur for <=64K blocks; clamp defensively)
+    l_im = arg + 1
+    l_1b = pad[idx + 1] + 1
+    l_2b = (pad[idx + 1] | (pad[idx + 2] << 8)) + 1
+    lit_len = jnp.where(arg < 60, l_im, jnp.where(arg == 60, l_1b, l_2b))
+    lit_hdr = jnp.where(arg < 60, 1, jnp.where(arg == 60, 2, 3))
+
+    # copy forms
+    len1 = ((tag >> 2) & 7) + 4
+    off1 = ((tag >> 5) << 8) | pad[idx + 1]
+    len2 = arg + 1
+    off2 = pad[idx + 1] | (pad[idx + 2] << 8)
+
+    is_lit = typ == 0
+    is_c1 = typ == 1
+    is_c2 = typ == 2           # typ 3 (4-byte offset) treated as c2-like
+    produced = jnp.where(is_lit, lit_len, jnp.where(is_c1, len1, len2))
+    hdr = jnp.where(is_lit, lit_hdr,
+                    jnp.where(is_c1, 2, jnp.where(is_c2, 3, 5)))
+    nxt = jnp.where(is_lit, idx + lit_hdr + lit_len, idx + hdr)
+    nxt = jnp.clip(nxt, 0, C)
+    lit = jnp.where(is_lit, lit_len, 0)
+    a = idx + lit_hdr          # literal source base
+    offs = jnp.where(is_c1, off1, off2)
+    return nxt, produced, lit, a, offs
+
+
+def _decode_block(chunk_u8, clen, dlen, C: int, B: int):
+    idx = jnp.arange(C, dtype=jnp.int32)
+    nxt, produced, lit, a, offs = _tag_scan(chunk_u8, clen, C)
+
+    jump = jnp.concatenate([nxt, jnp.full((1,), C, jnp.int32)])
+    mark = jnp.zeros(C + 1, jnp.int32).at[0].set(
+        (clen > 0).astype(jnp.int32))
+
+    def body(_, state):
+        mark, jump = state
+        hop = jnp.zeros(C + 1, jnp.int32).at[jump].max(mark)
+        return jnp.maximum(mark, hop), jump[jump]
+
+    rounds = int(np.ceil(np.log2(max(C, 2)))) + 1
+    mark, _ = jax.lax.fori_loop(0, rounds, body, (mark, jump))
+    mark = mark[:C].astype(bool) & (idx < clen)
+
+    prod_m = jnp.where(mark, produced, 0)
+    out_start = jnp.cumsum(prod_m) - prod_m
+    emitting = mark & (produced > 0)
+    tstart = jnp.where(emitting, out_start, jnp.int32(B))
+
+    f_ts = _fill(out_start, tstart, B, 0)
+    f_off = _fill(((out_start << 16) | (offs & 0xFFFF)) + _NEG, tstart,
+                  B, _NEG) - _NEG
+    f_mstart = _fill(out_start + lit, tstart, B, 0)
+    f_a = _fill(a, tstart, B, 0)
+
+    o = jnp.arange(B, dtype=jnp.int32)
+    rel = o - f_ts
+    is_lit = o < f_mstart
+    src = jnp.where(is_lit, -(f_a + rel) - 1, o - (f_off & 0xFFFF))
+    src = jnp.where(o < dlen, src, -1)
+
+    def cond(state):
+        return state[1]
+
+    def step(state):
+        src, _ = state
+        gathered = src[jnp.clip(src, 0, B - 1)]
+        nsrc = jnp.where(src >= 0, gathered, src)
+        return nsrc, jnp.any(nsrc >= 0)
+
+    src, _ = jax.lax.while_loop(cond, step, (src, jnp.any(src >= 0)))
+
+    pad = jnp.concatenate([chunk_u8, jnp.zeros(1, jnp.uint8)])
+    out = pad[jnp.clip(-src - 1, 0, C)]
+    return jnp.where(o < dlen, out, 0).astype(jnp.uint8)
+
+
+@functools.lru_cache(maxsize=16)
+def make_decoder(chunk_cap: int, block_size: int):
+    C, B = chunk_cap, block_size
+
+    @jax.jit
+    def decode(chunks, clens, dlens):
+        fn = functools.partial(_decode_block, C=C, B=B)
+        return jax.vmap(fn)(chunks, clens, dlens)
+
+    return decode
+
+
+def decode_blocks(chunks, dlens, block_size: int):
+    """Decompress headerless element-stream regions on device."""
+    if not chunks:
+        return []
+    C = _bucket(max((len(c) for c in chunks), default=1))
+    B = _bucket(max(max(dlens), block_size))
+    N = len(chunks)
+    arr = np.zeros((N, C), dtype=np.uint8)
+    clens = np.zeros(N, dtype=np.int32)
+    for i, c in enumerate(chunks):
+        arr[i, :len(c)] = np.frombuffer(c, dtype=np.uint8)
+        clens[i] = len(c)
+    dec = make_decoder(C, B)
+    out = jax.block_until_ready(
+        dec(jnp.asarray(arr), jnp.asarray(clens),
+            jnp.asarray(np.asarray(dlens, dtype=np.int32))))
+    out_np = np.asarray(out)
+    return [out_np[i, :dlens[i]].tobytes() for i in range(N)]
