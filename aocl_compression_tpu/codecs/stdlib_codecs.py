@@ -20,31 +20,83 @@ from __future__ import annotations
 
 import bz2
 import lzma
+import struct
 import zlib
 from typing import Optional
 
 from ..api.handle import Handle
+from ..parallel import container
 from ..utils import dispatch
-from ..utils.config import TIER_HOST
+from ..utils.config import TIER_HOST, TIER_XLA, get_config
 from .base import Codec
 
 
+_ZLIB_HEADER = b"\x78\x01"
+_ZLIB_FINAL = b"\x03\x00"  # empty BFINAL static block
+
+
 class ZlibCodec(Codec):
+    """zlib with RAP block parallelism (reference: RAP paths inside
+    compress2/uncompress, algos/zlib/compress.c:211-340, uncompr.c:180-198).
+
+    Stream layout under RAP: [RAP frame][2B zlib header][sync-flushed raw
+    deflate chunk]xN[empty final block][adler32]. Skipping the RAP frame
+    yields a bit-valid zlib stream for stock decoders.
+
+    Level 1 maps to the static-Huffman device pipeline when the XLA tier is
+    allowed — the reference's deflate_quick level-1 strategy
+    (algos/zlib/deflate_quick.c, ZLIB_DEFLATE_FAST_MODE); levels 2-9 use the
+    host deflate.
+    """
+
     name = "zlib"
-    version = "1.3-stdlib"
+    version = "1.3-tpu"
     min_level, max_level, default_level = 1, 9, 6
 
     def compress_bound(self, n: int) -> int:
-        # deflate bound: n + n/1000 + 12 plus zlib wrapper slack
-        return n + (n >> 10) + 64
+        from ..runtime import native
+        cfg = get_config()
+        return (n + (n >> 8) + 64
+                + native.rap_frame_bound(n, cfg.default_block_size))
+
+    def _block_size(self, handle: Handle) -> int:
+        return handle.block_size or get_config().default_block_size
+
+    def _adapter(self, handle: Handle,
+                 level: int) -> container.BlockCodecAdapter:
+        # device tier only for the quick (level<=1) strategy, like the
+        # reference's deflate_quick; higher levels keep host ratio semantics
+        max_tier = handle.max_tier if level <= 1 else TIER_HOST
+        cb = dispatch.resolve("zlib", "compress_blocks", max_tier,
+                              handle.opt_off)
+        db = dispatch.resolve("zlib", "decompress_blocks", handle.max_tier,
+                              handle.opt_off)
+        return container.BlockCodecAdapter(
+            compress_blocks=lambda blocks: cb(blocks, level),
+            decompress_blocks=db,
+            preamble=lambda total: _ZLIB_HEADER)
 
     def compress(self, handle: Handle, data: bytes) -> bytes:
-        fn = dispatch.resolve("zlib", "compress", handle.max_tier,
+        level = self.clamp_level(handle.level or self.default_level)
+        rap = (handle.enable_rap if handle.enable_rap is not None
+               else get_config().enable_rap)
+        if rap:
+            out = container.compress_rapped(data, self._block_size(handle),
+                                            self._adapter(handle, level))
+            if out is not None:
+                trailer = _ZLIB_FINAL + struct.pack(
+                    ">I", zlib.adler32(data) & 0xFFFFFFFF)
+                return out + trailer
+        fn = dispatch.resolve("zlib", "compress",
+                              handle.max_tier if level <= 1 else TIER_HOST,
                               handle.opt_off)
-        return fn(data, self.clamp_level(handle.level or self.default_level))
+        return fn(data, level)
 
     def decompress(self, handle: Handle, data: bytes,
                    expected_size: Optional[int] = None) -> bytes:
+        out = container.decompress_rapped(data, self._adapter(handle, 1))
+        if out is not None:
+            return out
         fn = dispatch.resolve("zlib", "decompress", handle.max_tier,
                               handle.opt_off)
         return fn(data, expected_size)
@@ -58,6 +110,43 @@ def _zlib_compress_host(data: bytes, level: int) -> bytes:
 @dispatch.register("zlib", "decompress", TIER_HOST, "zlib_decompress_host")
 def _zlib_decompress_host(data: bytes, expected_size=None) -> bytes:
     return zlib.decompress(data)
+
+
+@dispatch.register("zlib", "compress_blocks", TIER_HOST,
+                   "zlib_compress_blocks_host")
+def _zlib_compress_blocks_host(blocks, level: int):
+    """Per-block sync-flushed raw deflate (concatenatable chunks)."""
+    chunks = []
+    for b in blocks:
+        co = zlib.compressobj(level, zlib.DEFLATED, -15)
+        chunks.append(co.compress(b) + co.flush(zlib.Z_SYNC_FLUSH))
+    return chunks, [len(b) for b in blocks]
+
+
+@dispatch.register("zlib", "decompress_blocks", TIER_HOST,
+                   "zlib_decompress_blocks_host")
+def _zlib_decompress_blocks_host(chunks, dlens):
+    return [zlib.decompressobj(-15).decompress(c) for c in chunks]
+
+
+@dispatch.register("zlib", "compress_blocks", TIER_XLA,
+                   "zlib_compress_blocks_xla")
+def _zlib_compress_blocks_xla(blocks, level: int):
+    from ..ops import deflate_device
+    return deflate_device.encode_blocks(blocks, accel=2)
+
+
+@dispatch.register("zlib", "compress", TIER_XLA, "zlib_compress_xla")
+def _zlib_compress_xla(data: bytes, level: int) -> bytes:
+    """Single-shot zlib stream through the device static-Huffman pipeline."""
+    from ..ops import deflate_device
+    if len(data) < 1024:
+        return zlib.compress(data, level)
+    bs = get_config().default_block_size
+    blocks = container.split_blocks(data, bs)
+    chunks, _ = deflate_device.encode_blocks(blocks, accel=2)
+    return (_ZLIB_HEADER + b"".join(chunks) + _ZLIB_FINAL
+            + struct.pack(">I", zlib.adler32(data) & 0xFFFFFFFF))
 
 
 class Bzip2Codec(Codec):

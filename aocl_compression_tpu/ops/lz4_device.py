@@ -127,11 +127,13 @@ def _chain_match_len(cur, prev, ok0):
     return mlen
 
 
-def _find_matches(data_u8: jnp.ndarray, n: jnp.ndarray, B: int):
+def _find_matches(data_u8: jnp.ndarray, n: jnp.ndarray, B: int,
+                  max_off: int = 0):
     """Per-position best (offset, matchlen) candidates — sort-centric.
 
     Returns (mlen, moff, valid) clamped to the format's end-of-block rules
     for a block of "actual length" n (the batch pads the last block).
+    max_off > 0 restricts candidates to a sliding window (deflate: 32K).
     """
     idx = jnp.arange(B, dtype=jnp.int32)
     words = _window_words(data_u8, B)
@@ -156,8 +158,10 @@ def _find_matches(data_u8: jnp.ndarray, n: jnp.ndarray, B: int):
         pp = shifted(spos, s, 0)
         pw = [shifted(w, s, -1) for w in swords]
         ok0 = (ph == shash) & (pw[0] == swords[0])
-        ml = _chain_match_len(swords, pw, ok0)
         off = spos - pp
+        if max_off:
+            ok0 = ok0 & (off <= max_off)
+        ml = _chain_match_len(swords, pw, ok0)
         better = ml > best_len
         best_len = jnp.where(better, ml, best_len)
         best_off = jnp.where(better, off, best_off)
