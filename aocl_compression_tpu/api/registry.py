@@ -27,6 +27,9 @@ class Method(enum.IntEnum):
     ZSTD = 6
 
 
+#: enum order of aocl_compression_type — numeric method specs resolve here
+CODEC_ORDER = ["lz4", "lz4hc", "lzma", "bzip2", "snappy", "zlib", "zstd"]
+
 _codecs: Dict[str, "object"] = {}
 
 

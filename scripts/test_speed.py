@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""Perf-report harness — parity with the reference's scripts/test_speed.py
+(/root/reference/scripts/test_speed.py:123-512): run the bench over a
+dataset directory in two configurations, write a CSV, and print a geo-mean
+speed/ratio comparison table per codec.
+
+Configurations compared:
+  optimized — framework defaults (device tiers + RAP container)
+  vanilla   — optOff host reference paths, no RAP (upstream-equivalent)
+
+Usage:
+  python scripts/test_speed.py DATASET_DIR [--csv out.csv] [--iters N]
+                               [--methods lz4,zlib,...] [--max-mb MB]
+
+No corpus is bundled (this environment has no network); point it at any
+directory of files — e.g. the synthetic corpus from
+`python scripts/make_corpus.py /tmp/corpus`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from aocl_compression_tpu.api import unified                     # noqa: E402
+from aocl_compression_tpu.api.registry import CODEC_ORDER        # noqa: E402
+
+LEVELS = {"lz4": 0, "lz4hc": 9, "snappy": 0, "zlib": 1, "zstd": 3,
+          "bzip2": 9, "lzma": 6}
+
+
+def bench_file(method: str, level: int, data: bytes, iters: int,
+               vanilla: bool) -> dict:
+    kw = {"measure_stats": True}
+    if level:
+        kw["level"] = level
+    if vanilla:
+        kw["opt_off"] = True
+        kw["enable_rap"] = False
+    h = unified.setup(method, **kw)
+    try:
+        best_c = best_d = float("inf")
+        c = b""
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            c = unified.compress(h, data)
+            best_c = min(best_c, time.perf_counter() - t0)
+        out = b""
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            out = unified.decompress(h, c, expected_size=len(data))
+            best_d = min(best_d, time.perf_counter() - t0)
+        if out != data:
+            raise AssertionError(f"{method} roundtrip FAILED")
+        return {"c_mbps": len(data) / best_c / 1e6,
+                "d_mbps": len(data) / best_d / 1e6,
+                "ratio": len(data) / max(1, len(c))}
+    finally:
+        unified.destroy(h)
+
+
+def geomean(xs):
+    xs = [x for x in xs if x > 0]
+    return math.exp(sum(math.log(x) for x in xs) / len(xs)) if xs else 0.0
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("dataset")
+    ap.add_argument("--csv", default="speed_report.csv")
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--methods", default=",".join(CODEC_ORDER))
+    ap.add_argument("--max-mb", type=int, default=16)
+    args = ap.parse_args()
+
+    files = sorted(
+        os.path.join(args.dataset, f) for f in os.listdir(args.dataset)
+        if os.path.isfile(os.path.join(args.dataset, f)))
+    if not files:
+        print(f"no files in {args.dataset}", file=sys.stderr)
+        return 2
+    methods = [m.strip() for m in args.methods.split(",") if m.strip()]
+
+    rows = []
+    for path in files:
+        with open(path, "rb") as f:
+            data = f.read(args.max_mb << 20)
+        for m in methods:
+            for mode in ("optimized", "vanilla"):
+                r = bench_file(m, LEVELS.get(m, 0), data, args.iters,
+                               vanilla=(mode == "vanilla"))
+                rows.append({"file": os.path.basename(path), "method": m,
+                             "mode": mode,
+                             **{k: round(v, 3) for k, v in r.items()}})
+                print(f"{m:7s} {mode:9s} {os.path.basename(path):20s} "
+                      f"c {r['c_mbps']:8.1f} MB/s  d {r['d_mbps']:8.1f} "
+                      f"MB/s  ratio {r['ratio']:.3f}")
+
+    with open(args.csv, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0]))
+        w.writeheader()
+        w.writerows(rows)
+    print(f"\nwrote {args.csv}")
+
+    # geo-mean comparison table (reference prints prettytable; plain text)
+    print(f"\n{'method':8s} {'c opt':>9s} {'c van':>9s} {'speedup':>8s} "
+          f"{'d opt':>9s} {'d van':>9s} {'ratio opt':>10s} {'ratio van':>10s}")
+    for m in methods:
+        sel = lambda mode, k: [r[k] for r in rows
+                               if r["method"] == m and r["mode"] == mode]
+        co, cv = geomean(sel("optimized", "c_mbps")), geomean(
+            sel("vanilla", "c_mbps"))
+        do_, dv = geomean(sel("optimized", "d_mbps")), geomean(
+            sel("vanilla", "d_mbps"))
+        ro, rv = geomean(sel("optimized", "ratio")), geomean(
+            sel("vanilla", "ratio"))
+        print(f"{m:8s} {co:9.1f} {cv:9.1f} {co / cv if cv else 0:7.2f}x "
+              f"{do_:9.1f} {dv:9.1f} {ro:10.3f} {rv:10.3f}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
