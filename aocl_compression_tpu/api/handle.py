@@ -45,6 +45,9 @@ class Handle:
     max_tier: Optional[int] = None   # cap backend tier (reference optLevel)
     block_size: int = 0          # 0 = codec default window-derived chunking
     enable_rap: Optional[bool] = None  # None = framework config default
+    dictionary: Optional[bytes] = None  # zstd: dict from train_dictionary
+                                        # (reference zstd_params_t cdict,
+                                        # api/codec.cpp:346-352)
     stats: Stats = dataclasses.field(default_factory=Stats)
     state: Any = None            # codec workmem (reference workBuf)
     _setup_done: bool = False

@@ -65,14 +65,14 @@ class ZstdCodec(Codec):
             return self._compress_rapped(handle, data, level, bs)
         fn = dispatch.resolve(self.name, "compress", handle.max_tier,
                               handle.opt_off)
-        return fn(data, level)
+        return fn(data, level, handle.dictionary)
 
     def _compress_rapped(self, handle: Handle, data: bytes, level: int,
                          bs: int) -> bytes:
         blocks = container.split_blocks(data, bs)
         cb = dispatch.resolve(self.name, "compress_blocks", handle.max_tier,
                               handle.opt_off)
-        chunks, dlens = cb(blocks, level)
+        chunks, dlens = cb(blocks, level, handle.dictionary)
         n = len(blocks)
         frame_len = native.rap_frame_len(n)
         offsets, lens = [], []
@@ -98,30 +98,59 @@ class ZstdCodec(Codec):
                               for o, l in zip(offsets, lens)]
                     db = dispatch.resolve(self.name, "decompress_blocks",
                                           handle.max_tier, handle.opt_off)
-                    return b"".join(db(chunks, [int(d) for d in dlens]))
+                    return b"".join(db(chunks, [int(d) for d in dlens],
+                                       handle.dictionary))
                 # unknown skippable frame: stock zstd skips it; so do we
                 data = data[_SKIPPABLE_HEADER_SIZE + size:]
         fn = dispatch.resolve(self.name, "decompress", handle.max_tier,
                               handle.opt_off)
-        return fn(data, expected_size)
+        return fn(data, expected_size, handle.dictionary)
+
+
+def train_dictionary(samples: Sequence[bytes], dict_size: int = 16384,
+                     level: int = 3) -> bytes:
+    """Train a zstd dictionary from sample buffers.
+
+    Parity with the reference's dictBuilder (algos/zstd/lib/dictBuilder/,
+    ZDICT_trainFromBuffer) — COVER/fastCover selection is delegated to the
+    backing zstd library's trainer."""
+    z = _zstd()
+    return z.train_dictionary(dict_size, list(samples),
+                              level=level).as_bytes()
+
+
+def _cdict(level: int, dictionary: Optional[bytes]):
+    z = _zstd()
+    if dictionary is None:
+        return z.ZstdCompressor(level=level)
+    return z.ZstdCompressor(
+        level=level, dict_data=z.ZstdCompressionDict(dictionary))
+
+
+def _ddict(dictionary: Optional[bytes]):
+    z = _zstd()
+    if dictionary is None:
+        return z.ZstdDecompressor()
+    return z.ZstdDecompressor(dict_data=z.ZstdCompressionDict(dictionary))
 
 
 @dispatch.register("zstd", "compress", TIER_HOST, "zstd_compress_host")
-def _compress_host(data: bytes, level: int) -> bytes:
-    return _zstd().ZstdCompressor(level=level).compress(data)
+def _compress_host(data: bytes, level: int, dictionary=None) -> bytes:
+    return _cdict(level, dictionary).compress(data)
 
 
 @dispatch.register("zstd", "compress_blocks", TIER_HOST,
                    "zstd_compress_blocks_host")
-def _compress_blocks_host(blocks: Sequence[bytes], level: int):
-    cctx = _zstd().ZstdCompressor(level=level)
+def _compress_blocks_host(blocks: Sequence[bytes], level: int,
+                          dictionary=None):
+    cctx = _cdict(level, dictionary)
     return [cctx.compress(b) for b in blocks], [len(b) for b in blocks]
 
 
 @dispatch.register("zstd", "decompress", TIER_HOST, "zstd_decompress_host")
-def _decompress_host(data: bytes, expected_size=None) -> bytes:
-    z = _zstd()
-    dctx = z.ZstdDecompressor()
+def _decompress_host(data: bytes, expected_size=None,
+                     dictionary=None) -> bytes:
+    dctx = _ddict(dictionary)
     # handle multi-frame streams (concatenated frames are valid zstd)
     out = []
     buf = memoryview(data)
@@ -137,8 +166,8 @@ def _decompress_host(data: bytes, expected_size=None) -> bytes:
 
 @dispatch.register("zstd", "decompress_blocks", TIER_HOST,
                    "zstd_decompress_blocks_host")
-def _decompress_blocks_host(chunks: Sequence[bytes],
-                            dlens: Sequence[int]) -> List[bytes]:
-    dctx = _zstd().ZstdDecompressor()
+def _decompress_blocks_host(chunks: Sequence[bytes], dlens: Sequence[int],
+                            dictionary=None) -> List[bytes]:
+    dctx = _ddict(dictionary)
     return [dctx.decompress(c, max_output_size=d)
             for c, d in zip(chunks, dlens)]

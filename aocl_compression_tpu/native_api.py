@@ -147,3 +147,40 @@ def ZSTD_decompress(src: bytes,
 def ZSTD_getFrameContentSize(src: bytes) -> int:
     import zstandard
     return zstandard.frame_content_size(src)
+
+
+def ZDICT_trainFromBuffer(samples, dict_size: int = 16384) -> bytes:
+    """Dictionary builder — reference algos/zstd/lib/dictBuilder parity."""
+    from .codecs.zstd import train_dictionary
+    return train_dictionary(samples, dict_size)
+
+
+def ZSTD_compress_usingDict(src: bytes, dictionary: bytes,
+                            level: int = 3) -> bytes:
+    return unified.compress(
+        _handle("zstd", enable_rap=False, level=level,
+                dictionary=dictionary), src)
+
+
+def ZSTD_decompress_usingDict(src: bytes, dictionary: bytes,
+                              dst_capacity: Optional[int] = None) -> bytes:
+    return unified.decompress(
+        _handle("zstd", enable_rap=False, dictionary=dictionary), src,
+        expected_size=dst_capacity)
+
+
+# --- LZ4 Frame (algos/lz4/lz4frame.c) -------------------------------------------
+
+def LZ4F_compressFrame(src: bytes, **opts) -> bytes:
+    from .codecs.lz4_frame import compress_frame
+    return compress_frame(src, **opts)
+
+
+def LZ4F_decompressFrame(src: bytes) -> bytes:
+    from .codecs.lz4_frame import decompress_frame
+    return decompress_frame(src)
+
+
+def XXH32(data: bytes, seed: int = 0) -> int:
+    from .runtime import native
+    return native.xxh32(data, seed)

@@ -65,6 +65,9 @@ def get_lib() -> ctypes.CDLL:
             ("atpu_rap_parse", _i64, [_u8p, _i64, _u32p, _u32p, _u32p, _i32]),
             ("atpu_rap_skip", _i64, [_u8p, _i64]),
             ("atpu_rap_frame_bound", _i64, [_i64, _i64]),
+            ("atpu_xxh32", ctypes.c_uint32, [_u8p, _i64, ctypes.c_uint32]),
+            ("atpu_lz4_decompress_dict", _i64,
+             [_u8p, _i64, _u8p, _i64, _u8p, _i64]),
         ]:
             fn = getattr(lib, name)
             fn.restype = restype
@@ -231,3 +234,27 @@ def rap_skip(data: bytes) -> int:
 
 def rap_frame_bound(src_size: int, chunk_size: int) -> int:
     return get_lib().atpu_rap_frame_bound(src_size, chunk_size)
+
+
+def lz4_decompress_with_history(data: bytes, expected_size: int,
+                                history: bytes) -> bytes:
+    """Decode an LZ4 block whose back-references may reach into `history`
+    (LZ4-frame linked blocks)."""
+    lib = get_lib()
+    src = _tobuf(data)
+    hist = _tobuf(history) if history else np.empty(0, dtype=np.uint8)
+    dst = np.empty(max(expected_size, 1), dtype=np.uint8)
+    n = lib.atpu_lz4_decompress_dict(
+        _as_u8p(src), len(data), _as_u8p(dst), expected_size,
+        _as_u8p(hist) if len(history) else _u8p(), len(history))
+    if n < 0:
+        raise ValueError("lz4 dict decompress failed (corrupt stream?)")
+    return dst[:n].tobytes()
+
+
+# --- xxHash32 (LZ4 frame checksums) -------------------------------------------
+
+def xxh32(data: bytes, seed: int = 0) -> int:
+    if len(data) == 0:
+        return get_lib().atpu_xxh32(_u8p(), 0, seed)
+    return get_lib().atpu_xxh32(_as_u8p(_tobuf(data)), len(data), seed)

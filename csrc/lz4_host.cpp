@@ -293,3 +293,55 @@ int64_t atpu_lz4hc_compress(const uint8_t* src, int64_t srcLen,
 }
 
 }  // extern "C"
+
+// Dict-aware decompressor: offsets may reach back into `hist` (the last
+// <=64K of previously decoded output) — needed for LZ4-frame linked blocks.
+extern "C" int64_t atpu_lz4_decompress_dict(const uint8_t* src, int64_t srcLen,
+                                 uint8_t* dst, int64_t dstCap,
+                                 const uint8_t* hist, int64_t histLen) {
+    const uint8_t* ip = src;
+    const uint8_t* iend = src + srcLen;
+    uint8_t* op = dst;
+    uint8_t* oend = dst + dstCap;
+    if (srcLen <= 0) return srcLen == 0 ? 0 : -1;
+    while (ip < iend) {
+        uint32_t token = *ip++;
+        int64_t litLen = token >> 4;
+        if (litLen == 15) {
+            uint8_t b;
+            do {
+                if (ip >= iend) return -1;
+                b = *ip++;
+                litLen += b;
+            } while (b == 255);
+        }
+        if (litLen > iend - ip || litLen > oend - op) return -1;
+        std::memcpy(op, ip, (size_t)litLen);
+        ip += litLen;
+        op += litLen;
+        if (ip >= iend) break;
+        if (iend - ip < 2) return -1;
+        int64_t offset = (int64_t)ip[0] | ((int64_t)ip[1] << 8);
+        ip += 2;
+        int64_t produced = op - dst;
+        if (offset == 0 || offset > produced + histLen) return -1;
+        int64_t mlen = (int64_t)(token & 15) + kMinMatch;
+        if ((token & 15) == 15) {
+            uint8_t b;
+            do {
+                if (ip >= iend) return -1;
+                b = *ip++;
+                mlen += b;
+            } while (b == 255);
+        }
+        if (mlen > oend - op) return -1;
+        // overlap-correct sequential copy; negative global indices read the
+        // history buffer, non-negative read already-produced output
+        for (int64_t i = 0; i < mlen; i++) {
+            int64_t g = produced + i - offset;
+            op[i] = (g >= 0) ? dst[g] : hist[histLen + g];
+        }
+        op += mlen;
+    }
+    return op - dst;
+}
