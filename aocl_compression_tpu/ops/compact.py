@@ -1,0 +1,132 @@
+"""Device-side stream compaction — gather variable-sized compressed chunks
+from the encoders' padded (N, OUTCAP) output into one dense buffer in HBM,
+so the host fetches ~compressed bytes instead of the padded capacity.
+
+TPU path: a Pallas kernel issuing one async DMA per chunk (scalar-prefetched
+row offsets, dynamic destination, fixed page count with forward-order
+overwrite — chunk i's garbage tail is overwritten by chunk i+1, so valid
+rows are never clobbered). This is work XLA cannot express: data-dependent
+DMA placement at HBM bandwidth. Reference analog: the serial stitch loop
+that drains per-thread dst traps (/root/reference/threads/threads.c:121-153,
+lz4.c:2736+), recast as device DMAs instead of host memcpys.
+
+Fallback (CPU tests / if the Pallas toolchain rejects the kernel): an XLA
+row-gather with identical layout.
+
+Row quantum: 512 bytes (one (1,128) int32 row). Chunks start row-aligned in
+the dense buffer; the host slices exact byte ranges out of the fetched
+buffer (row padding never crosses into another chunk's bytes).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+ROWW = 128                 # int32 lanes per row
+ROWB = ROWW * 4            # bytes per row quantum
+
+
+def round_capacity(n: int) -> int:
+    """Round an encoder OUTCAP up to the row quantum."""
+    return -(-n // ROWB) * ROWB
+
+
+def _rows_view(bodies_u8: jnp.ndarray):
+    N, OUTCAP = bodies_u8.shape
+    assert OUTCAP % ROWB == 0, "encoder OUTCAP must be 512-byte aligned"
+    w = jax.lax.bitcast_convert_type(
+        bodies_u8.reshape(N, OUTCAP // 4, 4), jnp.int32)
+    return w.reshape(N, OUTCAP // ROWB, ROWW)
+
+
+def _pallas_compact(rows: jnp.ndarray, row_offs: jnp.ndarray,
+                    total_rows: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    N, ROWS, _ = rows.shape
+
+    def kernel(offs_ref, src_ref, out_ref, sem):
+        i = pl.program_id(0)
+        cp = pltpu.make_async_copy(
+            src_ref.at[i], out_ref.at[pl.ds(offs_ref[i], ROWS)], sem)
+        cp.start()
+        cp.wait()
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(N,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[pltpu.SemaphoreType.DMA],
+    )
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((total_rows + ROWS, ROWW), jnp.int32),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(row_offs, rows)
+
+
+def _xla_compact(rows: jnp.ndarray, row_offs: jnp.ndarray, rowcnt,
+                 total_rows: int):
+    N, ROWS, _ = rows.shape
+    flat = rows.reshape(N * ROWS, ROWW)
+    r = jnp.arange(total_rows, dtype=jnp.int32)
+    t = jnp.zeros(total_rows, jnp.int32).at[row_offs].max(
+        jnp.arange(N, dtype=jnp.int32), mode="drop")
+    c = jax.lax.cummax(t)
+    src = c * ROWS + (r - row_offs[c])
+    src = jnp.where(r < jnp.sum(rowcnt), jnp.clip(src, 0, N * ROWS - 1), 0)
+    return jnp.take(flat, src, axis=0)
+
+
+_use_pallas = None
+
+
+def _pallas_ok() -> bool:
+    global _use_pallas
+    if _use_pallas is None:
+        try:
+            rows = jnp.zeros((2, 2, ROWW), jnp.int32)
+            offs = jnp.array([0, 1], jnp.int32)
+            jax.block_until_ready(_pallas_compact(rows, offs, 4))
+            _use_pallas = True
+        except Exception:
+            _use_pallas = False
+    return _use_pallas
+
+
+@functools.lru_cache(maxsize=32)
+def _make_compactor(N: int, OUTCAP: int, use_pallas: bool):
+    ROWS = OUTCAP // ROWB
+    total_rows = N * ROWS
+
+    @jax.jit
+    def run(bodies, sizes):
+        rows = _rows_view(bodies)
+        rowcnt = -(-sizes // ROWB)
+        row_offs = (jnp.cumsum(rowcnt) - rowcnt).astype(jnp.int32)
+        if use_pallas:
+            dense = _pallas_compact(rows, row_offs, total_rows)
+        else:
+            dense = _xla_compact(rows, row_offs, rowcnt, total_rows)
+        return dense, row_offs, jnp.sum(rowcnt)
+
+    return run
+
+
+def fetch_chunks(bodies: jnp.ndarray, sizes: jnp.ndarray) -> List[bytes]:
+    """Compact on device, fetch once, slice per-chunk byte strings."""
+    N, OUTCAP = bodies.shape
+    run = _make_compactor(N, OUTCAP, _pallas_ok())
+    dense, row_offs, used = jax.block_until_ready(run(bodies, sizes))
+    used = int(used)
+    buf = np.asarray(dense[:used]).tobytes()
+    offs = np.asarray(row_offs)
+    sz = np.asarray(sizes)
+    return [buf[offs[i] * ROWB: offs[i] * ROWB + sz[i]] for i in range(N)]

@@ -45,8 +45,9 @@ ZLIB_HEADER = b"\x78\x01"                 # CMF/FLG, level-1 class
 
 
 def out_capacity(block_size: int) -> int:
-    # worst case: all 9-bit literals + headers + flush slack
-    return block_size + block_size // 8 + 64
+    # worst case: all 9-bit literals + headers + flush slack; row-aligned
+    n = block_size + block_size // 8 + 64
+    return -(-n // 512) * 512
 
 
 def _floor_log2(m, top: int):
@@ -184,8 +185,11 @@ def _emit_deflate(data_u8, pos, ml, off, nseq, n, B: int, OUTCAP: int,
                                                   mode="drop")
 
     # stored-block sync flush: 3 zero bits + pad (already zero) + LEN/NLEN
+    # (LEN=0x0000 is already zero; write NLEN=0xFFFF in place)
     data_end = (total_bits + 3 + 7) >> 3
-    return out.astype(jnp.uint8), data_end
+    ff_idx = jnp.stack([data_end + 2, data_end + 3])
+    out = out.at[jnp.minimum(ff_idx, OUTCAP - 1)].add(0xFF)
+    return out.astype(jnp.uint8), data_end + 4
 
 
 def _encode_block(data_u8, n, B, OUTCAP, MAXSEQ, MAXPIECE, G):
@@ -233,9 +237,8 @@ def encode_blocks(blocks, accel: int = 1):
     if G and G * 4 > B:
         G = 0
     enc = make_encoder(B, G)
-    out, data_end = jax.block_until_ready(
+    out, sizes = jax.block_until_ready(
         enc(jnp.asarray(arr), jnp.asarray(lens)))
-    out_np = np.asarray(out)
-    end_np = np.asarray(data_end)
-    chunks = [out_np[i, :end_np[i]].tobytes() + SYNC_FLUSH for i in range(N)]
+    from . import compact
+    chunks = compact.fetch_chunks(out, sizes)
     return chunks, [len(b) for b in blocks]

@@ -80,8 +80,10 @@ def _i32(x):
 
 
 def out_capacity(block_size: int) -> int:
-    """Padded per-block output capacity (>= worst-case body size)."""
-    return block_size + block_size // 255 + 64
+    """Padded per-block output capacity (>= worst-case body size),
+    rounded to the compaction row quantum (ops/compact.py)."""
+    n = block_size + block_size // 255 + 64
+    return -(-n // 512) * 512
 
 
 def grid_for_accel(accel: int) -> int:
@@ -573,11 +575,9 @@ def encode_blocks(blocks, accel: int = 1):
     enc = make_encoder(B, G)
     out, sizes, tails = jax.block_until_ready(
         enc(jnp.asarray(arr), jnp.asarray(lens)))
-    out_np = np.asarray(out)
-    sizes_np = np.asarray(sizes)
-    tails_np = np.asarray(tails)
-    bodies = [out_np[i, :sizes_np[i]].tobytes() for i in range(N)]
-    return bodies, [int(t) for t in tails_np]
+    from . import compact
+    bodies = compact.fetch_chunks(out, sizes)
+    return bodies, [int(t) for t in np.asarray(tails)]
 
 
 def decode_blocks(chunks, dlens, block_size: int):
@@ -596,5 +596,9 @@ def decode_blocks(chunks, dlens, block_size: int):
     out = jax.block_until_ready(
         dec(jnp.asarray(arr), jnp.asarray(clens),
             jnp.asarray(np.asarray(dlens, dtype=np.int32))))
+    if B % 512 == 0:
+        from . import compact
+        return compact.fetch_chunks(out, jnp.asarray(
+            np.asarray(dlens, dtype=np.int32)))
     out_np = np.asarray(out)
     return [out_np[i, :dlens[i]].tobytes() for i in range(N)]

@@ -38,8 +38,9 @@ from .lz4_device import (_fill, _i32, _NEG, MIN_MATCH, _bucket,
 
 
 def out_capacity(block_size: int) -> int:
-    """snappy MaxCompressedLength bound: 32 + n + n/6 (snappy.cc:218)."""
-    return 32 + block_size + block_size // 6
+    """snappy MaxCompressedLength bound (snappy.cc:218), row-aligned."""
+    n = 32 + block_size + block_size // 6
+    return -(-n // 512) * 512
 
 
 # =============================================================================
@@ -141,8 +142,26 @@ def _emit_snappy(data_u8, pos, ml, off, nseq, n, B: int, OUTCAP: int,
 
     byte = jnp.where(delta < hdr_b, lit_hdr_byte,
                      jnp.where(delta < hdr_b + lit_b, lit_byte, copy_byte))
-    out = jnp.where(j < body, byte, 0).astype(jnp.uint8)
-    return out, body, tail
+    out32 = jnp.where(j < body, byte, 0)
+
+    # --- trailing literal element, written in place (no host append) --------
+    ht = jnp.where(tail == 0, 0,
+                   jnp.where(tail <= 60, 1, jnp.where(tail <= 256, 2, 3)))
+    t1 = tail - 1
+    tag_t = jnp.where(tail <= 60, t1 << 2,
+                      jnp.where(tail <= 256, 60 << 2, 61 << 2))
+    hdr_vals = jnp.stack([tag_t, t1 & 0xFF, (t1 >> 8) & 0xFF])
+    hdr_idx = jnp.where(jnp.arange(3) < ht, body + jnp.arange(3),
+                        jnp.int32(OUTCAP))
+    out32 = out32.at[hdr_idx].add(hdr_vals, mode="drop")
+    i = jnp.arange(B, dtype=jnp.int32)
+    in_tail = (i >= tail_start) & (i < n) & (tail > 0)
+    tpos = jnp.where(in_tail, body + ht + (i - tail_start),
+                     jnp.int32(OUTCAP))
+    out32 = out32.at[tpos].add(data_u8.astype(jnp.int32), mode="drop")
+
+    size = body + jnp.where(tail > 0, ht + tail, 0)
+    return out32.astype(jnp.uint8), size, tail
 
 
 def _encode_block(data_u8, n, B: int, OUTCAP: int, MAXSEQ: int, G: int = 0):
@@ -197,16 +216,10 @@ def encode_blocks(blocks, accel: int = 1):
     if G and G * 4 > B:
         G = 0
     enc = make_encoder(B, G)
-    out, sizes, tails = jax.block_until_ready(
+    out, sizes, _tails = jax.block_until_ready(
         enc(jnp.asarray(arr), jnp.asarray(lens)))
-    out_np = np.asarray(out)
-    sizes_np = np.asarray(sizes)
-    tails_np = np.asarray(tails)
-    frags = []
-    for i, b in enumerate(blocks):
-        body = out_np[i, :sizes_np[i]].tobytes()
-        t = int(tails_np[i])
-        frags.append(body + literal_element(b[len(b) - t:]) if t else body)
+    from . import compact
+    frags = compact.fetch_chunks(out, sizes)
     return frags, [len(b) for b in blocks]
 
 
@@ -331,5 +344,9 @@ def decode_blocks(chunks, dlens, block_size: int):
     out = jax.block_until_ready(
         dec(jnp.asarray(arr), jnp.asarray(clens),
             jnp.asarray(np.asarray(dlens, dtype=np.int32))))
+    if B % 512 == 0:
+        from . import compact
+        return compact.fetch_chunks(out, jnp.asarray(
+            np.asarray(dlens, dtype=np.int32)))
     out_np = np.asarray(out)
     return [out_np[i, :dlens[i]].tobytes() for i in range(N)]
