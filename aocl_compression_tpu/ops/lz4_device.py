@@ -68,7 +68,7 @@ import numpy as np
 HASH_BITS = 15         # key packs (hash << 16) | pos into a positive int32
 NW = 12                # extension words carried through the sort
 MATCH_CAP = 4 + 4 * NW  # max hash-candidate match length (52)
-SMALL_OFFSETS = (1, 2, 3, 4, 8)   # offsets with exact (uncapped) run lengths
+SMALL_OFFSETS = (1, 2, 4)  # offsets with exact (uncapped) run lengths
 MIN_MATCH = 4
 MFLIMIT = 12           # no match may start within the last 12 bytes
 LAST_LITERALS = 5
@@ -256,10 +256,10 @@ def _grid_parse(mlen, moff, valid, B: int, G: int, MAXSEQ: int):
     cml = sml[::G]
     coff = soff[::G]
 
-    # Independent 512-anchor sub-chains (one forced sequence boundary per
-    # sub-segment, ~0.1% ratio cost) keep the pointer-doubling loop at
+    # Independent 256-anchor sub-chains (one forced sequence boundary per
+    # sub-segment, ~0.2% ratio cost) keep the pointer-doubling loop at
     # log2(SUBM) rounds instead of log2(M).
-    SUBM = min(M, 512)
+    SUBM = min(M, 256)
     S = M // SUBM
     sub_end_pos = ((aidx // SUBM) + 1) * (SUBM * G)  # input-byte boundary
     cml = jnp.minimum(cml, sub_end_pos - cpos)       # no cross-sub matches
