@@ -27,7 +27,7 @@ from ..api.handle import Handle
 from ..parallel import container
 from ..runtime import native
 from ..utils import dispatch
-from ..utils.config import TIER_HOST, get_config
+from ..utils.config import TIER_HOST, TIER_XLA, get_config
 from .base import Codec
 
 _SKIPPABLE_MAGIC = 0x184D2A50
@@ -56,6 +56,14 @@ class ZstdCodec(Codec):
         # (zstd_compress.c:5417-5420); our device blocks set the default.
         return handle.block_size or get_config().default_block_size
 
+    def _tier_cap(self, handle: Handle, level: int):
+        # the device pipeline is the level-1 fast strategy with fixed
+        # entropy tables (deflate_quick spirit); quality levels and
+        # dictionary compression keep the host ratio semantics
+        if level > 1 or handle.dictionary is not None:
+            return TIER_HOST
+        return handle.max_tier
+
     def compress(self, handle: Handle, data: bytes) -> bytes:
         level = self.clamp_level(handle.level or self.default_level)
         rap = (handle.enable_rap if handle.enable_rap is not None
@@ -63,15 +71,15 @@ class ZstdCodec(Codec):
         bs = self._block_size(handle)
         if rap and len(data) >= 2 * bs:
             return self._compress_rapped(handle, data, level, bs)
-        fn = dispatch.resolve(self.name, "compress", handle.max_tier,
-                              handle.opt_off)
+        fn = dispatch.resolve(self.name, "compress",
+                              self._tier_cap(handle, level), handle.opt_off)
         return fn(data, level, handle.dictionary)
 
     def _compress_rapped(self, handle: Handle, data: bytes, level: int,
                          bs: int) -> bytes:
         blocks = container.split_blocks(data, bs)
-        cb = dispatch.resolve(self.name, "compress_blocks", handle.max_tier,
-                              handle.opt_off)
+        cb = dispatch.resolve(self.name, "compress_blocks",
+                              self._tier_cap(handle, level), handle.opt_off)
         chunks, dlens = cb(blocks, level, handle.dictionary)
         n = len(blocks)
         frame_len = native.rap_frame_len(n)
@@ -171,3 +179,24 @@ def _decompress_blocks_host(chunks: Sequence[bytes], dlens: Sequence[int],
     dctx = _ddict(dictionary)
     return [dctx.decompress(c, max_output_size=d)
             for c, d in zip(chunks, dlens)]
+
+
+# --- device tier (ops/zstd_device.py): level-1 fixed-table pipeline ----------
+
+@dispatch.register("zstd", "compress_blocks", TIER_XLA,
+                   "zstd_compress_blocks_xla")
+def _compress_blocks_xla(blocks: Sequence[bytes], level: int,
+                         dictionary=None):
+    from ..ops import zstd_device
+    return zstd_device.encode_blocks(blocks, level)
+
+
+@dispatch.register("zstd", "compress", TIER_XLA, "zstd_compress_xla")
+def _compress_xla(data: bytes, level: int, dictionary=None) -> bytes:
+    from ..ops import zstd_device
+    if len(data) < 1024:
+        return _compress_host(data, level, dictionary)
+    bs = get_config().default_block_size
+    frames, _ = zstd_device.encode_blocks(
+        container.split_blocks(data, bs), level)
+    return b"".join(frames)  # concatenated frames are a valid zstd stream

@@ -1,0 +1,369 @@
+"""zstd encoder as a parallel TPU device pipeline (tier XLA).
+
+Format-exact zstd frames (decodable by stock zstd) built on device:
+  - shared sort-centric matcher + tile-anchor/exact parse (ops/lz4_device),
+  - literal stream compaction via one variadic sort,
+  - 4-stream Huffman literals with the ARITHMETIC fixed code table
+    (codecs/zstd_format.py): per-byte (code, nbits) from range compares —
+    no table gathers; per-stream backward bit layout from one reverse
+    cumsum; bits scatter-added into per-stream regions,
+  - sequences: predefined-FSE states evolved by a lax.scan over the
+    sequence axis in reverse (sequences pre-aligned so the scan runs a
+    fixed trip count with masked no-op steps), emitting (value, nbits)
+    pieces; one cumsum over the flattened pieces gives every bit offset,
+  - host assembles sections into blocks/frames (headers, raw fallbacks).
+
+Reference behavior: /root/reference/algos/zstd/lib/compress/
+zstd_compress_sequences.c (FSE sequence emission), huf_compress.c (literal
+streams), recast as scans + scatter-adds; the fixed-table choice mirrors the
+spirit of deflate_quick's static strategy (a per-block optimal Huffman/FSE
+table builder is a later milestone).
+"""
+
+from __future__ import annotations
+
+import functools
+import struct
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..codecs import zstd_format as ZF
+from . import lz4_device as lz
+from .lz4_device import MIN_MATCH, _bucket, grid_for_accel
+
+# --- constant tables (trace-time) ----------------------------------------------
+_LL_NXT, _LL_TT = ZF.fse_build_encode(ZF.LL_DEFAULT, ZF.LL_LOG)
+_ML_NXT, _ML_TT = ZF.fse_build_encode(ZF.ML_DEFAULT, ZF.ML_LOG)
+_OF_NXT, _OF_TT = ZF.fse_build_encode(ZF.OF_DEFAULT, ZF.OF_LOG)
+
+
+def _tt_arrays(tt):
+    dnb = jnp.asarray([x[0] for x in tt], jnp.int32)
+    dfs = jnp.asarray([x[1] for x in tt], jnp.int32)
+    return dnb, dfs
+
+
+LLN = jnp.asarray(_LL_NXT, jnp.int32)
+MLN = jnp.asarray(_ML_NXT, jnp.int32)
+OFN = jnp.asarray(_OF_NXT, jnp.int32)
+LLDNB, LLDFS = _tt_arrays(_LL_TT)
+MLDNB, MLDFS = _tt_arrays(_ML_TT)
+OFDNB, OFDFS = _tt_arrays(_OF_TT)
+LLBASE = jnp.asarray(ZF.LL_BASE, jnp.int32)
+LLBITS = jnp.asarray(ZF.LL_BITS, jnp.int32)
+MLBASE = jnp.asarray(ZF.ML_BASE, jnp.int32)
+MLBITS = jnp.asarray(ZF.ML_BITS, jnp.int32)
+
+
+def lit_code_nbits(b):
+    """Arithmetic fixed-table (code, nbits) per literal byte."""
+    in7a = (b >= 0x20) & (b < 0x40)
+    in7b = (b >= 0x60) & (b < 0x80)
+    in8a = b < 0x20
+    in8b = (b >= 0x40) & (b < 0x60)
+    nb = jnp.where(in7a | in7b, 7, jnp.where(b < 0x80, 8, 9))
+    code = jnp.where(in7a, 64 + b - 0x20,
+                     jnp.where(in7b, 96 + b - 0x60,
+                               jnp.where(in8a, 64 + b,
+                                         jnp.where(in8b, 96 + b - 0x40,
+                                                   b - 0x80))))
+    return code, nb
+
+
+def stream_cap(block_size: int) -> int:
+    return ((block_size + 3) // 4) * 9 // 8 + 16
+
+
+def seq_cap(maxseq: int) -> int:
+    return maxseq * 9 + 16
+
+
+def _floor_log2(m, top: int):
+    e = jnp.zeros_like(m)
+    for k in range(1, top):
+        e = e + (m >= (1 << k)).astype(jnp.int32)
+    return e
+
+
+def _encode_block(data_u8, n, B, MAXSEQ, G, SCAP, QCAP):
+    mlen, moff, valid = lz._find_matches(data_u8, n, B)
+    if G:
+        pos, ml, off, nseq = lz._grid_parse(mlen, moff, valid, B, G, MAXSEQ)
+    else:
+        mark = lz._greedy_parse(mlen, valid, B)
+        pos, ml, off, nseq = lz._select_sequences(mark, valid, mlen, moff,
+                                                  B, MAXSEQ)
+
+    idx = jnp.arange(B, dtype=jnp.int32)
+    sid = jnp.arange(MAXSEQ, dtype=jnp.int32)
+    real = sid < nseq
+    ends = pos + ml
+
+    # --- literal stream (compacted via one sort) ----------------------------
+    cover = jnp.cumsum(
+        jnp.zeros(B, jnp.int32)
+        .at[jnp.where(real, pos, B)].add(1, mode="drop")
+        .at[jnp.where(real, ends, B)].add(-1, mode="drop"))
+    is_lit = (cover == 0) & (idx < n)
+    nlits = jnp.sum(is_lit.astype(jnp.int32))
+    litkey = jnp.where(is_lit, idx, idx + B)
+    _, lits32 = jax.lax.sort([litkey, data_u8.astype(jnp.int32)], num_keys=1)
+
+    # per-seq literal lengths (prefix counts of literal bytes)
+    litpsum = jnp.cumsum(is_lit.astype(jnp.int32))
+
+    def pref(p):  # literals strictly before position p
+        pc = jnp.clip(p - 1, 0, B - 1)
+        return jnp.where(p > 0, litpsum[pc], 0)
+
+    prev_end = jnp.concatenate([jnp.zeros(1, jnp.int32), ends[:-1]])
+    ll = jnp.where(real, pref(pos) - pref(prev_end), 0)
+
+    # --- 4-stream Huffman literals ------------------------------------------
+    j = jnp.arange(B, dtype=jnp.int32)
+    code, nb = lit_code_nbits(lits32)
+    nb = jnp.where(j < nlits, nb, 0)
+    s1 = (nlits + 3) >> 2
+    t = jnp.minimum(jnp.where(s1 > 0, j // jnp.maximum(s1, 1), 0), 3)
+    # suffix sums of nb: S[j] = sum_{k >= j} nb[k]
+    S = jnp.concatenate([jnp.cumsum(nb[::-1])[::-1],
+                         jnp.zeros(1, jnp.int32)])
+    bounds = jnp.stack([jnp.minimum(s1, nlits), jnp.minimum(2 * s1, nlits),
+                        jnp.minimum(3 * s1, nlits), nlits])
+    S_at_bound = S[jnp.clip(bounds, 0, B)]
+    # per-byte end-of-own-stream suffix sum, via selects (no gather)
+    Sb = jnp.where(t == 0, S_at_bound[0],
+                   jnp.where(t == 1, S_at_bound[1],
+                             jnp.where(t == 2, S_at_bound[2],
+                                       S_at_bound[3])))
+    bitpos = S[jnp.minimum(j + 1, B)] - Sb
+    starts = jnp.concatenate([jnp.zeros(1, jnp.int32), bounds[:3]])
+    Lbits = S[jnp.clip(starts, 0, B)] - S_at_bound
+
+    litbuf = jnp.zeros(4 * SCAP, jnp.int32)
+    valb = code << (bitpos & 7)
+    bb = jnp.where((j < nlits), t * SCAP + (bitpos >> 3), 4 * SCAP)
+    litbuf = litbuf.at[bb].add(valb & 0xFF, mode="drop")
+    litbuf = litbuf.at[jnp.minimum(bb + 1, 4 * SCAP)].add(
+        (valb >> 8) & 0xFF, mode="drop")
+    # end-of-stream markers
+    tm = jnp.arange(4, dtype=jnp.int32)
+    mpos = tm * SCAP + (Lbits >> 3)
+    litbuf = litbuf.at[mpos].add(1 << (Lbits & 7), mode="drop")
+    lit_sizes = (Lbits + 1 + 7) >> 3
+
+    # --- sequence codes ------------------------------------------------------
+    llc = jnp.searchsorted(LLBASE, ll, side="right").astype(jnp.int32) - 1
+    llx = ll - LLBASE[llc]
+    llb = LLBITS[llc]
+    mlv = jnp.clip(ml, 3, None)
+    mlc = jnp.searchsorted(MLBASE, mlv, side="right").astype(jnp.int32) - 1
+    mlx = mlv - MLBASE[mlc]
+    mlb = MLBITS[mlc]
+    ov = off + 3
+    ofc = _floor_log2(jnp.maximum(ov, 1), 18)
+    ofx = ov - (1 << ofc)
+
+    # --- align sequences so the LAST real one sits at row MAXSEQ-1 ----------
+    shift = MAXSEQ - nseq
+
+    def align(x, fill):
+        rolled = jnp.roll(x, shift)
+        return jnp.where(sid >= shift, rolled, fill)
+
+    allc = align(llc, 0)
+    allx = align(llx, 0)
+    allb = align(llb, 0)
+    amlc = align(mlc, 0)
+    amlx = align(mlx, 0)
+    amlb = align(mlb, 0)
+    aofc = align(ofc, 0)
+    aofx = align(ofx, 0)
+    areal = sid >= shift
+
+    # --- FSE scan (reverse order; 3 states; masked no-op steps) -------------
+    def step(carry, xs):
+        stll, stml, stof, started = carry
+        (c_ll, x_ll, b_ll, c_ml, x_ml, b_ml, c_of, x_of, is_real,
+         is_init) = xs
+
+        def enc(state, nxt_tab, dnb_tab, dfs_tab, c):
+            nbits = (state + dnb_tab[c]) >> 16
+            val = state & ((1 << nbits) - 1)
+            newstate = nxt_tab[(state >> nbits) + dfs_tab[c]]
+            return newstate, val, nbits
+
+        def init(nxt_tab, dnb_tab, dfs_tab, c):
+            dnb = dnb_tab[c]
+            nbout = (dnb + (1 << 15)) >> 16
+            return nxt_tab[(((nbout << 16) - dnb) >> nbout) + dfs_tab[c]]
+
+        # encode path (not init): order of_state, ml_state, ll_state
+        st_of2, v_of, n_of = enc(stof, OFN, OFDNB, OFDFS, c_of)
+        st_ml2, v_ml, n_ml = enc(stml, MLN, MLDNB, MLDFS, c_ml)
+        st_ll2, v_ll, n_ll = enc(stll, LLN, LLDNB, LLDFS, c_ll)
+        # init path
+        st_of0 = init(OFN, OFDNB, OFDFS, c_of)
+        st_ml0 = init(MLN, MLDNB, MLDFS, c_ml)
+        st_ll0 = init(LLN, LLDNB, LLDFS, c_ll)
+
+        use_init = is_init & is_real
+        use_enc = is_real & ~is_init
+        stll = jnp.where(use_init, st_ll0, jnp.where(use_enc, st_ll2, stll))
+        stml = jnp.where(use_init, st_ml0, jnp.where(use_enc, st_ml2, stml))
+        stof = jnp.where(use_init, st_of0, jnp.where(use_enc, st_of2, stof))
+        z = jnp.int32(0)
+        pieces_v = jnp.stack([
+            jnp.where(use_enc, v_of, z), jnp.where(use_enc, v_ml, z),
+            jnp.where(use_enc, v_ll, z), x_ll, x_ml, x_of])
+        pieces_n = jnp.stack([
+            jnp.where(use_enc, n_of, z), jnp.where(use_enc, n_ml, z),
+            jnp.where(use_enc, n_ll, z),
+            jnp.where(is_real, b_ll, z), jnp.where(is_real, b_ml, z),
+            jnp.where(is_real, c_of, z)])
+        started = started | is_real
+        return (stll, stml, stof, started), (pieces_v, pieces_n)
+
+    is_init_row = sid == (MAXSEQ - 1)
+    xs = (allc, allx, allb, amlc, amlx, amlb, aofc, aofx, areal, is_init_row)
+    xs_rev = jax.tree_util.tree_map(lambda a: a[::-1], xs)
+    carry0 = (jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.bool_(False))
+    (fll, fml, fof, _), (pv, pn) = jax.lax.scan(step, carry0, xs_rev)
+    # pv/pn: (MAXSEQ, 6) in processing order (last seq first)
+
+    flush_v = jnp.stack([fml - (1 << ZF.ML_LOG), fof - (1 << ZF.OF_LOG),
+                         fll - (1 << ZF.LL_LOG)])
+    flush_n = jnp.where(nseq > 0, jnp.asarray(
+        [ZF.ML_LOG, ZF.OF_LOG, ZF.LL_LOG], jnp.int32), 0)
+
+    allv = jnp.concatenate([pv.reshape(-1), flush_v])
+    alln = jnp.concatenate([pn.reshape(-1), flush_n])
+    bpos = jnp.cumsum(alln) - alln
+    total_bits = jnp.sum(alln)
+
+    seqbuf = jnp.zeros(QCAP, jnp.int32)
+    vals = (allv & ((1 << alln) - 1)) << (bpos & 7)
+    qb = jnp.where(alln > 0, bpos >> 3, QCAP)
+    seqbuf = seqbuf.at[qb].add(vals & 0xFF, mode="drop")
+    seqbuf = seqbuf.at[jnp.minimum(qb + 1, QCAP)].add((vals >> 8) & 0xFF,
+                                                      mode="drop")
+    seqbuf = seqbuf.at[jnp.minimum(qb + 2, QCAP)].add((vals >> 16) & 0xFF,
+                                                      mode="drop")
+    seqbuf = seqbuf.at[jnp.where(nseq > 0, total_bits >> 3, QCAP)].add(
+        1 << (total_bits & 7), mode="drop")
+    seq_size = jnp.where(nseq > 0, (total_bits + 1 + 7) >> 3, 0)
+
+    return (litbuf.astype(jnp.uint8), lit_sizes, nlits,
+            lits32.astype(jnp.uint8),
+            seqbuf.astype(jnp.uint8), seq_size, nseq)
+
+
+@functools.lru_cache(maxsize=16)
+def make_encoder(block_size: int, G: int = 0):
+    B = block_size
+    MAXSEQ = (B // max(G, MIN_MATCH)) + 2
+    SCAP = stream_cap(B)
+    QCAP = seq_cap(MAXSEQ)
+
+    @jax.jit
+    def encode(blocks, lens):
+        fn = functools.partial(_encode_block, B=B, MAXSEQ=MAXSEQ, G=G,
+                               SCAP=SCAP, QCAP=QCAP)
+        return jax.vmap(fn)(blocks, lens)
+
+    return encode
+
+
+# --- host assembly --------------------------------------------------------------
+
+def _assemble_frame(block: bytes, nlits: int, lits: bytes, streams, nseq: int,
+                    seqsec_body: bytes) -> bytes:
+    """Build one frame from device pieces; falls back to raw when bigger."""
+    n = len(block)
+    # literals section
+    if nlits >= 6:
+        jump = struct.pack("<HHH", len(streams[0]), len(streams[1]),
+                           len(streams[2]))
+        body = ZF.TREE_DESC + jump + b"".join(streams)
+        C = len(body)
+        if C < nlits and max(len(s) for s in streams[:3]) < 65536:
+            h = 2 | (3 << 2) | (nlits << 4) | (C << 22)
+            lit_sec = h.to_bytes(5, "little") + body
+        else:
+            lit_sec = None
+    else:
+        lit_sec = None
+    if lit_sec is None:  # raw literals
+        L = nlits
+        if L < 32:
+            lit_sec = bytes([(L << 3)]) + lits
+        elif L < 4096:
+            lit_sec = ((L << 4) | (1 << 2)).to_bytes(2, "little") + lits
+        else:
+            lit_sec = ((3 << 2) | (L << 4)).to_bytes(3, "little") + lits
+
+    # sequences section header
+    if nseq == 0:
+        seq_sec = b"\x00"
+    else:
+        if nseq < 128:
+            head = bytes([nseq])
+        elif nseq < 0x7F00:
+            head = bytes([(nseq >> 8) + 0x80, nseq & 0xFF])
+        else:
+            head = b"\xff" + struct.pack("<H", nseq - 0x7F00)
+        seq_sec = head + b"\x00" + seqsec_body
+
+    blk = lit_sec + seq_sec
+    out = bytearray(struct.pack("<I", ZF.MAGIC))
+    if n < 256:
+        out += bytes([0x20, n])
+    elif n < 65536 + 256:
+        out += bytes([0x60]) + struct.pack("<H", n - 256)
+    else:
+        out += bytes([0xA0]) + struct.pack("<I", n)
+    if len(blk) < n:
+        out += ((len(blk) << 3) | (2 << 1) | 1).to_bytes(3, "little") + blk
+    else:
+        out += ((n << 3) | 1).to_bytes(3, "little") + block
+    return bytes(out)
+
+
+def encode_blocks(blocks: Sequence[bytes], level: int = 1):
+    """Compress blocks into independent zstd frames on device.
+
+    level <= 2 -> tile-anchor parse (G=8); level >= 3 -> exact parse.
+    Returns (frames, dlens) for the RAP container."""
+    B = _bucket(max(len(b) for b in blocks))
+    N = len(blocks)
+    arr = np.zeros((N, B), dtype=np.uint8)
+    lens = np.zeros(N, dtype=np.int32)
+    for i, b in enumerate(blocks):
+        arr[i, :len(b)] = np.frombuffer(b, dtype=np.uint8)
+        lens[i] = len(b)
+    G = 8 if level <= 2 else 0
+    if G and G * 4 > B:
+        G = 0
+    enc = make_encoder(B, G)
+    (litbuf, lit_sizes, nlits, lits, seqbuf, seq_size,
+     nseq) = jax.block_until_ready(enc(jnp.asarray(arr), jnp.asarray(lens)))
+    litbuf = np.asarray(litbuf)
+    lit_sizes = np.asarray(lit_sizes)
+    nlits = np.asarray(nlits)
+    lits = np.asarray(lits)
+    seqbuf = np.asarray(seqbuf)
+    seq_size = np.asarray(seq_size)
+    nseq = np.asarray(nseq)
+    SCAP = stream_cap(B)
+
+    frames = []
+    for i, b in enumerate(blocks):
+        streams = [litbuf[i, k * SCAP:k * SCAP + lit_sizes[i, k]].tobytes()
+                   for k in range(4)]
+        frames.append(_assemble_frame(
+            b, int(nlits[i]), lits[i, :nlits[i]].tobytes(), streams,
+            int(nseq[i]), seqbuf[i, :seq_size[i]].tobytes()))
+    return frames, [len(b) for b in blocks]
