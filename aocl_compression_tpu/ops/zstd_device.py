@@ -74,11 +74,13 @@ def lit_code_nbits(b):
 
 
 def stream_cap(block_size: int) -> int:
-    return ((block_size + 3) // 4) * 9 // 8 + 16
+    n = ((block_size + 3) // 4) * 9 // 8 + 16
+    return -(-n // 512) * 512  # compaction row quantum (ops/compact.py)
 
 
 def seq_cap(maxseq: int) -> int:
-    return maxseq * 9 + 16
+    n = maxseq * 9 + 16
+    return -(-n // 512) * 512
 
 
 def _floor_log2(m, top: int):
@@ -279,9 +281,11 @@ def make_encoder(block_size: int, G: int = 0):
 
 # --- host assembly --------------------------------------------------------------
 
-def _assemble_frame(block: bytes, nlits: int, lits: bytes, streams, nseq: int,
+def _assemble_frame(block: bytes, nlits: int, lits, streams, nseq: int,
                     seqsec_body: bytes) -> bytes:
-    """Build one frame from device pieces; falls back to raw when bigger."""
+    """Build one frame from device pieces; falls back to raw when bigger.
+    `lits` is a zero-arg callable fetching the compacted literal bytes
+    (only fallback blocks pay for it)."""
     n = len(block)
     # literals section
     if nlits >= 6:
@@ -298,12 +302,13 @@ def _assemble_frame(block: bytes, nlits: int, lits: bytes, streams, nseq: int,
         lit_sec = None
     if lit_sec is None:  # raw literals
         L = nlits
+        raw = lits()
         if L < 32:
-            lit_sec = bytes([(L << 3)]) + lits
+            lit_sec = bytes([(L << 3)]) + raw
         elif L < 4096:
-            lit_sec = ((L << 4) | (1 << 2)).to_bytes(2, "little") + lits
+            lit_sec = ((L << 4) | (1 << 2)).to_bytes(2, "little") + raw
         else:
-            lit_sec = ((3 << 2) | (L << 4)).to_bytes(3, "little") + lits
+            lit_sec = ((3 << 2) | (L << 4)).to_bytes(3, "little") + raw
 
     # sequences section header
     if nseq == 0:
@@ -350,20 +355,27 @@ def encode_blocks(blocks: Sequence[bytes], level: int = 1):
     enc = make_encoder(B, G)
     (litbuf, lit_sizes, nlits, lits, seqbuf, seq_size,
      nseq) = jax.block_until_ready(enc(jnp.asarray(arr), jnp.asarray(lens)))
-    litbuf = np.asarray(litbuf)
+    from . import compact
+    SCAP = stream_cap(B)
+    # fetch only the used bytes: streams and seq sections via the device
+    # compactor; raw literals lazily (only fallback blocks need them)
+    stream_chunks = compact.fetch_chunks(
+        litbuf.reshape(N * 4, SCAP),
+        ((lit_sizes.reshape(-1) + 7) // 8) * 8)
+    seq_chunks = compact.fetch_chunks(seqbuf, ((seq_size + 7) // 8) * 8)
     lit_sizes = np.asarray(lit_sizes)
     nlits = np.asarray(nlits)
-    lits = np.asarray(lits)
-    seqbuf = np.asarray(seqbuf)
     seq_size = np.asarray(seq_size)
     nseq = np.asarray(nseq)
-    SCAP = stream_cap(B)
+
+    def lazy_lits(i):
+        return np.asarray(lits[i, :nlits[i]]).tobytes()
 
     frames = []
     for i, b in enumerate(blocks):
-        streams = [litbuf[i, k * SCAP:k * SCAP + lit_sizes[i, k]].tobytes()
+        streams = [stream_chunks[4 * i + k][:lit_sizes[i, k]]
                    for k in range(4)]
         frames.append(_assemble_frame(
-            b, int(nlits[i]), lits[i, :nlits[i]].tobytes(), streams,
-            int(nseq[i]), seqbuf[i, :seq_size[i]].tobytes()))
+            b, int(nlits[i]), lambda i=i: lazy_lits(i), streams,
+            int(nseq[i]), seq_chunks[i][:seq_size[i]]))
     return frames, [len(b) for b in blocks]
