@@ -186,11 +186,14 @@ def _encode_block(data_u8, n, B, MAXSEQ, G, SCAP, QCAP):
     aofx = align(ofx, 0)
     areal = sid >= shift
 
-    # --- FSE scan (reverse order; 3 states; masked no-op steps) -------------
-    def step(carry, xs):
-        stll, stml, stof, started = carry
+    # --- FSE scan (reverse order; 3 states; masked no-op steps). Each scan
+    # step handles UNROLL sequences to amortize per-step loop overhead. ----
+    UNROLL = 4
+
+    def _one(carry, xs1):
+        stll, stml, stof = carry
         (c_ll, x_ll, b_ll, c_ml, x_ml, b_ml, c_of, x_of, is_real,
-         is_init) = xs
+         is_init) = xs1
 
         def enc(state, nxt_tab, dnb_tab, dfs_tab, c):
             nbits = (state + dnb_tab[c]) >> 16
@@ -226,14 +229,27 @@ def _encode_block(data_u8, n, B, MAXSEQ, G, SCAP, QCAP):
             jnp.where(use_enc, n_ll, z),
             jnp.where(is_real, b_ll, z), jnp.where(is_real, b_ml, z),
             jnp.where(is_real, c_of, z)])
-        started = started | is_real
-        return (stll, stml, stof, started), (pieces_v, pieces_n)
+        return (stll, stml, stof), (pieces_v, pieces_n)
+
+    def step(carry, xs_u):
+        vs, ns = [], []
+        for u in range(UNROLL):
+            carry, (pv1, pn1) = _one(
+                carry, jax.tree_util.tree_map(lambda a: a[u], xs_u))
+            vs.append(pv1)
+            ns.append(pn1)
+        return carry, (jnp.stack(vs), jnp.stack(ns))
 
     is_init_row = sid == (MAXSEQ - 1)
     xs = (allc, allx, allb, amlc, amlx, amlb, aofc, aofx, areal, is_init_row)
-    xs_rev = jax.tree_util.tree_map(lambda a: a[::-1], xs)
-    carry0 = (jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.bool_(False))
-    (fll, fml, fof, _), (pv, pn) = jax.lax.scan(step, carry0, xs_rev)
+    PAD = (-MAXSEQ) % UNROLL
+    xs_rev = jax.tree_util.tree_map(
+        lambda a: jnp.concatenate(
+            [a[::-1], jnp.zeros(PAD, a.dtype)]).reshape(-1, UNROLL), xs)
+    carry0 = (jnp.int32(0), jnp.int32(0), jnp.int32(0))
+    (fll, fml, fof), (pv, pn) = jax.lax.scan(step, carry0, xs_rev)
+    pv = pv.reshape(-1, 6)[:MAXSEQ]
+    pn = pn.reshape(-1, 6)[:MAXSEQ]
     # pv/pn: (MAXSEQ, 6) in processing order (last seq first)
 
     flush_v = jnp.stack([fml - (1 << ZF.ML_LOG), fof - (1 << ZF.OF_LOG),
