@@ -256,10 +256,12 @@ def _grid_parse(mlen, moff, valid, B: int, G: int, MAXSEQ: int):
     cml = sml[::G]
     coff = soff[::G]
 
-    # Independent 256-anchor sub-chains (one forced sequence boundary per
-    # sub-segment, ~0.2% ratio cost) keep the pointer-doubling loop at
-    # log2(SUBM) rounds instead of log2(M).
-    SUBM = min(M, 256)
+    # Independent 128-anchor sub-chains (one forced sequence boundary per
+    # sub-segment, ~0.3% ratio cost) sized to the MXU: the chain-from-start
+    # marking becomes boolean reachability via 7 batched (128,128) matrix
+    # squarings — the parse runs entirely on the systolic array, with no
+    # scatter/gather rounds at all.
+    SUBM = min(M, 128)
     S = M // SUBM
     sub_end_pos = ((aidx // SUBM) + 1) * (SUBM * G)  # input-byte boundary
     cml = jnp.minimum(cml, sub_end_pos - cpos)       # no cross-sub matches
@@ -273,26 +275,19 @@ def _grid_parse(mlen, moff, valid, B: int, G: int, MAXSEQ: int):
     use_floor = cvalid & (t0 > aidx) & (t0 < M) & (cpos[t0c] >= end)
     nxt = jnp.where(cvalid, jnp.where(use_floor, t0, t0 + 1), aidx + 1)
 
-    # flat global indices: a 1-D scatter/gather round is ~25% cheaper than
-    # the equivalent batched 2-D one on this chip
-    W = SUBM + 1
-    jloc = jnp.clip(nxt - (aidx // SUBM) * SUBM, 0, SUBM).reshape(S, SUBM)
-    jump = jnp.concatenate(
-        [jloc, jnp.full((S, 1), SUBM, jnp.int32)], axis=1)
-    gl = (jump + jnp.arange(S, dtype=jnp.int32)[:, None] * W).reshape(-1)
-    mark = jnp.zeros((S, W), jnp.int32).at[:, 0].set(
-        1 + (jump[:, 0] & 0)).reshape(-1)
+    jloc = (nxt - (aidx // SUBM) * SUBM).reshape(S, SUBM)
+    cols = jnp.arange(SUBM, dtype=jnp.int32)
+    edge = (jloc[:, :, None] == cols[None, None, :])  # exits have no edge
+    eye = jnp.eye(SUBM, dtype=jnp.bool_)[None]
+    A = (edge | eye).astype(jnp.bfloat16)
 
-    def body(_, state):
-        mark, gl = state
-        hop = jnp.zeros(S * W, jnp.int32).at[gl].max(mark, mode="drop")
-        mark = jnp.maximum(mark, hop)
-        gl = gl[gl]
-        return mark, gl
+    def body(_, A):
+        A2 = jnp.matmul(A, A, preferred_element_type=jnp.float32)
+        return jnp.minimum(A2, 1.0).astype(jnp.bfloat16)
 
-    rounds = int(np.ceil(np.log2(max(SUBM, 2)))) + 1
-    mark, _ = jax.lax.fori_loop(0, rounds, body, (mark, gl))
-    sel = mark.reshape(S, W)[:, :SUBM].reshape(M).astype(bool) & cvalid
+    rounds = int(np.ceil(np.log2(max(SUBM, 2))))
+    A = jax.lax.fori_loop(0, rounds, body, A)
+    sel = (A[:, 0, :] > 0.5).reshape(M) & cvalid
 
     return _compact_selected(sel, aidx, cpos, cml, coff, M, MAXSEQ)
 
