@@ -470,23 +470,62 @@ def _token_scan(chunk_u8, clen, C: int):
     return nxt, produced, lit, a, offs
 
 
+def _chain_marks(nxt, clen, C: int):
+    """Mark the positions visited by the token chain from 0.
+
+    Two-level MXU scheme: 128-byte segments become (128,128) local
+    reachability matrices (7 bf16 matrix squarings); the last in-segment
+    reachable position's `nxt` is the segment's exit, a short lax.scan
+    threads the chain through segment entries, and each visited segment's
+    mark row is one row of its reachability matrix. No scatter/gather
+    doubling rounds.
+    """
+    SEG = 128
+    S = C // SEG
+    idx = jnp.arange(C, dtype=jnp.int32)
+    segbase = (idx // SEG) * SEG
+    jloc = nxt - segbase
+    inseg = jloc < SEG  # nxt > position, so jloc > local index when in-seg
+    cols = jnp.arange(SEG, dtype=jnp.int32)
+    edge = (jnp.where(inseg, jloc, -1).reshape(S, SEG)[:, :, None]
+            == cols[None, None, :])
+    eye = jnp.eye(SEG, dtype=jnp.bool_)[None]
+    R = (edge | eye).astype(jnp.bfloat16)
+
+    def body(_, R):
+        R2 = jnp.matmul(R, R, preferred_element_type=jnp.float32)
+        return jnp.minimum(R2, 1.0).astype(jnp.bfloat16)
+
+    R = jax.lax.fori_loop(0, 7, body, R)
+
+    # last in-segment reachable position per entry -> its nxt is the exit
+    last = jnp.max(R * cols.astype(jnp.bfloat16)[None, None, :],
+                   axis=2).astype(jnp.int32)           # (S, SEG)
+    exit_ = nxt.reshape(S, SEG)[
+        jnp.arange(S)[:, None],
+        jnp.clip(last, 0, SEG - 1)]                    # (S, SEG)
+
+    def step(pos, s):
+        base = s * SEG
+        here = (pos >= base) & (pos < base + SEG)
+        entry = jnp.where(here, pos - base, -1)
+        pos = jnp.where(here, exit_[s, jnp.clip(entry, 0, SEG - 1)], pos)
+        return pos, entry
+
+    start = jnp.where(clen > 0, 0, C)
+    _, entries = jax.lax.scan(step, jnp.int32(start),
+                              jnp.arange(S, dtype=jnp.int32))
+    rows = jnp.take_along_axis(
+        R, jnp.clip(entries, 0, SEG - 1)[:, None, None].astype(jnp.int32),
+        axis=1)[:, 0, :]                               # (S, SEG)
+    mark = (rows > 0.5) & (entries >= 0)[:, None]
+    return mark.reshape(C) & (idx < clen)
+
+
 def _decode_block(chunk_u8, clen, dlen, C: int, B: int, MAXTOK: int):
     idx = jnp.arange(C, dtype=jnp.int32)
     nxt, produced, lit, a, offs = _token_scan(chunk_u8, clen, C)
-
-    # --- mark real token starts by chasing the chain from 0 ----------------
-    jump = jnp.concatenate([nxt, jnp.full((1,), C, jnp.int32)])
-    mark = jnp.zeros(C + 1, jnp.int32).at[0].set(
-        (clen > 0).astype(jnp.int32))
-
-    def body(_, state):
-        mark, jump = state
-        hop = jnp.zeros(C + 1, jnp.int32).at[jump].max(mark)
-        return jnp.maximum(mark, hop), jump[jump]
-
-    rounds = int(np.ceil(np.log2(max(C, 2)))) + 1
-    mark, _ = jax.lax.fori_loop(0, rounds, body, (mark, jump))
-    mark = mark[:C].astype(bool) & (idx < clen)
+    mark = _chain_marks(nxt, clen, C)
 
     # --- output spans: monotone fills over the output domain ----------------
     prod_m = jnp.where(mark, produced, 0)

@@ -269,19 +269,7 @@ def _tag_scan(chunk_u8, clen, C: int):
 def _decode_block(chunk_u8, clen, dlen, C: int, B: int):
     idx = jnp.arange(C, dtype=jnp.int32)
     nxt, produced, lit, a, offs = _tag_scan(chunk_u8, clen, C)
-
-    jump = jnp.concatenate([nxt, jnp.full((1,), C, jnp.int32)])
-    mark = jnp.zeros(C + 1, jnp.int32).at[0].set(
-        (clen > 0).astype(jnp.int32))
-
-    def body(_, state):
-        mark, jump = state
-        hop = jnp.zeros(C + 1, jnp.int32).at[jump].max(mark)
-        return jnp.maximum(mark, hop), jump[jump]
-
-    rounds = int(np.ceil(np.log2(max(C, 2)))) + 1
-    mark, _ = jax.lax.fori_loop(0, rounds, body, (mark, jump))
-    mark = mark[:C].astype(bool) & (idx < clen)
+    mark = lz._chain_marks(nxt, clen, C)
 
     prod_m = jnp.where(mark, produced, 0)
     out_start = jnp.cumsum(prod_m) - prod_m
