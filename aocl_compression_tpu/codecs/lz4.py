@@ -49,11 +49,15 @@ class Lz4Codec(Codec):
         return get_config().enable_rap
 
     def _adapter(self, handle: Handle) -> container.BlockCodecAdapter:
-        cb = dispatch.resolve(self.name, "compress_blocks", handle.max_tier,
+        accel = max(1, handle.opt_var)
+        # the device pipeline is the throughput mode (tile-anchor parse);
+        # accel<=1 keeps the serial-greedy ratio semantics on the host tier
+        # (reference: accel maps to the match-skip step, lz4.c:1447)
+        cap = handle.max_tier if accel >= 2 else TIER_HOST
+        cb = dispatch.resolve(self.name, "compress_blocks", cap,
                               handle.opt_off)
         db = dispatch.resolve(self.name, "decompress_blocks", handle.max_tier,
                               handle.opt_off)
-        accel = max(1, handle.opt_var)
         bs = self._block_size(handle)
         return container.BlockCodecAdapter(
             compress_blocks=lambda blocks: cb(blocks, accel),
@@ -65,9 +69,11 @@ class Lz4Codec(Codec):
                                             self._adapter(handle))
             if out is not None:
                 return out
-        fn = dispatch.resolve(self.name, "compress", handle.max_tier,
+        accel = max(1, handle.opt_var)
+        fn = dispatch.resolve(self.name, "compress",
+                              handle.max_tier if accel >= 2 else TIER_HOST,
                               handle.opt_off)
-        return fn(data, max(1, handle.opt_var))
+        return fn(data, accel)
 
     def decompress(self, handle: Handle, data: bytes,
                    expected_size: Optional[int] = None) -> bytes:

@@ -56,12 +56,14 @@ class SnappyCodec(Codec):
         return handle.block_size or get_config().default_block_size
 
     def _adapter(self, handle: Handle) -> container.BlockCodecAdapter:
-        cb = dispatch.resolve(self.name, "compress_blocks", handle.max_tier,
+        accel = max(1, handle.opt_var)
+        # device tier = throughput mode, engaged via opt_var (acceleration)
+        cap = handle.max_tier if accel >= 2 else TIER_HOST
+        cb = dispatch.resolve(self.name, "compress_blocks", cap,
                               handle.opt_off)
         db = dispatch.resolve(self.name, "decompress_blocks", handle.max_tier,
                               handle.opt_off)
         bs = self._block_size(handle)
-        accel = max(1, handle.opt_var)
         return container.BlockCodecAdapter(
             compress_blocks=lambda blocks: cb(blocks, accel),
             decompress_blocks=lambda chunks, dlens: db(chunks, dlens, bs),
