@@ -66,8 +66,8 @@ import jax.numpy as jnp
 import numpy as np
 
 HASH_BITS = 15         # key packs (hash << 16) | pos into a positive int32
-NW = 12                # extension words carried through the sort
-MATCH_CAP = 4 + 4 * NW  # max hash-candidate match length (52)
+NW = 16                # extension words carried through the sort
+MATCH_CAP = 4 + 4 * NW  # max hash-candidate match length (84)
 SMALL_OFFSETS = (1, 2, 4)  # offsets with exact (uncapped) run lengths
 MIN_MATCH = 4
 MFLIMIT = 12           # no match may start within the last 12 bytes
