@@ -47,7 +47,7 @@ def main():
 
     B = 65536
     N = 256  # 16 MiB per iteration
-    G = 8   # tile-anchor parse (accel 2): the throughput-mode device path
+    G = 4   # tile-anchor parse (accel 2): ~3% ratio cost vs serial greedy
     data = _corpus(B * N)
     arr = np.frombuffer(data, dtype=np.uint8).reshape(N, B)
     lens = np.full(N, B, dtype=np.int32)
