@@ -338,6 +338,39 @@ def build_fixed_huffman():
 
 LIT_NBITS, LIT_CODES, TREE_DESC, HUF_LOG = build_fixed_huffman()
 
+# --- static FSE table for PER-BLOCK Huffman weight streams ---------------------
+# Per-block tables compress their 255-entry weight sequence with this fixed
+# weight-value distribution (every weight 0..11 representable), so only the
+# bitstream varies per block and the table description is a constant.
+WEIGHT_DIST = [24, 2, 2, 2, 3, 4, 5, 6, 6, 4, 3, 3]  # sums to 64
+WEIGHT_LOG = 6
+assert sum(WEIGHT_DIST) == 1 << WEIGHT_LOG
+WEIGHT_DESC = write_ncount(WEIGHT_DIST, WEIGHT_LOG)
+
+
+def encode_weight_stream(weights: Sequence[int]) -> bytes:
+    """Scalar two-state FSE encode of a 255-entry weight sequence with the
+    static WEIGHT_DIST table (FSE_compress_usingCTable semantics) — the
+    oracle for the device implementation."""
+    seq = list(weights)
+    assert len(seq) == 255
+    e1 = FSEEncoder(WEIGHT_DIST, WEIGHT_LOG)
+    e2 = FSEEncoder(WEIGHT_DIST, WEIGHT_LOG)
+    bw = BitWriter()
+    i = len(seq)
+    # odd length: init c1, c2, then c1 encodes one
+    e1.init_state(seq[i - 1])
+    e2.init_state(seq[i - 2])
+    e1.encode(bw, seq[i - 3])
+    i -= 3
+    while i > 0:
+        e2.encode(bw, seq[i - 1])
+        e1.encode(bw, seq[i - 2])
+        i -= 2
+    e2.flush(bw)
+    e1.flush(bw)
+    return bw.close()
+
 
 # --- scalar block/frame writer (the oracle) ------------------------------------
 

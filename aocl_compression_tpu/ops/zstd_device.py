@@ -3,10 +3,15 @@
 Format-exact zstd frames (decodable by stock zstd) built on device:
   - shared sort-centric matcher + tile-anchor/exact parse (ops/lz4_device),
   - literal stream compaction via one variadic sort,
-  - 4-stream Huffman literals with the ARITHMETIC fixed code table
-    (codecs/zstd_format.py): per-byte (code, nbits) from range compares —
-    no table gathers; per-stream backward bit layout from one reverse
-    cumsum; bits scatter-added into per-stream regions,
+  - PER-BLOCK Huffman literal tables built on device: histogram ->
+    log2-share code lengths -> Kraft deficit absorbed by a 256-step scan
+    over frequency-sorted symbols -> canonical codes matching
+    HUF_readDTableX1's rebuild (huffLog = longest code used, which makes
+    the decoder's >=2-longest-codes check hold by Kraft parity); the tree
+    description FSE-compresses the 255-weight sequence with a STATIC
+    weight table so only the bitstream varies per block,
+  - 4-stream Huffman literals: per-stream backward bit layout from one
+    reverse cumsum; bits scatter-added into per-stream regions,
   - sequences: predefined-FSE states evolved by a lax.scan over the
     sequence axis in reverse (sequences pre-aligned so the scan runs a
     fixed trip count with masked no-op steps), emitting (value, nbits)
@@ -58,6 +63,115 @@ MLBASE = jnp.asarray(ZF.ML_BASE, jnp.int32)
 MLBITS = jnp.asarray(ZF.ML_BITS, jnp.int32)
 
 
+# static weight-FSE table (per-block Huffman tree descriptions)
+_W_NXT, _W_TT = ZF.fse_build_encode(ZF.WEIGHT_DIST, ZF.WEIGHT_LOG)
+WN = jnp.asarray(_W_NXT, jnp.int32)
+WDNB, WDFS = _tt_arrays(_W_TT)
+WCAP = 512
+
+
+def _block_huffman(lits32, nlits, B: int):
+    """Per-block length-limited Huffman table (huffLog=11, Kraft exact).
+
+    Returns (code[256], nb[256], weights[255], ok). Lengths start at
+    ceil(-log2 p) and the Kraft deficit is absorbed greedily by shortening
+    the most frequent symbols (one 256-step scan). Symbol 255 is always
+    made present so the weight list is a fixed 255 entries and the
+    decoder's implicit-last-weight completion lands on it.
+    """
+    j = jnp.arange(B, dtype=jnp.int32)
+    hist = jnp.zeros(256, jnp.int32).at[jnp.clip(lits32, 0, 255)].add(
+        (j < nlits).astype(jnp.int32))
+    hist = hist.at[255].max(1)  # force the implicit-last symbol present
+    present = hist > 0
+    npres = jnp.sum(present.astype(jnp.int32))
+    share = (hist * 2048) // jnp.maximum(nlits, 1)
+    f = _floor_log2(jnp.maximum(share, 1), 12)
+    nb = jnp.where(present, jnp.clip(11 - f, 1, 11), 0)
+    contrib = jnp.where(present, 1 << (11 - jnp.maximum(nb, 1)), 0)
+    D0 = jnp.int32(2048) - jnp.sum(contrib)
+
+    sym = jnp.arange(256, dtype=jnp.int32)
+    _, syms, nbs = jax.lax.sort([-hist, sym, nb], num_keys=2)
+
+    def absorb(D, s_nb):
+        c = jnp.where(s_nb > 0, 1 << (11 - jnp.maximum(s_nb, 1)), 0)
+        q = jnp.where(c > 0, D // jnp.maximum(c, 1) + 1, 1)
+        k = jnp.minimum(_floor_log2(jnp.maximum(q, 1), 12),
+                        jnp.maximum(s_nb - 1, 0))
+        used = c * ((1 << k) - 1)
+        return D - used, s_nb - k
+
+    D, nbs2 = jax.lax.scan(absorb, D0, nbs)
+    _, nb_final = jax.lax.sort([syms, nbs2], num_keys=1)
+    ok = (D == 0) & (npres >= 2)
+
+    # huffLog = the longest code actually used: the decoder requires >= 2
+    # weight-1 (longest) symbols, which Kraft-exactness guarantees at this
+    # scale (their count is even and >= 1); weights = huffLog + 1 - nb
+    maxnb = jnp.max(nb_final)
+    weights = jnp.where(nb_final > 0, maxnb + 1 - nb_final, 0)
+
+    per_rank = jnp.zeros(13, jnp.int32).at[jnp.clip(nb_final, 0, 12)].add(
+        present.astype(jnp.int32))
+    vpr = jnp.zeros(13, jnp.int32)
+    mn = jnp.int32(0)
+    for r in range(11, 0, -1):
+        vpr = vpr.at[r].set(mn)
+        mn = (mn + per_rank[r]) >> 1
+    rw = jnp.zeros(256, jnp.int32)
+    for r in range(1, 12):
+        m = (nb_final == r).astype(jnp.int32)
+        rw = rw + jnp.where(nb_final == r, jnp.cumsum(m) - m, 0)
+    code = vpr[jnp.clip(nb_final, 0, 12)] + rw
+    return code, nb_final, weights[:255], ok
+
+
+def _encode_weights(weights):
+    """Device two-state FSE encode of the 255-entry weight sequence
+    (static table, fixed structure — mirrors ZF.encode_weight_stream)."""
+    def enc(state, c):
+        nbits = (state + WDNB[c]) >> 16
+        val = state & ((1 << nbits) - 1)
+        return WN[(state >> nbits) + WDFS[c]], val, nbits
+
+    def init(c):
+        dnb = WDNB[c]
+        nbout = (dnb + (1 << 15)) >> 16
+        return WN[(((nbout << 16) - dnb) >> nbout) + WDFS[c]]
+
+    st1 = init(weights[254])
+    st2 = init(weights[253])
+    st1, v0, n0 = enc(st1, weights[252])
+
+    # pairs (e2 then e1) over indices 251..0
+    pairs = weights[:252][::-1].reshape(126, 2)  # [i-1, i-2] per step
+
+    def step(carry, pw):
+        s1, s2 = carry
+        s2, va, na = enc(s2, pw[0])
+        s1, vb, nbb = enc(s1, pw[1])
+        return (s1, s2), (jnp.stack([va, vb]), jnp.stack([na, nbb]))
+
+    (st1, st2), (pv, pn) = jax.lax.scan(step, (st1, st2), pairs)
+    L = jnp.int32(ZF.WEIGHT_LOG)
+    allv = jnp.concatenate([
+        jnp.stack([v0]), pv.reshape(-1),
+        jnp.stack([st2 - (1 << ZF.WEIGHT_LOG), st1 - (1 << ZF.WEIGHT_LOG)])])
+    alln = jnp.concatenate([
+        jnp.stack([n0]), pn.reshape(-1), jnp.stack([L, L])])
+    bpos = jnp.cumsum(alln) - alln
+    total = jnp.sum(alln)
+    buf = jnp.zeros(WCAP, jnp.int32)
+    vals = (allv & ((1 << alln) - 1)) << (bpos & 7)
+    qb = jnp.where(alln > 0, bpos >> 3, WCAP)
+    buf = buf.at[qb].add(vals & 0xFF, mode="drop")
+    buf = buf.at[jnp.minimum(qb + 1, WCAP)].add((vals >> 8) & 0xFF,
+                                                mode="drop")
+    buf = buf.at[total >> 3].add(1 << (total & 7), mode="drop")
+    return buf.astype(jnp.uint8), (total + 1 + 7) >> 3
+
+
 def lit_code_nbits(b):
     """Arithmetic fixed-table (code, nbits) per literal byte."""
     in7a = (b >= 0x20) & (b < 0x40)
@@ -74,7 +188,7 @@ def lit_code_nbits(b):
 
 
 def stream_cap(block_size: int) -> int:
-    n = ((block_size + 3) // 4) * 9 // 8 + 16
+    n = ((block_size + 3) // 4) * 11 // 8 + 16   # codes are <= 11 bits
     return -(-n // 512) * 512  # compaction row quantum (ops/compact.py)
 
 
@@ -124,9 +238,13 @@ def _encode_block(data_u8, n, B, MAXSEQ, G, SCAP, QCAP):
     prev_end = jnp.concatenate([jnp.zeros(1, jnp.int32), ends[:-1]])
     ll = jnp.where(real, pref(pos) - pref(prev_end), 0)
 
-    # --- 4-stream Huffman literals ------------------------------------------
+    # --- per-block Huffman table + 4-stream literals -------------------------
     j = jnp.arange(B, dtype=jnp.int32)
-    code, nb = lit_code_nbits(lits32)
+    ctab, ntab, wts, tab_ok = _block_huffman(lits32, nlits, B)
+    wbuf, wsize = _encode_weights(wts)
+    packed = (ctab | (ntab << 16))[jnp.clip(lits32, 0, 255)]
+    code = packed & 0xFFFF
+    nb = jax.lax.shift_right_logical(packed, 16)
     nb = jnp.where(j < nlits, nb, 0)
     s1 = (nlits + 3) >> 2
     t = jnp.minimum(jnp.where(s1 > 0, j // jnp.maximum(s1, 1), 0), 3)
@@ -146,11 +264,13 @@ def _encode_block(data_u8, n, B, MAXSEQ, G, SCAP, QCAP):
     Lbits = S[jnp.clip(starts, 0, B)] - S_at_bound
 
     litbuf = jnp.zeros(4 * SCAP, jnp.int32)
-    valb = code << (bitpos & 7)
+    valb = code << (bitpos & 7)                  # <= 11 + 7 = 18 bits
     bb = jnp.where((j < nlits), t * SCAP + (bitpos >> 3), 4 * SCAP)
     litbuf = litbuf.at[bb].add(valb & 0xFF, mode="drop")
     litbuf = litbuf.at[jnp.minimum(bb + 1, 4 * SCAP)].add(
         (valb >> 8) & 0xFF, mode="drop")
+    litbuf = litbuf.at[jnp.minimum(bb + 2, 4 * SCAP)].add(
+        (valb >> 16) & 0xFF, mode="drop")
     # end-of-stream markers
     tm = jnp.arange(4, dtype=jnp.int32)
     mpos = tm * SCAP + (Lbits >> 3)
@@ -276,7 +396,8 @@ def _encode_block(data_u8, n, B, MAXSEQ, G, SCAP, QCAP):
 
     return (litbuf.astype(jnp.uint8), lit_sizes, nlits,
             lits32.astype(jnp.uint8),
-            seqbuf.astype(jnp.uint8), seq_size, nseq)
+            seqbuf.astype(jnp.uint8), seq_size, nseq,
+            wbuf, wsize, tab_ok)
 
 
 @functools.lru_cache(maxsize=16)
@@ -298,16 +419,17 @@ def make_encoder(block_size: int, G: int = 0):
 # --- host assembly --------------------------------------------------------------
 
 def _assemble_frame(block: bytes, nlits: int, lits, streams, nseq: int,
-                    seqsec_body: bytes) -> bytes:
+                    seqsec_body: bytes, tree=None) -> bytes:
     """Build one frame from device pieces; falls back to raw when bigger.
     `lits` is a zero-arg callable fetching the compacted literal bytes
-    (only fallback blocks pay for it)."""
+    (only fallback blocks pay for it); `tree` is the per-block Huffman
+    tree description (None -> raw literals)."""
     n = len(block)
     # literals section
-    if nlits >= 6:
+    if nlits >= 6 and tree is not None:
         jump = struct.pack("<HHH", len(streams[0]), len(streams[1]),
                            len(streams[2]))
-        body = ZF.TREE_DESC + jump + b"".join(streams)
+        body = tree + jump + b"".join(streams)
         C = len(body)
         if C < nlits and max(len(s) for s in streams[:3]) < 65536:
             h = 2 | (3 << 2) | (nlits << 4) | (C << 22)
@@ -369,8 +491,9 @@ def encode_blocks(blocks: Sequence[bytes], level: int = 1):
     if G and G * 4 > B:
         G = 0
     enc = make_encoder(B, G)
-    (litbuf, lit_sizes, nlits, lits, seqbuf, seq_size,
-     nseq) = jax.block_until_ready(enc(jnp.asarray(arr), jnp.asarray(lens)))
+    (litbuf, lit_sizes, nlits, lits, seqbuf, seq_size, nseq,
+     wbuf, wsize, tab_ok) = jax.block_until_ready(
+        enc(jnp.asarray(arr), jnp.asarray(lens)))
     from . import compact
     SCAP = stream_cap(B)
     # fetch only the used bytes: streams and seq sections via the device
@@ -383,6 +506,9 @@ def encode_blocks(blocks: Sequence[bytes], level: int = 1):
     nlits = np.asarray(nlits)
     seq_size = np.asarray(seq_size)
     nseq = np.asarray(nseq)
+    wbuf_np = np.asarray(wbuf)
+    wsize_np = np.asarray(wsize)
+    tab_ok_np = np.asarray(tab_ok)
 
     def lazy_lits(i):
         return np.asarray(lits[i, :nlits[i]]).tobytes()
@@ -391,7 +517,12 @@ def encode_blocks(blocks: Sequence[bytes], level: int = 1):
     for i, b in enumerate(blocks):
         streams = [stream_chunks[4 * i + k][:lit_sizes[i, k]]
                    for k in range(4)]
+        tree = None
+        if tab_ok_np[i]:
+            blob = bytes(ZF.WEIGHT_DESC) + wbuf_np[i, :wsize_np[i]].tobytes()
+            if 1 < len(blob) < 128:
+                tree = bytes([len(blob)]) + blob
         frames.append(_assemble_frame(
             b, int(nlits[i]), lambda i=i: lazy_lits(i), streams,
-            int(nseq[i]), seq_chunks[i][:seq_size[i]]))
+            int(nseq[i]), seq_chunks[i][:seq_size[i]], tree))
     return frames, [len(b) for b in blocks]
