@@ -198,29 +198,13 @@ def _find_matches(data_u8: jnp.ndarray, n: jnp.ndarray, B: int,
 
 
 def _greedy_parse(mlen: jnp.ndarray, valid: jnp.ndarray, B: int):
-    """Exact serial-greedy selection via pointer doubling on the byte domain.
-
-    next[i] = i + (mlen if match else 1); chain-from-0 membership is
-    computed with log2(B) rounds of (scatter-or marks, square the jump map).
-    """
+    """Exact serial-greedy selection: next[i] = i + (mlen if match else 1);
+    chain-from-0 membership via the two-level MXU reachability marking
+    (_chain_marks), exactly as the decoder marks token chains."""
     idx = jnp.arange(B, dtype=jnp.int32)
     step = jnp.where(valid, mlen, 1)
     nxt = jnp.minimum(idx + step, _i32(B))
-    jump = jnp.concatenate([nxt, jnp.full((1,), B, jnp.int32)])
-
-    # (jump[0] & 0) keeps the carry "varying" under shard_map's vma tracking
-    mark = jnp.zeros(B + 1, jnp.int32).at[0].set(1 + (jump[0] & 0))
-
-    def body(_, state):
-        mark, jump = state
-        hop = jnp.zeros(B + 1, jnp.int32).at[jump].max(mark)
-        mark = jnp.maximum(mark, hop)
-        jump = jump[jump]
-        return mark, jump
-
-    rounds = int(np.ceil(np.log2(max(B, 2)))) + 1
-    mark, _ = jax.lax.fori_loop(0, rounds, body, (mark, jump))
-    return mark[:B].astype(bool)
+    return _chain_marks(nxt, _i32(B), B)
 
 
 def _grid_parse(mlen, moff, valid, B: int, G: int, MAXSEQ: int):
