@@ -266,15 +266,15 @@ def _grid_parse(mlen, moff, valid, B: int, G: int, MAXSEQ: int):
     cols = jnp.arange(SUBM, dtype=jnp.int32)
     edge = (jloc[:, :, None] == cols[None, None, :])  # exits have no edge
     eye = jnp.eye(SUBM, dtype=jnp.bool_)[None]
-    A = (edge | eye).astype(jnp.bfloat16)
+    A = (edge | eye).astype(jnp.int8)
 
     def body(_, A):
-        A2 = jnp.matmul(A, A, preferred_element_type=jnp.float32)
-        return jnp.minimum(A2, 1.0).astype(jnp.bfloat16)
+        A2 = jnp.matmul(A, A, preferred_element_type=jnp.int32)
+        return jnp.minimum(A2, 1).astype(jnp.int8)
 
     rounds = int(np.ceil(np.log2(max(SUBM, 2))))
     A = jax.lax.fori_loop(0, rounds, body, A)
-    sel = (A[:, 0, :] > 0.5).reshape(M) & cvalid
+    sel = (A[:, 0, :] > 0).reshape(M) & cvalid
 
     return _compact_selected(sel, aidx, cpos, cml, coff, M, MAXSEQ)
 
@@ -477,17 +477,17 @@ def _chain_marks(nxt, clen, C: int):
     edge = (jnp.where(inseg, jloc, -1).reshape(S, SEG)[:, :, None]
             == cols[None, None, :])
     eye = jnp.eye(SEG, dtype=jnp.bool_)[None]
-    R = (edge | eye).astype(jnp.bfloat16)
+    R = (edge | eye).astype(jnp.int8)
 
     def body(_, R):
-        R2 = jnp.matmul(R, R, preferred_element_type=jnp.float32)
-        return jnp.minimum(R2, 1.0).astype(jnp.bfloat16)
+        R2 = jnp.matmul(R, R, preferred_element_type=jnp.int32)
+        return jnp.minimum(R2, 1).astype(jnp.int8)
 
     R = jax.lax.fori_loop(0, 7, body, R)
 
     # last in-segment reachable position per entry -> its nxt is the exit
-    last = jnp.max(R * cols.astype(jnp.bfloat16)[None, None, :],
-                   axis=2).astype(jnp.int32)           # (S, SEG)
+    last = jnp.max(R.astype(jnp.int32) * cols[None, None, :],
+                   axis=2)                             # (S, SEG)
     exit_ = nxt.reshape(S, SEG)[
         jnp.arange(S)[:, None],
         jnp.clip(last, 0, SEG - 1)]                    # (S, SEG)
@@ -505,7 +505,7 @@ def _chain_marks(nxt, clen, C: int):
     rows = jnp.take_along_axis(
         R, jnp.clip(entries, 0, SEG - 1)[:, None, None].astype(jnp.int32),
         axis=1)[:, 0, :]                               # (S, SEG)
-    mark = (rows > 0.5) & (entries >= 0)[:, None]
+    mark = (rows > 0) & (entries >= 0)[:, None]
     return mark.reshape(C) & (idx < clen)
 
 
