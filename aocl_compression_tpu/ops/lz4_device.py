@@ -20,18 +20,16 @@ Encode (per block, vmapped over the batch):
                       shifted compares + reverse cummin (covers RLE/periodic
                       data beyond the word-chain cap). One more variadic
                       sort restores position order.
-  3. parse          — two modes:
-                      accel<=1 (exact): the serial greedy "jump by match
-                      length" chain materialized via O(log B) pointer
-                      doubling on the full byte domain (slow: log B full
-                      gathers).
-                      accel>=2 (grid): sequences may start only on a G-byte
-                      grid (G = 4<<(accel-1)); matches keep their full length
-                      and arbitrary offsets, the bytes between a match end
-                      and the next grid anchor become ordinary literals of
-                      the next sequence — still format-exact LZ4, ~G/2 extra
-                      literal bytes per sequence, but the chain lives on a
-                      B/G domain so the doubling gathers shrink 8-16x.
+  3. parse          — the greedy "jump by match length" chain is marked on
+                      the MXU: 128-element sub-chains become int8
+                      adjacency-plus-identity matrices and ~7 batched
+                      matrix squarings compute reach-from-start exactly
+                      (_chain_marks / _grid_parse); no scatter/gather
+                      rounds. Two modes: accel<=1 runs the exact serial
+                      greedy chain on the byte domain (full ratio);
+                      accel>=2 elects one best candidate per G-byte tile
+                      (G = 1<<accel) and chains tiles — ~3% ratio cost at
+                      G=4 for a ~40% throughput gain.
   4. emission       — per-sequence sizes -> exclusive scan -> three
                       scatter+cummax "fills" broadcast each covering
                       sequence's fields to every output byte (the packed
@@ -44,7 +42,9 @@ Decode (per block, vmapped):
                       here, where is the next token and how many bytes would
                       it produce" (255-run extension counts come from
                       next-non-255 reverse scans).
-  2. chain marking  — pointer doubling from position 0 marks real tokens.
+  2. chain marking  — the same two-level MXU reachability used by the
+                      encoder parses: per-128-byte-segment int8 matrices,
+                      segment exits threaded by a short scan.
   3. scatter map    — monotone scatter+cummax fills give each output byte
                       its covering token's fields (no searchsorted).
   4. resolution     — back-references resolved by src = src[src] pointer
@@ -606,6 +606,15 @@ def decode_blocks(chunks, dlens, block_size: int):
     if not chunks:
         return []
     C = _bucket(max((len(c) for c in chunks), default=1))
+    # cap the reachability-matrix footprint (S matrices of 128^2 int8 per
+    # chunk): split oversized batches
+    max_n = max(1, (32 << 20) // C)
+    if len(chunks) > max_n:
+        out = []
+        for i in range(0, len(chunks), max_n):
+            out.extend(decode_blocks(chunks[i:i + max_n],
+                                     dlens[i:i + max_n], block_size))
+        return out
     B = _bucket(max(max(dlens), block_size))
     N = len(chunks)
     arr = np.zeros((N, C), dtype=np.uint8)

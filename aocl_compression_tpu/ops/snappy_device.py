@@ -321,6 +321,15 @@ def decode_blocks(chunks, dlens, block_size: int):
     if not chunks:
         return []
     C = _bucket(max((len(c) for c in chunks), default=1))
+    # cap the reachability-matrix footprint (S matrices of 128^2 int8 per
+    # chunk): split oversized batches
+    max_n = max(1, (32 << 20) // C)
+    if len(chunks) > max_n:
+        out = []
+        for i in range(0, len(chunks), max_n):
+            out.extend(decode_blocks(chunks[i:i + max_n],
+                                     dlens[i:i + max_n], block_size))
+        return out
     B = _bucket(max(max(dlens), block_size))
     N = len(chunks)
     arr = np.zeros((N, C), dtype=np.uint8)
