@@ -248,9 +248,11 @@ def _encode_block(data_u8, n, B, MAXSEQ, G, SCAP, QCAP):
     nb = jnp.where(j < nlits, nb, 0)
     s1 = (nlits + 3) >> 2
     t = jnp.minimum(jnp.where(s1 > 0, j // jnp.maximum(s1, 1), 0), 3)
-    # suffix sums of nb: S[j] = sum_{k >= j} nb[k]
-    S = jnp.concatenate([jnp.cumsum(nb[::-1])[::-1],
-                         jnp.zeros(1, jnp.int32)])
+    # suffix sums of nb: S[j] = sum_{k >= j} nb[k] (reverse scan, no flips)
+    S = jnp.concatenate([
+        jax.lax.cumsum(nb, axis=0, reverse=True) if hasattr(jax.lax, "cumsum")
+        else jnp.cumsum(nb[::-1])[::-1],
+        jnp.zeros(1, jnp.int32)])
     bounds = jnp.stack([jnp.minimum(s1, nlits), jnp.minimum(2 * s1, nlits),
                         jnp.minimum(3 * s1, nlits), nlits])
     S_at_bound = S[jnp.clip(bounds, 0, B)]
@@ -308,7 +310,7 @@ def _encode_block(data_u8, n, B, MAXSEQ, G, SCAP, QCAP):
 
     # --- FSE scan (reverse order; 3 states; masked no-op steps). Each scan
     # step handles UNROLL sequences to amortize per-step loop overhead. ----
-    UNROLL = 4
+    UNROLL = 8
 
     def _one(carry, xs1):
         stll, stml, stof = carry
