@@ -285,7 +285,10 @@ def _decode_block(chunk_u8, clen, dlen, C: int, B: int):
     o = jnp.arange(B, dtype=jnp.int32)
     rel = o - f_ts
     is_lit = o < f_mstart
-    src = jnp.where(is_lit, -(f_a + rel) - 1, o - (f_off & 0xFFFF))
+    # offset 0 only occurs in corrupt streams; clamp to 1 so the
+    # resolve loop always makes progress (no self-loops -> no hang)
+    src = jnp.where(is_lit, -(f_a + rel) - 1,
+                    o - jnp.maximum(f_off & 0xFFFF, 1))
     src = jnp.where(o < dlen, src, -1)
 
     def cond(state):
