@@ -172,21 +172,6 @@ def _encode_weights(weights):
     return buf.astype(jnp.uint8), (total + 1 + 7) >> 3
 
 
-def lit_code_nbits(b):
-    """Arithmetic fixed-table (code, nbits) per literal byte."""
-    in7a = (b >= 0x20) & (b < 0x40)
-    in7b = (b >= 0x60) & (b < 0x80)
-    in8a = b < 0x20
-    in8b = (b >= 0x40) & (b < 0x60)
-    nb = jnp.where(in7a | in7b, 7, jnp.where(b < 0x80, 8, 9))
-    code = jnp.where(in7a, 64 + b - 0x20,
-                     jnp.where(in7b, 96 + b - 0x60,
-                               jnp.where(in8a, 64 + b,
-                                         jnp.where(in8b, 96 + b - 0x40,
-                                                   b - 0x80))))
-    return code, nb
-
-
 def stream_cap(block_size: int) -> int:
     n = ((block_size + 3) // 4) * 11 // 8 + 16   # codes are <= 11 bits
     return -(-n // 512) * 512  # compaction row quantum (ops/compact.py)
