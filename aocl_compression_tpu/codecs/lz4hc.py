@@ -16,7 +16,7 @@ from ..api.handle import Handle
 from ..parallel import container
 from ..runtime import native
 from ..utils import dispatch
-from ..utils.config import TIER_HOST, get_config
+from ..utils.config import TIER_HOST, TIER_XLA, get_config
 from . import lz4_stitch
 from .base import Codec
 from .lz4 import _oneshot_decompress
@@ -36,7 +36,10 @@ class Lz4hcCodec(Codec):
         return handle.block_size or get_config().default_block_size
 
     def _adapter(self, handle: Handle) -> container.BlockCodecAdapter:
-        cb = dispatch.resolve(self.name, "compress_blocks", handle.max_tier,
+        # device tier = throughput mode, engaged via opt_var (like lz4);
+        # the default keeps the host hash-chain encoder's ratio semantics
+        cap = handle.max_tier if handle.opt_var >= 2 else TIER_HOST
+        cb = dispatch.resolve(self.name, "compress_blocks", cap,
                               handle.opt_off)
         # decode is LZ4's, same as the reference's shared decompressor
         db = dispatch.resolve("lz4", "decompress_blocks", handle.max_tier,
@@ -77,3 +80,17 @@ def _compress_host(data: bytes, level: int) -> bytes:
 def _compress_blocks_host(blocks: Sequence[bytes], level: int):
     frags = [native.lz4hc_compress_tail(b, level) for b in blocks]
     return lz4_stitch.stitch(frags, blocks)
+
+
+# --- device tier: deep-candidate matcher (ops/lz4_device.py) -----------------
+
+@dispatch.register("lz4hc", "compress_blocks", TIER_XLA,
+                   "lz4hc_compress_blocks_xla")
+def _compress_blocks_xla(blocks: Sequence[bytes], level: int):
+    """HC-grade device encode: the sorted-order matcher examines the
+    level-scaled number of previous same-hash candidates (the hash-chain
+    walk of lz4hc.c as shifted compares), exact greedy parse."""
+    from ..ops import lz4_device
+    depth = min(16, max(4, level + 2))
+    bodies, tails = lz4_device.encode_blocks(blocks, accel=1, depth=depth)
+    return lz4_stitch.stitch_bodies(bodies, tails, blocks)

@@ -133,12 +133,16 @@ def _chain_match_len(cur, prev, ok0):
 
 
 def _find_matches(data_u8: jnp.ndarray, n: jnp.ndarray, B: int,
-                  max_off: int = 0):
+                  max_off: int = 0, depth: int = 2):
     """Per-position best (offset, matchlen) candidates — sort-centric.
 
     Returns (mlen, moff, valid) clamped to the format's end-of-block rules
     for a block of "actual length" n (the batch pads the last block).
     max_off > 0 restricts candidates to a sliding window (deflate: 32K).
+    depth = how many previous same-hash occurrences to consider (the k-th
+    is a shift by k in sorted order — the hash-chain walk of LZ4HC
+    (lz4hc.c AOCL_LZ4HC_InsertAndGetWiderMatch) becomes k shifted
+    compares, each fully fused elementwise work).
     """
     idx = jnp.arange(B, dtype=jnp.int32)
     words = _window_words(data_u8, B)
@@ -158,11 +162,13 @@ def _find_matches(data_u8: jnp.ndarray, n: jnp.ndarray, B: int,
 
     best_len = jnp.zeros(B, jnp.int32)
     best_off = jnp.ones(B, jnp.int32)
-    for s in (1, 2):  # nearest and 2nd-nearest previous same-hash position
+    for s in range(1, depth + 1):  # k-th previous same-hash position
         ph = shifted(shash, s, -1)
         pp = shifted(spos, s, 0)
         pw = [shifted(w, s, -1) for w in swords]
         ok0 = (ph == shash) & (pw[0] == swords[0])
+        # all s intermediate entries share the hash iff the s-th does
+        # (sorted order groups hashes), so no extra same-hash checks needed
         off = spos - pp
         if max_off:
             ok0 = ok0 & (off <= max_off)
@@ -382,8 +388,9 @@ def _emit(data_u8, pos, ml, off, nseq, n, B: int, OUTCAP: int, MAXSEQ: int):
     return out, body, tail
 
 
-def _encode_block(data_u8, n, B: int, OUTCAP: int, MAXSEQ: int, G: int = 0):
-    mlen, moff, valid = _find_matches(data_u8, n, B)
+def _encode_block(data_u8, n, B: int, OUTCAP: int, MAXSEQ: int, G: int = 0,
+                  depth: int = 2):
+    mlen, moff, valid = _find_matches(data_u8, n, B, depth=depth)
     if G:
         pos, ml, off, nseq = _grid_parse(mlen, moff, valid, B, G, MAXSEQ)
     else:
@@ -394,11 +401,12 @@ def _encode_block(data_u8, n, B: int, OUTCAP: int, MAXSEQ: int, G: int = 0):
 
 
 @functools.lru_cache(maxsize=32)
-def make_encoder(block_size: int, G: int = 0):
+def make_encoder(block_size: int, G: int = 0, depth: int = 2):
     """Build the jitted batched encoder for a given block size / parse grid.
 
     Signature: (blocks u8[N, B], lens i32[N]) ->
                (bodies u8[N, OUTCAP], body_sizes i32[N], tails i32[N])
+    depth > 2 is the HC-grade matcher (see _find_matches).
     """
     B = block_size
     OUTCAP = out_capacity(B)
@@ -407,7 +415,7 @@ def make_encoder(block_size: int, G: int = 0):
     @jax.jit
     def encode(blocks, lens):
         fn = functools.partial(_encode_block, B=B, OUTCAP=OUTCAP,
-                               MAXSEQ=MAXSEQ, G=G)
+                               MAXSEQ=MAXSEQ, G=G, depth=depth)
         return jax.vmap(fn)(blocks, lens)
 
     return encode
@@ -583,9 +591,10 @@ def _bucket(n: int, lo: int = 256) -> int:
     return b
 
 
-def encode_blocks(blocks, accel: int = 1):
+def encode_blocks(blocks, accel: int = 1, depth: int = 2):
     """Compress a list of blocks on device; returns (bodies, tails) where
-    bodies exclude the final literal-only sequence (stitcher input)."""
+    bodies exclude the final literal-only sequence (stitcher input).
+    depth > 2 = HC-grade candidate search (lz4hc device tier)."""
     B = _bucket(max(len(b) for b in blocks))
     N = len(blocks)
     arr = np.zeros((N, B), dtype=np.uint8)
@@ -596,7 +605,7 @@ def encode_blocks(blocks, accel: int = 1):
     G = grid_for_accel(accel)
     if G and G * 4 > B:  # tiny blocks: grid overhead isn't worth it
         G = 0
-    enc = make_encoder(B, G)
+    enc = make_encoder(B, G, depth)
     out, sizes, tails = jax.block_until_ready(
         enc(jnp.asarray(arr), jnp.asarray(lens)))
     from . import compact
