@@ -117,3 +117,17 @@ def test_entry_compiles():
     fn, args = ge.entry()
     out = jax.block_until_ready(jax.jit(fn)(*args))
     assert out[0].dtype == np.uint8
+
+
+def test_lz4hc_device_tier_unified_api():
+    """HC device tier (depth-K matcher) through the unified API."""
+    import aocl_compression_tpu as actpu
+    data = (_payload("text", 30000, 5) + _payload("periodic", 10000)
+            + _payload("random", 8000, 6))
+    h = actpu.setup("lz4hc", level=9, opt_var=2, block_size=4096, max_tier=1)
+    c = actpu.compress(h, data)
+    assert actpu.decompress(h, c, expected_size=len(data)) == data
+    # serial interop after RAP skip
+    from aocl_compression_tpu.parallel import container
+    assert native.lz4_decompress(container.skip_rap_frame(c),
+                                 len(data)) == data
