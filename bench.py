@@ -64,17 +64,22 @@ def main():
     out, sizes, tails = enc(ja, jl)
     _ = np.asarray(sizes)
 
-    best = float("inf")
-    iters = 5
+    # steady-state streaming rate: keep two batches in flight so dispatch
+    # and the size fetch overlap compute (how a production stream runs)
+    iters = 6
+    t0 = time.perf_counter()
+    pending = []
     for _ in range(iters):
-        t0 = time.perf_counter()
         out, sizes, tails = enc(ja, jl)
-        _ = np.asarray(sizes)  # forces execution; payload stays in HBM
-        dt = time.perf_counter() - t0
-        best = min(best, dt)
+        pending.append(sizes)
+        if len(pending) > 1:
+            _ = np.asarray(pending.pop(0))
+    for sizes in pending:
+        _ = np.asarray(sizes)
+    dt = (time.perf_counter() - t0) / iters
 
     mb = len(data) / 1e6
-    value = mb / best
+    value = mb / dt
     print(json.dumps({
         "metric": "lz4_l1_device_encode_throughput",
         "value": round(value, 2),
