@@ -10,7 +10,7 @@ deeper (multi-probe) device match finder.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 from ..api.handle import Handle
 from ..parallel import container

@@ -26,8 +26,6 @@ from __future__ import annotations
 import struct
 from typing import List, Sequence, Tuple
 
-import numpy as np
-
 MAGIC = 0xFD2FB528
 
 # --- predefined FSE distributions (RFC 8878 §3.1.1.3.2.2) ---------------------

@@ -35,7 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import lz4_device as lz
-from .lz4_device import MIN_MATCH, _bucket, _i32, grid_for_accel
+from .lz4_device import MIN_MATCH, _bucket, grid_for_accel
 
 MAX_DIST = 32768
 MAX_MATCH = 258

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import lz4_device as lz
-from .lz4_device import (_fill, _i32, _NEG, MIN_MATCH, _bucket,
+from .lz4_device import (_fill, _NEG, MIN_MATCH, _bucket,
                          grid_for_accel)
 
 

@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import functools
 import struct
-from typing import List, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
@@ -37,7 +37,7 @@ import numpy as np
 
 from ..codecs import zstd_format as ZF
 from . import lz4_device as lz
-from .lz4_device import MIN_MATCH, _bucket, grid_for_accel
+from .lz4_device import MIN_MATCH, _bucket
 
 # --- constant tables (trace-time) ----------------------------------------------
 _LL_NXT, _LL_TT = ZF.fse_build_encode(ZF.LL_DEFAULT, ZF.LL_LOG)
