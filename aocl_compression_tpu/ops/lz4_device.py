@@ -287,10 +287,15 @@ def _grid_parse(mlen, moff, valid, B: int, G: int, MAXSEQ: int):
 
 def _compact_selected(sel, order, pos, ml, off, DOM: int, MAXSEQ: int):
     """Squeeze the selected sequences to the front, in order — one variadic
-    sort (far cheaper than nonzero+gathers on this chip)."""
+    sort (far cheaper than nonzero+gathers on this chip).
+
+    When more than MAXSEQ sequences are selected (callers may size MAXSEQ
+    below the theoretical bound for cheaper downstream stages), the excess
+    matches are dropped — their spans become ordinary literals of the
+    following sequence, which stays format-exact."""
     selkey = jnp.where(sel, order, order + DOM)
     _, ppos, pml, poff = jax.lax.sort([selkey, pos, ml, off], num_keys=1)
-    nseq = jnp.sum(sel.astype(jnp.int32))
+    nseq = jnp.minimum(jnp.sum(sel.astype(jnp.int32)), MAXSEQ)
     sid = jnp.arange(MAXSEQ, dtype=jnp.int32)
     real = sid < nseq
 

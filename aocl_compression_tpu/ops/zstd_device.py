@@ -390,7 +390,10 @@ def _encode_block(data_u8, n, B, MAXSEQ, G, SCAP, QCAP):
 @functools.lru_cache(maxsize=16)
 def make_encoder(block_size: int, G: int = 0):
     B = block_size
-    MAXSEQ = (B // max(G, MIN_MATCH)) + 2
+    # cap the sequence domain at B/8: typical blocks emit far fewer
+    # sequences, the FSE scan trip count quarters, and overflow only drops
+    # matches into literals (format stays exact)
+    MAXSEQ = min(B // max(G, MIN_MATCH), max(B // 8, 512)) + 2
     SCAP = stream_cap(B)
     QCAP = seq_cap(MAXSEQ)
 
