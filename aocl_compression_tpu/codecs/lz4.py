@@ -56,7 +56,11 @@ class Lz4Codec(Codec):
         cap = handle.max_tier if accel >= 2 else TIER_HOST
         cb = dispatch.resolve(self.name, "compress_blocks", cap,
                               handle.opt_off)
-        db = dispatch.resolve(self.name, "decompress_blocks", handle.max_tier,
+        # device decode is opt-in (measured slower than the host C++ path;
+        # see config.device_decode_enabled)
+        from ..utils.config import device_decode_enabled
+        dcap = handle.max_tier if device_decode_enabled() else TIER_HOST
+        db = dispatch.resolve(self.name, "decompress_blocks", dcap,
                               handle.opt_off)
         bs = self._block_size(handle)
         return container.BlockCodecAdapter(
@@ -125,6 +129,8 @@ def _decompress_blocks_host(chunks: Sequence[bytes], dlens: Sequence[int],
                    "lz4_compress_blocks_xla")
 def _compress_blocks_xla(blocks: Sequence[bytes], accel: int):
     from ..ops import lz4_device
+    if max(len(b) for b in blocks) > lz4_device.MAX_DEVICE_BLOCK:
+        return _compress_blocks_host(blocks, accel)  # 16-bit packing limit
     bodies, tails = lz4_device.encode_blocks(blocks, accel)
     return lz4_stitch.stitch_bodies(bodies, tails, blocks)
 
@@ -134,6 +140,8 @@ def _compress_blocks_xla(blocks: Sequence[bytes], accel: int):
 def _decompress_blocks_xla(chunks: Sequence[bytes], dlens: Sequence[int],
                            block_size: int) -> List[bytes]:
     from ..ops import lz4_device
+    if max(dlens, default=0) > lz4_device.MAX_DEVICE_BLOCK:
+        return _decompress_blocks_host(chunks, dlens, block_size)
     return lz4_device.decode_blocks(chunks, dlens, block_size)
 
 
@@ -142,7 +150,7 @@ def _compress_xla(data: bytes, accel: int) -> bytes:
     """Single-shot serial stream via the device pipeline: stitch the block
     fragments and join them without a RAP frame."""
     from ..ops import lz4_device
-    bs = get_config().default_block_size
+    bs = min(get_config().default_block_size, lz4_device.MAX_DEVICE_BLOCK)
     if len(data) < 1024:  # device dispatch overhead dwarfs tiny inputs
         return native.lz4_compress(data, accel)
     blocks = container.split_blocks(data, bs)

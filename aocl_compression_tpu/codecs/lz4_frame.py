@@ -95,7 +95,16 @@ def decompress_frame(data: bytes, max_tier: Optional[int] = None,
     has_csize = bool(flg & (1 << 3))
     has_cchk = bool(flg & (1 << 2))
     has_dict = bool(flg & 1)
+    if has_dict:
+        # legal frames per the LZ4 frame spec, but this decoder has no
+        # dictionary plumbing — decoding without the dict would silently
+        # produce wrong bytes, so reject loudly
+        raise ValueError("lz4 frame: dictionary-linked frames not supported")
+    if flg & (1 << 1):
+        raise ValueError("lz4 frame: reserved FLG bit set")
     bd = data[pos + 1]
+    if bd & 0x8F:
+        raise ValueError("lz4 frame: reserved BD bits set")
     bs = _BLOCK_SIZES.get((bd >> 4) & 7)
     if bs is None:
         raise ValueError("bad block-size descriptor")

@@ -42,7 +42,9 @@ class Lz4hcCodec(Codec):
         cb = dispatch.resolve(self.name, "compress_blocks", cap,
                               handle.opt_off)
         # decode is LZ4's, same as the reference's shared decompressor
-        db = dispatch.resolve("lz4", "decompress_blocks", handle.max_tier,
+        from ..utils.config import device_decode_enabled
+        dcap = handle.max_tier if device_decode_enabled() else TIER_HOST
+        db = dispatch.resolve("lz4", "decompress_blocks", dcap,
                               handle.opt_off)
         level = self.clamp_level(handle.level or self.default_level)
         bs = self._block_size(handle)
@@ -91,6 +93,8 @@ def _compress_blocks_xla(blocks: Sequence[bytes], level: int):
     level-scaled number of previous same-hash candidates (the hash-chain
     walk of lz4hc.c as shifted compares), exact greedy parse."""
     from ..ops import lz4_device
+    if max(len(b) for b in blocks) > lz4_device.MAX_DEVICE_BLOCK:
+        return _compress_blocks_host(blocks, level)  # 16-bit packing limit
     depth = min(16, max(4, level + 2))
     bodies, tails = lz4_device.encode_blocks(blocks, accel=1, depth=depth)
     return lz4_stitch.stitch_bodies(bodies, tails, blocks)

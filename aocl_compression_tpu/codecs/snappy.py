@@ -61,7 +61,9 @@ class SnappyCodec(Codec):
         cap = handle.max_tier if accel >= 2 else TIER_HOST
         cb = dispatch.resolve(self.name, "compress_blocks", cap,
                               handle.opt_off)
-        db = dispatch.resolve(self.name, "decompress_blocks", handle.max_tier,
+        from ..utils.config import device_decode_enabled
+        dcap = handle.max_tier if device_decode_enabled() else TIER_HOST
+        db = dispatch.resolve(self.name, "decompress_blocks", dcap,
                               handle.opt_off)
         bs = self._block_size(handle)
         return container.BlockCodecAdapter(
@@ -123,6 +125,9 @@ def _decompress_blocks_host(chunks: Sequence[bytes], dlens: Sequence[int],
                    "snappy_compress_blocks_xla")
 def _compress_blocks_xla(blocks: Sequence[bytes], accel: int = 1):
     from ..ops import snappy_device
+    from ..ops.lz4_device import MAX_DEVICE_BLOCK
+    if max(len(b) for b in blocks) > MAX_DEVICE_BLOCK:
+        return _compress_blocks_host(blocks, accel)  # 16-bit packing limit
     return snappy_device.encode_blocks(blocks, accel)
 
 
@@ -131,4 +136,7 @@ def _compress_blocks_xla(blocks: Sequence[bytes], accel: int = 1):
 def _decompress_blocks_xla(chunks: Sequence[bytes], dlens: Sequence[int],
                            block_size: int) -> List[bytes]:
     from ..ops import snappy_device
+    from ..ops.lz4_device import MAX_DEVICE_BLOCK
+    if max(dlens, default=0) > MAX_DEVICE_BLOCK:
+        return _decompress_blocks_host(chunks, dlens, block_size)
     return snappy_device.decode_blocks(chunks, dlens, block_size)

@@ -96,6 +96,12 @@ class ZlibCodec(Codec):
                    expected_size: Optional[int] = None) -> bytes:
         out = container.decompress_rapped(data, self._adapter(handle, 1))
         if out is not None:
+            # verify the adler32 trailer appended at compress time (stock
+            # zlib would; the RAP path must not silently pass corruption)
+            if len(data) >= 4:
+                want = struct.unpack(">I", data[-4:])[0]
+                if zlib.adler32(out) & 0xFFFFFFFF != want:
+                    raise ValueError("zlib: adler32 mismatch on RAP stream")
             return out
         fn = dispatch.resolve("zlib", "decompress", handle.max_tier,
                               handle.opt_off)
@@ -133,6 +139,9 @@ def _zlib_decompress_blocks_host(chunks, dlens):
                    "zlib_compress_blocks_xla")
 def _zlib_compress_blocks_xla(blocks, level: int):
     from ..ops import deflate_device
+    from ..ops.lz4_device import MAX_DEVICE_BLOCK
+    if max(len(b) for b in blocks) > MAX_DEVICE_BLOCK:
+        return _zlib_compress_blocks_host(blocks, level)
     return deflate_device.encode_blocks(blocks, accel=2)
 
 

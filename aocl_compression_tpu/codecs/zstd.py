@@ -188,6 +188,9 @@ def _decompress_blocks_host(chunks: Sequence[bytes], dlens: Sequence[int],
 def _compress_blocks_xla(blocks: Sequence[bytes], level: int,
                          dictionary=None):
     from ..ops import zstd_device
+    from ..ops.lz4_device import MAX_DEVICE_BLOCK
+    if max(len(b) for b in blocks) > MAX_DEVICE_BLOCK:
+        return _compress_blocks_host(blocks, level, dictionary)
     return zstd_device.encode_blocks(blocks, level)
 
 

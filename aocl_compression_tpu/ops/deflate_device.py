@@ -226,6 +226,8 @@ def encode_blocks(blocks, accel: int = 1):
     Each chunk is a complete static block + empty stored block, so chunks
     are byte-aligned and their concatenation (+ final block) is a valid
     deflate stream. Returns (chunks, dlens)."""
+    from . import lz4_device
+    lz4_device.check_block_sizes(blocks)
     B = _bucket(max(len(b) for b in blocks))
     N = len(blocks)
     arr = np.zeros((N, B), dtype=np.uint8)

@@ -596,10 +596,27 @@ def _bucket(n: int, lo: int = 256) -> int:
     return b
 
 
+MAX_DEVICE_BLOCK = 65536  # positions/offsets are packed into 16 bits
+
+
+def check_block_sizes(blocks, what: str = "encode"):
+    """The device pipelines pack positions and LZ offsets into 16 bits
+    (key = (hash << 16) | pos and the (pos << 16) | off monotone fills), so
+    any block beyond 64 KiB would silently corrupt. Callers above 64 KiB
+    must split blocks or use the host tier (codec adapters do the latter)."""
+    big = max((len(b) for b in blocks), default=0)
+    if big > MAX_DEVICE_BLOCK:
+        raise ValueError(
+            f"device {what}: block of {big} bytes exceeds the 64 KiB "
+            f"device-pipeline limit (16-bit position packing); use the "
+            f"host tier or block_size <= {MAX_DEVICE_BLOCK}")
+
+
 def encode_blocks(blocks, accel: int = 1, depth: int = 2):
     """Compress a list of blocks on device; returns (bodies, tails) where
     bodies exclude the final literal-only sequence (stitcher input).
     depth > 2 = HC-grade candidate search (lz4hc device tier)."""
+    check_block_sizes(blocks)
     B = _bucket(max(len(b) for b in blocks))
     N = len(blocks)
     arr = np.zeros((N, B), dtype=np.uint8)
@@ -622,6 +639,10 @@ def decode_blocks(chunks, dlens, block_size: int):
     """Decompress a list of chunk regions on device."""
     if not chunks:
         return []
+    if max(dlens) > MAX_DEVICE_BLOCK:
+        raise ValueError(
+            "device decode: decompressed block exceeds the 64 KiB limit "
+            "(16-bit offset packing); use the host tier")
     C = _bucket(max((len(c) for c in chunks), default=1))
     # cap the reachability-matrix footprint (S matrices of 128^2 int8 per
     # chunk): split oversized batches

@@ -205,6 +205,7 @@ def literal_element(lits: bytes) -> bytes:
 def encode_blocks(blocks, accel: int = 1):
     """Compress blocks on device into self-contained headerless element
     streams; returns (fragments, dlens) ready for container assembly."""
+    lz.check_block_sizes(blocks)
     B = _bucket(max(len(b) for b in blocks))
     N = len(blocks)
     arr = np.zeros((N, B), dtype=np.uint8)
@@ -323,6 +324,11 @@ def decode_blocks(chunks, dlens, block_size: int):
     """Decompress headerless element-stream regions on device."""
     if not chunks:
         return []
+    if max(dlens) > lz.MAX_DEVICE_BLOCK:
+        raise ValueError(
+            "device decode: decompressed block exceeds the 64 KiB limit "
+            "(16-bit offset packing; 4-byte-offset tags unsupported); "
+            "use the host tier")
     C = _bucket(max((len(c) for c in chunks), default=1))
     # cap the reachability-matrix footprint (S matrices of 128^2 int8 per
     # chunk): split oversized batches

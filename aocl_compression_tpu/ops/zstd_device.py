@@ -470,6 +470,8 @@ def encode_blocks(blocks: Sequence[bytes], level: int = 1):
 
     level <= 2 -> tile-anchor parse (G=8); level >= 3 -> exact parse.
     Returns (frames, dlens) for the RAP container."""
+    from . import lz4_device
+    lz4_device.check_block_sizes(blocks)
     B = _bucket(max(len(b) for b in blocks))
     N = len(blocks)
     arr = np.zeros((N, B), dtype=np.uint8)

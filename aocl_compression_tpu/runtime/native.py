@@ -209,7 +209,14 @@ def rap_write(n_main: int, offsets, lens, dlens) -> bytes:
 
 
 def rap_parse(data: bytes) -> Optional[tuple]:
-    """Returns (offsets, lens, dlens) arrays, or None for a legacy stream."""
+    """Returns (offsets, lens, dlens) arrays, or None for a legacy stream.
+
+    The 65,536-entry capacity is format-inherent, not an implementation
+    cap: the RAP header stores the main-thread count in a 2-byte field
+    (reference threads/threads.h:60), so one frame can describe at most
+    65,535 chunks (4 GiB of payload at 64 KiB blocks). Larger payloads
+    must be split into multiple RAP streams by the caller.
+    """
     lib = get_lib()
     src = _tobuf(data)
     cap = 1 << 16

@@ -70,6 +70,17 @@ class FrameworkConfig:
     default_block_size: int = 64 * 1024
     # Unit-test instrumentation (reference: AOCL_UNIT_TEST hit counters).
     enable_audit: bool = False
+    # Device (XLA-tier) decompression opt-in. Measured round 1: the device
+    # LZ77 back-reference resolve is gather-bound and slower than the host
+    # C++ path, so RAP decode routes to HOST unless explicitly enabled
+    # (env AOCL_DEVICE_DECODE=1 or set_config(device_decode=True)).
+    device_decode: bool = False
+
+
+def device_decode_enabled() -> bool:
+    if os.environ.get("AOCL_DEVICE_DECODE") is not None:
+        return os.environ["AOCL_DEVICE_DECODE"] not in ("0", "")
+    return _config.device_decode
 
 
 _config = FrameworkConfig()
