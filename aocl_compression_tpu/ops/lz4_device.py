@@ -102,24 +102,24 @@ def grid_for_accel(accel: int) -> int:
 # Encoder
 # =============================================================================
 
-def _window_words(data_u8: jnp.ndarray, B: int):
+def _window_words(data_u8: jnp.ndarray, B: int, nw: int = NW):
     """w[k][i] = 4 bytes at position i + 4k, little-endian, as uint32."""
     d = data_u8.astype(jnp.uint32)
-    pad = jnp.concatenate([d, jnp.zeros(4 * NW + 8, jnp.uint32)])
+    pad = jnp.concatenate([d, jnp.zeros(4 * nw + 8, jnp.uint32)])
 
     def word_at(s):
         return (pad[s:s + B] | (pad[s + 1:s + B + 1] << 8)
                 | (pad[s + 2:s + B + 2] << 16)
                 | (pad[s + 3:s + B + 3] << 24))
 
-    return [word_at(4 * k) for k in range(NW + 1)]
+    return [word_at(4 * k) for k in range(nw + 1)]
 
 
-def _chain_match_len(cur, prev, ok0):
+def _chain_match_len(cur, prev, ok0, nw: int = NW):
     """Match length (>= MIN_MATCH where ok0) from two carried word chains."""
     mlen = jnp.where(ok0, jnp.int32(MIN_MATCH), 0)
     alive = ok0
-    for k in range(1, NW + 1):
+    for k in range(1, nw + 1):
         x = cur[k] ^ prev[k]
         eqw = x == 0
         b0 = (x & 0xFF) == 0
@@ -133,7 +133,7 @@ def _chain_match_len(cur, prev, ok0):
 
 
 def _find_matches(data_u8: jnp.ndarray, n: jnp.ndarray, B: int,
-                  max_off: int = 0, depth: int = 2):
+                  max_off: int = 0, depth: int = 2, nw: int = NW):
     """Per-position best (offset, matchlen) candidates — sort-centric.
 
     Returns (mlen, moff, valid) clamped to the format's end-of-block rules
@@ -145,7 +145,7 @@ def _find_matches(data_u8: jnp.ndarray, n: jnp.ndarray, B: int,
     compares, each fully fused elementwise work).
     """
     idx = jnp.arange(B, dtype=jnp.int32)
-    words = _window_words(data_u8, B)
+    words = _window_words(data_u8, B, nw)
     w0 = words[0]
     h = (w0 * jnp.uint32(2654435761)) >> jnp.uint32(32 - HASH_BITS)
     key = ((h << 16) | idx.astype(jnp.uint32)).astype(jnp.int32)
@@ -172,7 +172,7 @@ def _find_matches(data_u8: jnp.ndarray, n: jnp.ndarray, B: int,
         off = spos - pp
         if max_off:
             ok0 = ok0 & (off <= max_off)
-        ml = _chain_match_len(swords, pw, ok0)
+        ml = _chain_match_len(swords, pw, ok0, nw)
         better = ml > best_len
         best_len = jnp.where(better, ml, best_len)
         best_off = jnp.where(better, off, best_off)
@@ -393,6 +393,210 @@ def _emit(data_u8, pos, ml, off, nseq, n, B: int, OUTCAP: int, MAXSEQ: int):
     return out, body, tail
 
 
+def _grid_select(mlen, moff, valid, B: int, G: int):
+    """Tile-anchor election + MXU chain marking, un-compacted: returns
+    (sel, cpos, cml, coff) on the M = B//G tile domain. Factored out of
+    _grid_parse so the sort-emit path can consume tile-domain fields
+    directly (no MAXSEQ compaction)."""
+    M = B // G
+    shift = int(np.log2(G))
+    aidx = jnp.arange(M, dtype=jnp.int32)
+    idx = jnp.arange(B, dtype=jnp.int32)
+
+    score = jnp.where(valid, mlen - (idx & (G - 1)), -1)
+    sml, spos, soff = mlen, idx, moff
+    for step in (1, 2, 4, 8, 16, 32)[:shift]:
+        sc2 = jnp.concatenate([score[step:], jnp.full(step, -1, jnp.int32)])
+        ml2 = jnp.concatenate([sml[step:], sml[:step]])
+        po2 = jnp.concatenate([spos[step:], spos[:step]])
+        of2 = jnp.concatenate([soff[step:], soff[:step]])
+        take = sc2 > score
+        score = jnp.maximum(score, sc2)
+        sml = jnp.where(take, ml2, sml)
+        spos = jnp.where(take, po2, spos)
+        soff = jnp.where(take, of2, soff)
+    cvalid = score[::G] >= 0
+    cpos = spos[::G]
+    cml = sml[::G]
+    coff = soff[::G]
+
+    SUBM = min(M, 128)
+    S = M // SUBM
+    sub_end_pos = ((aidx // SUBM) + 1) * (SUBM * G)
+    cml = jnp.minimum(cml, sub_end_pos - cpos)
+    cvalid = cvalid & (cml >= MIN_MATCH)
+
+    end = cpos + cml
+    t0 = jax.lax.shift_right_logical(end, shift)
+    t0c = jnp.clip(t0, 0, M - 1)
+    use_floor = cvalid & (t0 > aidx) & (t0 < M) & (cpos[t0c] >= end)
+    nxt = jnp.where(cvalid, jnp.where(use_floor, t0, t0 + 1), aidx + 1)
+
+    jloc = (nxt - (aidx // SUBM) * SUBM).reshape(S, SUBM)
+    cols = jnp.arange(SUBM, dtype=jnp.int32)
+    edge = (jloc[:, :, None] == cols[None, None, :])
+    eye = jnp.eye(SUBM, dtype=jnp.bool_)[None]
+    A = (edge | eye).astype(jnp.int8)
+
+    def body(_, A):
+        A2 = jnp.matmul(A, A, preferred_element_type=jnp.int32)
+        return jnp.minimum(A2, 1).astype(jnp.int8)
+
+    rounds = int(np.ceil(np.log2(max(SUBM, 2))))
+    A = jax.lax.fori_loop(0, rounds, body, A)
+    sel = (A[:, 0, :] > 0).reshape(M) & cvalid
+    return sel, cpos, cml, coff
+
+
+def _nlx_of(lit):
+    return jnp.where(lit < 15, 0, 1 + (lit - 15) // 255)
+
+
+def _nmx_of(ml):
+    return jnp.where(ml - MIN_MATCH < 15, 0, 1 + (ml - 19) // 255)
+
+
+_DUMMY_POS = jnp.int32(1 << 17)   # > any real out position (body <= B <= 64Ki)
+_BIGPOS = jnp.int32(1 << 20)
+
+
+def _emit_sorted(data_u8, n, sel, cpos, cml, coff, B: int, G: int):
+    """Gather-free, scatter-free serializer (the round-2 emit).
+
+    Every output byte is sourced from the INPUT byte domain:
+      - literal bytes carry their own input byte;
+      - the >= MIN_MATCH matched positions of each sequence ("spares") carry
+        its header bytes: spare k=0 -> token, 1..nlx -> literal-extension
+        bytes, nlx+1/nlx+2 -> offset, nlx+3.. -> match-extension bytes.
+    Per-byte covering-sequence fields come from monotone cummax/cummin
+    fills on the tile domain (values already live there — no scatter), and
+    ONE variadic sort of (out_pos << 8 | byte) materializes the stream:
+    coverage of [0, body) is exact by construction, so rank == position.
+
+    A block is FLAGGED (host re-encode) iff some sequence's header needs
+    more bytes than its match has spares (3 + nlx + nmx > ml) — only
+    possible for a >=258-byte literal run followed by a tiny match; the
+    caller routes flagged blocks to the C++ oracle. In unflagged blocks
+    every header byte is paid for by a spare, so body <= n <= B.
+    """
+    M = B // G
+    end_t = jnp.where(sel, cpos + cml, 0)
+    # previous selected end (per-sequence literal run start)
+    ce = jax.lax.cummax(end_t)
+    pe = jnp.concatenate([jnp.zeros(1, jnp.int32), ce[:-1]])
+    lit_t = jnp.where(sel, cpos - pe, 0)
+    ml_t = jnp.where(sel, cml, 0)
+    nlx_t = _nlx_of(lit_t)
+    nmx_t = _nmx_of(ml_t)
+    seq_sz = jnp.where(sel, 3 + nlx_t + lit_t + nmx_t, 0)
+    incl = jnp.cumsum(seq_sz)
+    body = incl[-1]
+    flag = jnp.any(sel & (3 + nlx_t + nmx_t > ml_t))
+    tail = n - ce[-1]
+
+    # --- tile-domain monotone fills ----------------------------------------
+    # F = fields of the last selected sequence at tile <= t; P = F's
+    # predecessor; N = position of the next selected sequence at tile > t.
+    # Packs are strictly increasing over selected tiles (pos/end increase),
+    # so cummax-fill is a valid "last selected value" broadcast.
+    packF1 = ((cpos << 16) | coff) + _NEG            # pos_F, off_F
+    packF2 = (((cpos + cml - 1) << 16) | lit_t) + _NEG  # end_F-1, lit_F
+    f1 = jax.lax.cummax(jnp.where(sel, packF1, _NEG))
+    f2 = jax.lax.cummax(jnp.where(sel, packF2, _NEG))
+    p1 = jax.lax.cummax(jnp.where(
+        sel, jnp.concatenate([jnp.full(1, _NEG), f1[:-1]]), _NEG))
+    p2 = jax.lax.cummax(jnp.where(
+        sel, jnp.concatenate([jnp.full(1, _NEG), f2[:-1]]), _NEG))
+    rn = jax.lax.cummin(jnp.where(sel, cpos, _BIGPOS), reverse=True)
+    rnx = jnp.concatenate([rn[1:], jnp.full(1, _BIGPOS)])  # next sel > t
+
+    def bcast(x):
+        return jnp.repeat(x, G, total_repeat_length=B)
+
+    i = jnp.arange(B, dtype=jnp.int32)
+    bf1, bf2, bp1, bp2 = bcast(f1), bcast(f2), bcast(p1), bcast(p2)
+    b_incl, b_posN = bcast(incl), bcast(rnx)
+
+    def unpack(f):
+        u = f - _NEG
+        return jax.lax.shift_right_logical(u, 16), u & 0xFFFF
+
+    posF, offF = unpack(bf1)
+    endF1, litF = unpack(bf2)
+    endF = jnp.where(bf1 == _NEG, 0, endF1 + 1)
+    posP, offP = unpack(bp1)
+    endP1, litP = unpack(bp2)
+
+    covered = (bf1 != _NEG) & (i < endF)
+    useP = covered & (i < posF - litF)   # before F's literal run: P's spare
+
+    pos_x = jnp.where(useP, posP, posF)
+    off_x = jnp.where(useP, offP, offF)
+    lit_x = jnp.where(useP, litP, litF)
+    end_x = jnp.where(useP, endP1 + 1, endF)
+    ml_x = end_x - pos_x
+    nlx_x = _nlx_of(lit_x)
+    nmx_x = _nmx_of(ml_x)
+    sz_x = 3 + nlx_x + lit_x + nmx_x
+    # exclusive output offset of the chosen sequence: incl[t] is the sum
+    # through F; walk back one (F) or two (P) sequence sizes
+    szF = 3 + _nlx_of(litF) + litF + _nmx_of(endF - posF)
+    excl_x = jnp.where(useP, b_incl - szF - sz_x, b_incl - sz_x)
+
+    # --- N branch (literal of the next sequence / tail) --------------------
+    litN = b_posN - endF
+    nlxN = _nlx_of(litN)
+    opN = b_incl + 1 + nlxN + (i - endF)
+
+    # --- covered branch: role by spare index k -----------------------------
+    k = i - pos_x
+    is_lit = covered & (k < 0)
+    # literal of X: out = excl + 1 + nlx + (i - lit_start)
+    opL = excl_x + 1 + nlx_x + (i - (pos_x - lit_x))
+    # spares
+    tok = (jnp.minimum(lit_x, 15) << 4) | jnp.minimum(ml_x - MIN_MATCH, 15)
+    j_lx = k - 1
+    v_lx = jnp.clip(lit_x - 15 - 255 * j_lx, 0, 255)
+    j_mx = k - nlx_x - 3
+    v_mx = jnp.clip(ml_x - 19 - 255 * j_mx, 0, 255)
+    base_lit_end = excl_x + 1 + nlx_x + lit_x   # offset field position
+    op_sp = jnp.where(
+        k == 0, excl_x,
+        jnp.where(k <= nlx_x, excl_x + k,
+                  jnp.where(k == nlx_x + 1, base_lit_end,
+                            jnp.where(k == nlx_x + 2, base_lit_end + 1,
+                                      base_lit_end + 2 + j_mx))))
+    v_sp = jnp.where(
+        k == 0, tok,
+        jnp.where(k <= nlx_x, v_lx,
+                  jnp.where(k == nlx_x + 1, off_x & 255,
+                            jnp.where(k == nlx_x + 2,
+                                      jax.lax.shift_right_logical(off_x, 8),
+                                      v_mx))))
+    sp_dead = k >= 3 + nlx_x + nmx_x
+
+    d = data_u8.astype(jnp.int32)
+    op = jnp.where(covered,
+                   jnp.where(is_lit, opL, jnp.where(sp_dead, _DUMMY_POS,
+                                                    op_sp)),
+                   jnp.where(b_posN >= _BIGPOS, _DUMMY_POS, opN))
+    val = jnp.where(covered & ~is_lit, v_sp, d)
+    op = jnp.where(i < n, op, _DUMMY_POS)
+
+    key = jnp.where(op >= _DUMMY_POS, jnp.int32(1) << 26, (op << 8) | val)
+    (skey,) = jax.lax.sort([key], num_keys=1, is_stable=False)
+    out = (skey & 0xFF).astype(jnp.uint8)
+    out = jnp.where(jnp.arange(B) < body, out, 0).astype(jnp.uint8)
+    return out, body, tail, flag
+
+
+def _encode_block_v2(data_u8, n, B: int, G: int, depth: int = 2,
+                     nw: int = NW):
+    mlen, moff, valid = _find_matches(data_u8, n, B, depth=depth, nw=nw)
+    sel, cpos, cml, coff = _grid_select(mlen, moff, valid, B, G)
+    return _emit_sorted(data_u8, n, sel, cpos, cml, coff, B, G)
+
+
 def _encode_block(data_u8, n, B: int, OUTCAP: int, MAXSEQ: int, G: int = 0,
                   depth: int = 2):
     mlen, moff, valid = _find_matches(data_u8, n, B, depth=depth)
@@ -406,14 +610,26 @@ def _encode_block(data_u8, n, B: int, OUTCAP: int, MAXSEQ: int, G: int = 0,
 
 
 @functools.lru_cache(maxsize=32)
-def make_encoder(block_size: int, G: int = 0, depth: int = 2):
+def make_encoder(block_size: int, G: int = 0, depth: int = 2,
+                 nw: int = NW):
     """Build the jitted batched encoder for a given block size / parse grid.
 
     Signature: (blocks u8[N, B], lens i32[N]) ->
-               (bodies u8[N, OUTCAP], body_sizes i32[N], tails i32[N])
-    depth > 2 is the HC-grade matcher (see _find_matches).
+               (bodies u8[N, OUTCAP], body_sizes i32[N], tails i32[N],
+                flags bool[N])
+    depth > 2 is the HC-grade matcher (see _find_matches). flags marks
+    blocks the sort-emit could not serialize (see _emit_sorted) — callers
+    re-encode those on the host tier; always all-False for the G==0 path.
     """
     B = block_size
+    if G >= 2:
+        @jax.jit
+        def encode(blocks, lens):
+            fn = functools.partial(_encode_block_v2, B=B, G=G, depth=depth,
+                                   nw=nw)
+            return jax.vmap(fn)(blocks, lens)
+        return encode
+
     OUTCAP = out_capacity(B)
     MAXSEQ = (B // max(G, MIN_MATCH)) + 2
 
@@ -421,7 +637,8 @@ def make_encoder(block_size: int, G: int = 0, depth: int = 2):
     def encode(blocks, lens):
         fn = functools.partial(_encode_block, B=B, OUTCAP=OUTCAP,
                                MAXSEQ=MAXSEQ, G=G, depth=depth)
-        return jax.vmap(fn)(blocks, lens)
+        out, body, tail = jax.vmap(fn)(blocks, lens)
+        return out, body, tail, jnp.zeros(body.shape, jnp.bool_)
 
     return encode
 
@@ -628,11 +845,24 @@ def encode_blocks(blocks, accel: int = 1, depth: int = 2):
     if G and G * 4 > B:  # tiny blocks: grid overhead isn't worth it
         G = 0
     enc = make_encoder(B, G, depth)
-    out, sizes, tails = jax.block_until_ready(
+    out, sizes, tails, flags = jax.block_until_ready(
         enc(jnp.asarray(arr), jnp.asarray(lens)))
     from . import compact
     bodies = compact.fetch_chunks(out, sizes)
-    return bodies, [int(t) for t in np.asarray(tails)]
+    tails = [int(t) for t in np.asarray(tails)]
+    flags = np.asarray(flags)
+    if flags.any():
+        # pathological blocks (giant literal run + tiny match: header
+        # exceeds the match's spare capacity) — re-encode on the host
+        # oracle; same stitcher contract (body excludes the final
+        # literal-only sequence). Rare by construction.
+        from ..codecs.lz4_stitch import final_sequence_len
+        from ..runtime import native
+        for i in np.nonzero(flags)[0]:
+            stream, t = native.lz4_compress_tail(blocks[i], max(accel, 1))
+            bodies[i] = stream[:len(stream) - final_sequence_len(t)]
+            tails[i] = t
+    return bodies, tails
 
 
 def decode_blocks(chunks, dlens, block_size: int):

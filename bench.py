@@ -61,7 +61,7 @@ def main():
     ja, jl = jnp.asarray(arr), jnp.asarray(lens)
 
     # warmup / compile
-    out, sizes, tails = enc(ja, jl)
+    out, sizes, tails, flags = enc(ja, jl)
     _ = np.asarray(sizes)
 
     # steady-state streaming rate: keep two batches in flight so dispatch
@@ -70,7 +70,7 @@ def main():
     t0 = time.perf_counter()
     pending = []
     for _ in range(iters):
-        out, sizes, tails = enc(ja, jl)
+        out, sizes, tails, flags = enc(ja, jl)
         pending.append(sizes)
         if len(pending) > 1:
             _ = np.asarray(pending.pop(0))
