@@ -135,13 +135,6 @@ def _cdict(level: int, dictionary: Optional[bytes]):
         level=level, dict_data=z.ZstdCompressionDict(dictionary))
 
 
-def _ddict(dictionary: Optional[bytes]):
-    z = _zstd()
-    if dictionary is None:
-        return z.ZstdDecompressor()
-    return z.ZstdDecompressor(dict_data=z.ZstdCompressionDict(dictionary))
-
-
 @dispatch.register("zstd", "compress", TIER_HOST, "zstd_compress_host")
 def _compress_host(data: bytes, level: int, dictionary=None) -> bytes:
     return _cdict(level, dictionary).compress(data)
@@ -158,26 +151,16 @@ def _compress_blocks_host(blocks: Sequence[bytes], level: int,
 @dispatch.register("zstd", "decompress", TIER_HOST, "zstd_decompress_host")
 def _decompress_host(data: bytes, expected_size=None,
                      dictionary=None) -> bytes:
-    dctx = _ddict(dictionary)
-    # handle multi-frame streams (concatenated frames are valid zstd)
-    out = []
-    buf = memoryview(data)
-    while len(buf) > 0:
-        dobj = dctx.decompressobj()
-        out.append(dobj.decompress(bytes(buf)))
-        consumed = len(buf) - len(dobj.unused_data)
-        buf = memoryview(dobj.unused_data) if dobj.unused_data else buf[:0]
-        if consumed == 0:
-            break
-    return b"".join(out)
+    # own C++ frame decoder (csrc/zstd_decode.cpp) — handles concatenated
+    # and skippable frames, checksums, and structured/raw dictionaries
+    return native.zstd_decompress(data, expected_size, dictionary)
 
 
 @dispatch.register("zstd", "decompress_blocks", TIER_HOST,
                    "zstd_decompress_blocks_host")
 def _decompress_blocks_host(chunks: Sequence[bytes], dlens: Sequence[int],
                             dictionary=None) -> List[bytes]:
-    dctx = _ddict(dictionary)
-    return [dctx.decompress(c, max_output_size=d)
+    return [native.zstd_decompress(c, d, dictionary)
             for c, d in zip(chunks, dlens)]
 
 

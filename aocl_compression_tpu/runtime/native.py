@@ -68,6 +68,15 @@ def get_lib() -> ctypes.CDLL:
             ("atpu_xxh32", ctypes.c_uint32, [_u8p, _i64, ctypes.c_uint32]),
             ("atpu_lz4_decompress_dict", _i64,
              [_u8p, _i64, _u8p, _i64, _u8p, _i64]),
+            ("atpu_zstd_decompress", _i64,
+             [_u8p, ctypes.c_size_t, _u8p, ctypes.c_size_t, _u8p,
+              ctypes.c_size_t]),
+            ("atpu_zstd_decompress_frame", _i64,
+             [_u8p, ctypes.c_size_t, _u8p, ctypes.c_size_t, _u8p,
+              ctypes.c_size_t, ctypes.POINTER(ctypes.c_size_t)]),
+            ("atpu_zstd_frame_content_size", _i64, [_u8p, ctypes.c_size_t]),
+            ("atpu_xxh64", ctypes.c_uint64,
+             [_u8p, ctypes.c_size_t, ctypes.c_uint64]),
         ]:
             fn = getattr(lib, name)
             fn.restype = restype
@@ -265,3 +274,54 @@ def xxh32(data: bytes, seed: int = 0) -> int:
     if len(data) == 0:
         return get_lib().atpu_xxh32(_u8p(), 0, seed)
     return get_lib().atpu_xxh32(_as_u8p(_tobuf(data)), len(data), seed)
+
+
+# --- zstd (own C++ decoder, csrc/zstd_decode.cpp) ----------------------------
+
+def zstd_frame_content_size(data: bytes) -> Optional[int]:
+    """Declared content size of the first frame, or None if unknown."""
+    n = get_lib().atpu_zstd_frame_content_size(_as_u8p(_tobuf(data)),
+                                               len(data))
+    return int(n) if n >= 0 else None
+
+
+def zstd_decompress(data: bytes, expected_size: Optional[int] = None,
+                    dictionary: Optional[bytes] = None) -> bytes:
+    """Decode a stream of concatenated zstd frames (incl. skippable) with
+    the own C++ decoder — no third-party zstd anywhere on this path.
+
+    Capacity: expected_size if given, else the sum of declared frame
+    content sizes when known, else grow-and-retry (the decoder returns a
+    distinct dst-too-small error so retries are cheap).
+    """
+    if not data:
+        return b""
+    lib = get_lib()
+    src = _tobuf(data)
+    d = _tobuf(dictionary) if dictionary else None
+    dp = _as_u8p(d) if d is not None and d.size else None
+    dlen = int(d.size) if d is not None else 0
+    if expected_size is not None:
+        cap = max(1, expected_size)
+    else:
+        probe = lib.atpu_zstd_frame_content_size(_as_u8p(src), len(data))
+        cap = max(64, int(probe) * 2 + 64) if probe > 0 else \
+            max(64, 4 * len(data))
+    while True:
+        dst = np.empty(cap, dtype=np.uint8)
+        n = lib.atpu_zstd_decompress(_as_u8p(src), len(data), _as_u8p(dst),
+                                     dst.size, dp, dlen)
+        if n >= 0:
+            return dst[:n].tobytes()
+        if n == -2 and cap < (1 << 31):  # dst too small
+            cap *= 4
+            continue
+        if n == -4:
+            raise ValueError("zstd: content checksum mismatch")
+        if n == -3:
+            raise ValueError("zstd: bad dictionary")
+        raise ValueError("zstd: corrupt stream")
+
+
+def xxh64(data: bytes, seed: int = 0) -> int:
+    return int(get_lib().atpu_xxh64(_as_u8p(_tobuf(data)), len(data), seed))

@@ -1,0 +1,886 @@
+// Own zstd frame decoder (RFC 8878) — no third-party code.
+//
+// Replaces the round-1 delegate to the `zstandard` pip package for every
+// decompression path (VERDICT item 3). Decodes stock-zstd frames, our
+// device-pipeline frames (ops/zstd_device.py), skippable frames, and
+// frames using structured or raw-content dictionaries.
+//
+// Capability parity target: /root/reference/algos/zstd/lib/decompress/
+// zstd_decompress.c (frame loop, :1252-1330), zstd_decompress_block.c
+// (literals + sequences), huf_decompress.c (Huffman), and the FSE ncount
+// reader in lib/common/entropy_common.c. This file is an independent
+// implementation from the spec; conventions (canonical Huffman ordering,
+// FSE state spread, backward bitstreams) cross-checked against our own
+// encoder in aocl_compression_tpu/codecs/zstd_format.py.
+
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+
+#define ATPU_EXPORT extern "C" __attribute__((visibility("default")))
+
+namespace {
+
+typedef uint8_t u8;
+typedef uint16_t u16;
+typedef uint32_t u32;
+typedef uint64_t u64;
+typedef long long i64;
+
+// error codes (negative returns through the C API)
+enum {
+  ERR_CORRUPT = -1,
+  ERR_DST_SMALL = -2,
+  ERR_DICT = -3,
+  ERR_CHECKSUM = -4,
+};
+
+static inline int highbit32(u32 v) { return 31 - __builtin_clz(v); }
+
+// ---------------------------------------------------------------------------
+// XXH64 (checksum verification; spec constants)
+// ---------------------------------------------------------------------------
+static const u64 P1 = 0x9E3779B185EBCA87ULL, P2 = 0xC2B2AE3D27D4EB4FULL,
+                 P3 = 0x165667B19E3779F9ULL, P4 = 0x85EBCA77C2B2AE63ULL,
+                 P5 = 0x27D4EB2F165667C5ULL;
+
+static inline u64 rotl64(u64 x, int r) { return (x << r) | (x >> (64 - r)); }
+static inline u64 rd64le(const u8* p) { u64 v; memcpy(&v, p, 8); return v; }
+static inline u32 rd32le(const u8* p) { u32 v; memcpy(&v, p, 4); return v; }
+static inline u16 rd16le(const u8* p) { u16 v; memcpy(&v, p, 2); return v; }
+
+static u64 xxh64(const u8* p, size_t len, u64 seed) {
+  const u8* end = p + len;
+  u64 h;
+  if (len >= 32) {
+    u64 v1 = seed + P1 + P2, v2 = seed + P2, v3 = seed, v4 = seed - P1;
+    const u8* limit = end - 32;
+    do {
+      v1 = rotl64(v1 + rd64le(p) * P2, 31) * P1; p += 8;
+      v2 = rotl64(v2 + rd64le(p) * P2, 31) * P1; p += 8;
+      v3 = rotl64(v3 + rd64le(p) * P2, 31) * P1; p += 8;
+      v4 = rotl64(v4 + rd64le(p) * P2, 31) * P1; p += 8;
+    } while (p <= limit);
+    h = rotl64(v1, 1) + rotl64(v2, 7) + rotl64(v3, 12) + rotl64(v4, 18);
+    u64 vs[4] = {v1, v2, v3, v4};
+    for (int i = 0; i < 4; i++) {
+      h ^= rotl64(vs[i] * P2, 31) * P1;
+      h = h * P1 + P4;
+    }
+  } else {
+    h = seed + P5;
+  }
+  h += (u64)len;
+  while (p + 8 <= end) {
+    h ^= rotl64(rd64le(p) * P2, 31) * P1;
+    h = rotl64(h, 27) * P1 + P4;
+    p += 8;
+  }
+  if (p + 4 <= end) {
+    h ^= (u64)rd32le(p) * P1;
+    h = rotl64(h, 23) * P2 + P3;
+    p += 4;
+  }
+  while (p < end) {
+    h ^= (*p++) * P5;
+    h = rotl64(h, 11) * P1;
+  }
+  h ^= h >> 33; h *= P2; h ^= h >> 29; h *= P3; h ^= h >> 32;
+  return h;
+}
+
+// ---------------------------------------------------------------------------
+// Bit readers. Bits are numbered LSB-first within the byte stream; codes
+// were accumulated little-endian by the encoder. The backward reader
+// consumes from the sentinel bit (highest set bit of the last byte) down.
+// ---------------------------------------------------------------------------
+
+static inline u64 bits_range(const u8* base, const u8* bend, i64 lo, int n) {
+  // value of bits [lo, lo+n) with zero-fill below bit 0
+  if (n <= 0) return 0;
+  int pre = 0;
+  if (lo < 0) {
+    pre = (int)(-lo);
+    if (pre >= n) return 0;
+    lo = 0;
+    n -= pre;
+  }
+  const u8* p = base + (lo >> 3);
+  u64 v = 0;
+  size_t avail = (p < bend) ? (size_t)(bend - p) : 0;
+  memcpy(&v, p, avail > 8 ? 8 : avail);
+  v >>= (lo & 7);
+  if (n < 64) v &= ((1ULL << n) - 1);
+  return v << pre;
+}
+
+struct BackReader {
+  const u8* base;
+  const u8* bend;
+  i64 pos;  // number of unread payload bits
+  bool ok;
+
+  bool init(const u8* src, size_t size) {
+    base = src;
+    bend = src + size;
+    ok = true;
+    if (size == 0 || src[size - 1] == 0) { ok = false; pos = 0; return false; }
+    pos = (i64)(size - 1) * 8 + highbit32(src[size - 1]);
+    return true;
+  }
+  u64 read(int n) {  // consume n bits (zero-filled past start)
+    pos -= n;
+    return bits_range(base, bend, pos, n);
+  }
+  u64 peek(int n) const { return bits_range(base, bend, pos - n, n); }
+  void skip(int n) { pos -= n; }
+  bool finished() const { return pos == 0; }
+  bool overflowed() const { return pos < 0; }
+};
+
+struct FwdReader {
+  const u8* base;
+  const u8* bend;
+  i64 pos = 0;
+
+  FwdReader(const u8* p, const u8* e) : base(p), bend(e) {}
+  u64 read(int n) { u64 v = bits_range(base, bend, pos, n); pos += n; return v; }
+  u64 peek(int n) const { return bits_range(base, bend, pos, n); }
+  void skip(int n) { pos += n; }
+  size_t bytes_used() const { return (size_t)((pos + 7) >> 3); }
+};
+
+// ---------------------------------------------------------------------------
+// FSE decode tables
+// ---------------------------------------------------------------------------
+
+static const int FSE_MAX_LOG = 9;          // LL/ML <= 9, OF <= 8, weights <= 6
+static const int FSE_MAX_SYMBS = 256;
+
+struct FSEDec {
+  u16 base[1 << FSE_MAX_LOG];   // new state base
+  u8 sym[1 << FSE_MAX_LOG];
+  u8 nb[1 << FSE_MAX_LOG];
+  int log = -1;
+};
+
+// Parse a normalized-count header (forward bitstream). Returns header size
+// in bytes, or <0. norm[] gets counts (-1 = less-than-1 probability).
+static int parse_ncount(const u8* src, size_t srcSize, short* norm,
+                        int maxSym, int maxLog, int* tableLogOut,
+                        int* lastSymOut) {
+  if (srcSize < 1) return ERR_CORRUPT;
+  FwdReader br(src, src + srcSize);
+  int tl = (int)br.read(4) + 5;
+  if (tl > maxLog) return ERR_CORRUPT;
+  int remaining = (1 << tl) + 1;
+  int threshold = 1 << tl;
+  int nbbits = tl + 1;
+  int s = 0;
+  bool prev0 = false;
+  memset(norm, 0, sizeof(short) * (maxSym + 1));
+  while (remaining > 1) {
+    if (s > maxSym) return ERR_CORRUPT;
+    if (prev0) {
+      for (;;) {
+        int v = (int)br.read(2);
+        if (v == 3) { s += 3; if (s > maxSym + 1) return ERR_CORRUPT; }
+        else { s += v; break; }
+      }
+      if (s > maxSym) return ERR_CORRUPT;
+      prev0 = false;
+      continue;
+    }
+    int maxv = (2 * threshold - 1) - remaining;
+    int count;
+    int low = (int)(br.peek(nbbits) & (u32)(threshold - 1));
+    if (low < maxv) {
+      count = low;
+      br.skip(nbbits - 1);
+    } else {
+      int full = (int)(br.peek(nbbits) & (u32)(2 * threshold - 1));
+      if (full >= threshold) full -= maxv;
+      count = full;
+      br.skip(nbbits);
+    }
+    count -= 1;  // -1 = low-probability
+    remaining -= count < 0 ? -count : count;
+    norm[s++] = (short)count;
+    prev0 = (count == 0);
+    while (remaining < threshold && remaining > 1) { nbbits--; threshold >>= 1; }
+  }
+  if (remaining != 1) return ERR_CORRUPT;
+  if (br.bytes_used() > srcSize) return ERR_CORRUPT;
+  *tableLogOut = tl;
+  *lastSymOut = s - 1;
+  return (int)br.bytes_used();
+}
+
+// Build a decode table from normalized counts (the canonical spread).
+static int fse_build(FSEDec* t, const short* norm, int lastSym, int tableLog) {
+  if (tableLog > FSE_MAX_LOG) return ERR_CORRUPT;
+  int size = 1 << tableLog;
+  int hi = size - 1;
+  u16 symbolNext[FSE_MAX_SYMBS];
+  // low-probability symbols parked at the table end (state count 1,
+  // transition reads a full tableLog bits)
+  for (int sy = 0; sy <= lastSym; sy++) {
+    if (norm[sy] == -1) {
+      t->sym[hi--] = (u8)sy;
+      symbolNext[sy] = 1;
+    } else {
+      symbolNext[sy] = (u16)norm[sy];
+    }
+  }
+  int pos = 0;
+  int step = (size >> 1) + (size >> 3) + 3;
+  int mask = size - 1;
+  for (int sy = 0; sy <= lastSym; sy++) {
+    for (int k = 0; k < norm[sy]; k++) {
+      t->sym[pos] = (u8)sy;
+      pos = (pos + step) & mask;
+      while (pos > hi) pos = (pos + step) & mask;
+    }
+  }
+  if (pos != 0) return ERR_CORRUPT;
+  for (int st = 0; st < size; st++) {
+    u8 sy = t->sym[st];
+    u16 next = symbolNext[sy]++;  // >= 1 always (count or parked lowprob)
+    int nb = tableLog - highbit32(next);
+    t->nb[st] = (u8)nb;
+    t->base[st] = (u16)((next << nb) - size);
+  }
+  t->log = tableLog;
+  return 0;
+}
+
+static void fse_rle(FSEDec* t, u8 symbol) {
+  t->log = 0;
+  t->sym[0] = symbol;
+  t->nb[0] = 0;
+  t->base[0] = 0;
+}
+
+// ---------------------------------------------------------------------------
+// Huffman
+// ---------------------------------------------------------------------------
+
+static const int HUF_MAX_LOG = 11;
+
+struct HufDec {
+  u8 sym[1 << HUF_MAX_LOG];
+  u8 nb[1 << HUF_MAX_LOG];
+  int log = -1;
+};
+
+// Decode the weight stream (direct nibbles or FSE-compressed) and build the
+// single-level decode table. Returns bytes consumed from src, or <0.
+static int huf_read_table(HufDec* h, const u8* src, size_t srcSize) {
+  if (srcSize < 1) return ERR_CORRUPT;
+  int hb = src[0];
+  u8 weights[256];
+  int nweights;
+  size_t used;
+  if (hb >= 128) {
+    nweights = hb - 127;
+    used = 1 + (size_t)((nweights + 1) / 2);
+    if (used > srcSize) return ERR_CORRUPT;
+    for (int i = 0; i < nweights; i++) {
+      u8 b = src[1 + i / 2];
+      weights[i] = (i & 1) ? (b & 0x0F) : (b >> 4);
+    }
+  } else {
+    size_t csize = (size_t)hb;
+    if (1 + csize > srcSize) return ERR_CORRUPT;
+    const u8* ws = src + 1;
+    short norm[256];
+    int tl, lastSym;
+    int hdr = parse_ncount(ws, csize, norm, 255, 6, &tl, &lastSym);
+    if (hdr < 0) return hdr;
+    FSEDec ft;
+    if (fse_build(&ft, norm, lastSym, tl) < 0) return ERR_CORRUPT;
+    BackReader br;
+    if (!br.init(ws + hdr, csize - hdr)) return ERR_CORRUPT;
+    int s1 = (int)br.read(tl);
+    int s2 = (int)br.read(tl);
+    if (br.overflowed()) return ERR_CORRUPT;
+    // two interleaved states; when a transition would overrun the stream,
+    // the other state emits its final symbol and decoding stops
+    nweights = 0;
+    for (;;) {
+      if (nweights >= 255) return ERR_CORRUPT;
+      weights[nweights++] = ft.sym[s1];
+      int nb = ft.nb[s1];
+      if (br.pos < nb) { // s1 cannot update: flush s2 and stop
+        if (nweights >= 255) return ERR_CORRUPT;
+        weights[nweights++] = ft.sym[s2];
+        break;
+      }
+      s1 = ft.base[s1] + (int)br.read(nb);
+      int t = s1; s1 = s2; s2 = t;
+    }
+    used = 1 + csize;
+  }
+  if (nweights < 1 || nweights > 255) return ERR_CORRUPT;
+  // implied last weight completes the Kraft sum to a power of two
+  u32 total = 0;
+  for (int i = 0; i < nweights; i++) {
+    if (weights[i] > HUF_MAX_LOG) return ERR_CORRUPT;
+    if (weights[i]) total += 1u << (weights[i] - 1);
+  }
+  if (total == 0) return ERR_CORRUPT;
+  int tableLog = highbit32(total) + 1;
+  if (tableLog > HUF_MAX_LOG) return ERR_CORRUPT;
+  u32 rest = (1u << tableLog) - total;
+  if (rest == 0 || (rest & (rest - 1))) return ERR_CORRUPT;  // must be 2^k
+  int lastW = highbit32(rest) + 1;
+  int nsym = nweights + 1;
+  if (nsym > 256) return ERR_CORRUPT;
+  u8 wts[257];
+  memcpy(wts, weights, nweights);
+  wts[nweights] = (u8)lastW;
+
+  // canonical fill: weight ascending (longest codes first), natural symbol
+  // order within a weight; symbol of weight w spans 2^(w-1) table cells
+  int pos = 0;
+  for (int w = 1; w <= tableLog; w++) {
+    int span = 1 << (w - 1);
+    for (int sy = 0; sy < nsym; sy++) {
+      if (wts[sy] != w) continue;
+      if (pos + span > (1 << tableLog)) return ERR_CORRUPT;
+      memset(h->sym + pos, sy, span);
+      memset(h->nb + pos, tableLog + 1 - w, span);
+      pos += span;
+    }
+  }
+  if (pos != (1 << tableLog)) return ERR_CORRUPT;
+  h->log = tableLog;
+  return (int)used;
+}
+
+static int huf_decode_stream(const HufDec* h, const u8* src, size_t srcSize,
+                             u8* dst, size_t outLen) {
+  BackReader br;
+  if (!br.init(src, srcSize)) return ERR_CORRUPT;
+  int log = h->log;
+  for (size_t i = 0; i < outLen; i++) {
+    u32 idx = (u32)br.peek(log);
+    dst[i] = h->sym[idx];
+    br.skip(h->nb[idx]);
+    if (br.pos < 0) return ERR_CORRUPT;
+  }
+  if (!br.finished()) return ERR_CORRUPT;
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Sequences
+// ---------------------------------------------------------------------------
+
+static const u32 LL_BASE[36] = {
+  0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 18, 20, 22, 24,
+  28, 32, 40, 48, 64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384, 32768,
+  65536};
+static const u8 LL_BITS[36] = {
+  0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 3, 3,
+  4, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16};
+static const u32 ML_BASE[53] = {
+  3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18, 19, 20, 21, 22,
+  23, 24, 25, 26, 27, 28, 29, 30, 31, 32, 33, 34, 35, 37, 39, 41, 43, 47,
+  51, 59, 67, 83, 99, 131, 259, 515, 1027, 2051, 4099, 8195, 16387, 32771,
+  65539};
+static const u8 ML_BITS[53] = {
+  0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+  0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 3, 3, 4, 4, 5, 7, 8, 9, 10,
+  11, 12, 13, 14, 15, 16};
+
+// RFC 8878 predefined distributions
+static const short LL_DEF[36] = {4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1,
+  1, 2, 2, 2, 2, 2, 2, 2, 2, 2, 3, 2, 1, 1, 1, 1, 1, -1, -1, -1, -1};
+static const short ML_DEF[53] = {1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1,
+  1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+  1, 1, 1, 1, 1, 1, 1, -1, -1, -1, -1, -1, -1, -1};
+static const short OF_DEF[29] = {1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1,
+  1, 1, 1, 1, 1, 1, 1, 1, 1, -1, -1, -1, -1, -1};
+
+// ---------------------------------------------------------------------------
+// Frame decoding context
+// ---------------------------------------------------------------------------
+
+struct DCtx {
+  HufDec huf;                 // persists across blocks (treeless literals)
+  FSEDec ll, of, ml;
+  bool llV = false, ofV = false, mlV = false;
+  u32 rep[3] = {1, 4, 8};
+  const u8* dictContent = nullptr;
+  size_t dictLen = 0;
+  u32 dictID = 0;
+};
+
+// Parse a structured dictionary (magic 0xEC30A437): entropy tables
+// (Huffman, then OF/ML/LL FSE), 3 rep offsets, then content.
+// Raw-content dictionaries are any buffer without the magic.
+static int load_dict(DCtx* ctx, const u8* dict, size_t dictSize) {
+  if (dictSize == 0) return 0;
+  if (dictSize < 8 || rd32le(dict) != 0xEC30A437u) {
+    ctx->dictContent = dict;
+    ctx->dictLen = dictSize;
+    return 0;
+  }
+  ctx->dictID = rd32le(dict + 4);
+  const u8* p = dict + 8;
+  const u8* end = dict + dictSize;
+  int used = huf_read_table(&ctx->huf, p, (size_t)(end - p));
+  if (used < 0) return ERR_DICT;
+  p += used;
+  struct { FSEDec* t; int maxSym; int maxLog; bool* v; } specs[3] = {
+    {&ctx->of, 31, 8, &ctx->ofV},
+    {&ctx->ml, 52, 9, &ctx->mlV},
+    {&ctx->ll, 35, 9, &ctx->llV},
+  };
+  for (int i = 0; i < 3; i++) {
+    short norm[256];
+    int tl, lastSym;
+    int hdr = parse_ncount(p, (size_t)(end - p), norm, specs[i].maxSym,
+                           specs[i].maxLog, &tl, &lastSym);
+    if (hdr < 0) return ERR_DICT;
+    if (fse_build(specs[i].t, norm, lastSym, tl) < 0) return ERR_DICT;
+    *specs[i].v = true;
+    p += hdr;
+  }
+  if (end - p < 12) return ERR_DICT;
+  for (int i = 0; i < 3; i++) {
+    ctx->rep[i] = rd32le(p);
+    p += 4;
+    if (ctx->rep[i] == 0) return ERR_DICT;
+  }
+  ctx->dictContent = p;
+  ctx->dictLen = (size_t)(end - p);
+  return 0;
+}
+
+// copy `len` bytes from `offset` back (possibly reaching into the dict
+// prefix); overlap-safe forward byte copy
+static int match_copy(u8* dst, size_t pos, size_t dstLen, u32 offset,
+                      size_t len, const DCtx* ctx) {
+  if (pos + len > dstLen) return ERR_DST_SMALL;
+  if (offset == 0) return ERR_CORRUPT;
+  if ((size_t)offset > pos) {
+    size_t fromDict = (size_t)offset - pos;
+    if (fromDict > ctx->dictLen) return ERR_CORRUPT;
+    const u8* dsrc = ctx->dictContent + (ctx->dictLen - fromDict);
+    size_t n = fromDict < len ? fromDict : len;
+    memcpy(dst + pos, dsrc, n);
+    pos += n;
+    len -= n;
+    if (len == 0) return 0;
+    offset = (u32)pos;  // continue from the start of dst
+  }
+  u8* op = dst + pos;
+  const u8* ip = op - offset;
+  if (offset >= 16) {
+    while (len >= 16) { memcpy(op, ip, 16); op += 16; ip += 16; len -= 16; }
+  }
+  while (len--) *op++ = *ip++;
+  return 0;
+}
+
+struct SeqTables { FSEDec* ll; FSEDec* of; FSEDec* ml; };
+
+// Decode one compressed block into dst at position *posInOut.
+static i64 decode_block(DCtx* ctx, const u8* src, size_t srcSize, u8* dst,
+                        size_t dstCap, size_t pos, u8* litBuf) {
+  // ---- literals section ----
+  if (srcSize < 1) return ERR_CORRUPT;
+  int type = src[0] & 3;
+  int sizeFmt = (src[0] >> 2) & 3;
+  size_t regen = 0, csize = 0, lhSize = 0;
+  const u8* lit = nullptr;
+  u8 rleByte = 0;
+  bool huffman = false, treeless = false;
+
+  if (type == 0 || type == 1) {  // raw / RLE
+    if (sizeFmt == 0 || sizeFmt == 2) { lhSize = 1; regen = src[0] >> 3; }
+    else if (sizeFmt == 1) {
+      if (srcSize < 2) return ERR_CORRUPT;
+      lhSize = 2; regen = (rd16le(src) >> 4);
+    } else {
+      if (srcSize < 3) return ERR_CORRUPT;
+      lhSize = 3;
+      regen = ((u32)src[0] >> 4) | ((u32)src[1] << 4) | ((u32)src[2] << 12);
+    }
+    if (type == 0) {
+      if (lhSize + regen > srcSize) return ERR_CORRUPT;
+      lit = src + lhSize;
+      csize = regen;
+    } else {
+      if (lhSize + 1 > srcSize) return ERR_CORRUPT;
+      rleByte = src[lhSize];
+      csize = 1;
+    }
+  } else {  // Huffman compressed (2) / treeless (3)
+    huffman = true;
+    treeless = (type == 3);
+    u32 h;
+    if (sizeFmt == 0 || sizeFmt == 1) {
+      if (srcSize < 3) return ERR_CORRUPT;
+      h = (u32)src[0] | ((u32)src[1] << 8) | ((u32)src[2] << 16);
+      lhSize = 3;
+      regen = (h >> 4) & 0x3FF;
+      csize = (h >> 14) & 0x3FF;
+    } else if (sizeFmt == 2) {
+      if (srcSize < 4) return ERR_CORRUPT;
+      h = rd32le(src);
+      lhSize = 4;
+      regen = (h >> 4) & 0x3FFF;
+      csize = (h >> 18) & 0x3FFF;
+    } else {
+      if (srcSize < 5) return ERR_CORRUPT;
+      u64 h5 = (u64)rd32le(src) | ((u64)src[4] << 32);
+      lhSize = 5;
+      regen = (h5 >> 4) & 0x3FFFF;
+      csize = (h5 >> 22) & 0x3FFFF;
+    }
+    if (regen > (1u << 17)) return ERR_CORRUPT;
+    if (lhSize + csize > srcSize) return ERR_CORRUPT;
+    const u8* cp = src + lhSize;
+    size_t crem = csize;
+    if (!treeless) {
+      int used = huf_read_table(&ctx->huf, cp, crem);
+      if (used < 0) return used;
+      cp += used;
+      crem -= (size_t)used;
+    } else if (ctx->huf.log < 0) {
+      return ERR_CORRUPT;  // treeless with no previous table
+    }
+    // size_format 00 means ONE stream; all other formats mean four
+    bool fourStreams = (sizeFmt != 0);
+    if (!fourStreams) {
+      if (huf_decode_stream(&ctx->huf, cp, crem, litBuf, regen) < 0)
+        return ERR_CORRUPT;
+    } else {
+      if (crem < 6) return ERR_CORRUPT;
+      size_t s1 = rd16le(cp), s2 = rd16le(cp + 2), s3 = rd16le(cp + 4);
+      const u8* sp = cp + 6;
+      size_t rem = crem - 6;
+      if (s1 + s2 + s3 > rem) return ERR_CORRUPT;
+      size_t s4 = rem - s1 - s2 - s3;
+      size_t q = (regen + 3) / 4;
+      if (3 * q > regen) return ERR_CORRUPT;  // 4-stream needs regen >= 6
+      size_t lens[4] = {q, q, q, regen - 3 * q};
+      size_t ss[4] = {s1, s2, s3, s4};
+      u8* outp = litBuf;
+      for (int i = 0; i < 4; i++) {
+        if (huf_decode_stream(&ctx->huf, sp, ss[i], outp, lens[i]) < 0)
+          return ERR_CORRUPT;
+        sp += ss[i];
+        outp += lens[i];
+      }
+    }
+    lit = litBuf;
+  }
+
+  // ---- sequences section ----
+  const u8* sp = src + lhSize + csize;
+  size_t srem = srcSize - lhSize - csize;
+  if (srem < 1) return ERR_CORRUPT;
+  u32 nbSeq;
+  {
+    u32 b0 = *sp++;
+    srem--;
+    if (b0 < 128) nbSeq = b0;
+    else if (b0 < 255) {
+      if (srem < 1) return ERR_CORRUPT;
+      nbSeq = ((b0 - 128) << 8) + *sp++;
+      srem--;
+    } else {
+      if (srem < 2) return ERR_CORRUPT;
+      nbSeq = rd16le(sp) + 0x7F00;
+      sp += 2;
+      srem -= 2;
+    }
+  }
+
+  if (nbSeq == 0) {
+    // literals only
+    if (type == 1) {
+      if (pos + regen > dstCap) return ERR_DST_SMALL;
+      memset(dst + pos, rleByte, regen);
+    } else {
+      if (pos + regen > dstCap) return ERR_DST_SMALL;
+      memcpy(dst + pos, lit, regen);
+    }
+    return (i64)regen;
+  }
+
+  if (srem < 1) return ERR_CORRUPT;
+  u8 scMode = *sp++;
+  srem--;
+  if (scMode & 3) return ERR_CORRUPT;  // reserved bits
+
+  struct { int mode; FSEDec* tab; bool* valid; const short* def; int defLog;
+           int maxSym; int maxLog; } specs[3] = {
+    {(scMode >> 6) & 3, &ctx->ll, &ctx->llV, LL_DEF, 6, 35, 9},
+    {(scMode >> 4) & 3, &ctx->of, &ctx->ofV, OF_DEF, 5, 28, 8},
+    {(scMode >> 2) & 3, &ctx->ml, &ctx->mlV, ML_DEF, 6, 52, 9},
+  };
+  for (int i = 0; i < 3; i++) {
+    switch (specs[i].mode) {
+      case 0: {  // predefined
+        if (fse_build(specs[i].tab, specs[i].def, specs[i].maxSym,
+                      specs[i].defLog) < 0)
+          return ERR_CORRUPT;
+        *specs[i].valid = true;
+        break;
+      }
+      case 1: {  // RLE: single symbol byte
+        if (srem < 1) return ERR_CORRUPT;
+        u8 sym = *sp++;
+        srem--;
+        if (sym > specs[i].maxSym) return ERR_CORRUPT;
+        fse_rle(specs[i].tab, sym);
+        *specs[i].valid = true;
+        break;
+      }
+      case 2: {  // FSE-described
+        short norm[256];
+        int tl, lastSym;
+        int hdr = parse_ncount(sp, srem, norm, specs[i].maxSym,
+                               specs[i].maxLog, &tl, &lastSym);
+        if (hdr < 0) return ERR_CORRUPT;
+        if (fse_build(specs[i].tab, norm, lastSym, tl) < 0) return ERR_CORRUPT;
+        *specs[i].valid = true;
+        sp += hdr;
+        srem -= (size_t)hdr;
+        break;
+      }
+      case 3: {  // repeat: previous table (or dict-provided)
+        if (!*specs[i].valid) return ERR_CORRUPT;
+        break;
+      }
+    }
+  }
+
+  // ---- interleaved sequence bitstream (backwards) ----
+  BackReader br;
+  if (!br.init(sp, srem)) return ERR_CORRUPT;
+  int llS = (int)br.read(ctx->ll.log);
+  int ofS = (int)br.read(ctx->of.log);
+  int mlS = (int)br.read(ctx->ml.log);
+  if (br.overflowed()) return ERR_CORRUPT;
+
+  size_t litPos = 0;
+  size_t litRegen = regen;  // RLE literals are materialized via memset
+  size_t outPos = pos;
+
+  for (u32 s = 0; s < nbSeq; s++) {
+    int ofc = ctx->of.sym[ofS];
+    if (ofc > 31) return ERR_CORRUPT;
+    u32 ofv = (1u << ofc) + (u32)br.read(ofc);
+    int mlc = ctx->ml.sym[mlS];
+    if (mlc > 52) return ERR_CORRUPT;
+    u32 mlv = ML_BASE[mlc] + (u32)br.read(ML_BITS[mlc]);
+    int llc = ctx->ll.sym[llS];
+    if (llc > 35) return ERR_CORRUPT;
+    u32 llv = LL_BASE[llc] + (u32)br.read(LL_BITS[llc]);
+    if (br.overflowed()) return ERR_CORRUPT;
+
+    // repcode resolution
+    u32 offset;
+    if (ofv > 3) {
+      offset = ofv - 3;
+      ctx->rep[2] = ctx->rep[1];
+      ctx->rep[1] = ctx->rep[0];
+      ctx->rep[0] = offset;
+    } else {
+      u32 repIdx = ofv - 1 + (llv == 0 ? 1 : 0);
+      if (repIdx == 0) {
+        offset = ctx->rep[0];
+      } else {
+        offset = repIdx < 3 ? ctx->rep[repIdx] : ctx->rep[0] - 1;
+        if (offset == 0) return ERR_CORRUPT;
+        if (repIdx != 1) ctx->rep[2] = ctx->rep[1];
+        ctx->rep[1] = ctx->rep[0];
+        ctx->rep[0] = offset;
+      }
+    }
+
+    if (s + 1 < nbSeq) {  // update states LL, ML, OF (read order)
+      llS = ctx->ll.base[llS] + (int)br.read(ctx->ll.nb[llS]);
+      mlS = ctx->ml.base[mlS] + (int)br.read(ctx->ml.nb[mlS]);
+      ofS = ctx->of.base[ofS] + (int)br.read(ctx->of.nb[ofS]);
+      if (br.overflowed()) return ERR_CORRUPT;
+    }
+
+    // execute: literals then match
+    if (litPos + llv > litRegen) return ERR_CORRUPT;
+    if (outPos + llv > dstCap) return ERR_DST_SMALL;
+    if (type == 1) memset(dst + outPos, rleByte, llv);
+    else memcpy(dst + outPos, lit + litPos, llv);
+    litPos += llv;
+    outPos += llv;
+    int mc = match_copy(dst, outPos, dstCap, offset, mlv, ctx);
+    if (mc < 0) return mc;
+    outPos += mlv;
+  }
+  if (!br.finished()) return ERR_CORRUPT;
+
+  // trailing literals
+  size_t rem = litRegen - litPos;
+  if (outPos + rem > dstCap) return ERR_DST_SMALL;
+  if (type == 1) memset(dst + outPos, rleByte, rem);
+  else memcpy(dst + outPos, lit + litPos, rem);
+  outPos += rem;
+  return (i64)(outPos - pos);
+}
+
+// Decode one zstd frame. Returns bytes written, sets *consumed.
+static i64 decode_frame(const u8* src, size_t srcSize, u8* dst, size_t dstCap,
+                        const u8* dict, size_t dictSize, size_t* consumed) {
+  if (srcSize < 4) return ERR_CORRUPT;
+  u32 magic = rd32le(src);
+  if ((magic & 0xFFFFFFF0u) == 0x184D2A50u) {  // skippable
+    if (srcSize < 8) return ERR_CORRUPT;
+    u32 sz = rd32le(src + 4);
+    if (8 + (size_t)sz > srcSize) return ERR_CORRUPT;
+    *consumed = 8 + sz;
+    return 0;
+  }
+  if (magic != 0xFD2FB528u) return ERR_CORRUPT;
+  const u8* p = src + 4;
+  const u8* end = src + srcSize;
+  if (p >= end) return ERR_CORRUPT;
+  u8 fhd = *p++;
+  int fcsFlag = fhd >> 6;
+  bool singleSeg = (fhd >> 5) & 1;
+  bool checksum = (fhd >> 2) & 1;
+  int didFlag = fhd & 3;
+  if ((fhd >> 3) & 1) return ERR_CORRUPT;  // reserved bit
+  if (!singleSeg) {
+    if (p >= end) return ERR_CORRUPT;
+    p++;  // window descriptor (we decode whole frames; bound is dstCap)
+  }
+  static const int didSizes[4] = {0, 1, 2, 4};
+  if (p + didSizes[didFlag] > end) return ERR_CORRUPT;
+  p += didSizes[didFlag];
+  u64 contentSize = (u64)-1;
+  int fcsSizes[4] = {singleSeg ? 1 : 0, 2, 4, 8};
+  int fcsLen = fcsSizes[fcsFlag];
+  if (p + fcsLen > end) return ERR_CORRUPT;
+  if (fcsLen == 1) contentSize = *p;
+  else if (fcsLen == 2) contentSize = (u64)rd16le(p) + 256;
+  else if (fcsLen == 4) contentSize = rd32le(p);
+  else if (fcsLen == 8) contentSize = rd64le(p);
+  p += fcsLen;
+
+  DCtx ctx;
+  if (load_dict(&ctx, dict, dictSize) < 0) return ERR_DICT;
+
+  u8* litBuf = (u8*)malloc((1u << 17) + 64);
+  if (!litBuf) return ERR_CORRUPT;
+
+  size_t pos = 0;
+  i64 result = ERR_CORRUPT;
+  for (;;) {
+    if (p + 3 > end) goto done;
+    u32 bh = (u32)p[0] | ((u32)p[1] << 8) | ((u32)p[2] << 16);
+    p += 3;
+    int last = bh & 1;
+    int btype = (bh >> 1) & 3;
+    size_t bsize = bh >> 3;
+    if (btype == 0) {  // raw
+      if (p + bsize > end) goto done;
+      if (pos + bsize > dstCap) { result = ERR_DST_SMALL; goto done; }
+      memcpy(dst + pos, p, bsize);
+      p += bsize;
+      pos += bsize;
+    } else if (btype == 1) {  // RLE
+      if (p + 1 > end) goto done;
+      if (pos + bsize > dstCap) { result = ERR_DST_SMALL; goto done; }
+      memset(dst + pos, *p, bsize);
+      p += 1;
+      pos += bsize;
+    } else if (btype == 2) {
+      if (p + bsize > end) goto done;
+      i64 n = decode_block(&ctx, p, bsize, dst, dstCap, pos, litBuf);
+      if (n < 0) { result = n; goto done; }
+      p += bsize;
+      pos += (size_t)n;
+    } else {
+      goto done;  // reserved block type
+    }
+    if (last) break;
+  }
+  if (contentSize != (u64)-1 && pos != contentSize) goto done;
+  if (checksum) {
+    if (p + 4 > end) goto done;
+    u32 want = rd32le(p);
+    u32 got = (u32)xxh64(dst, pos, 0);
+    p += 4;
+    if (want != got) { result = ERR_CHECKSUM; goto done; }
+  }
+  *consumed = (size_t)(p - src);
+  result = (i64)pos;
+done:
+  free(litBuf);
+  return result;
+}
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// C API
+// ---------------------------------------------------------------------------
+
+// Decode one frame (skippable frames consume bytes and write nothing).
+// Returns decompressed size (>=0) or a negative error; *consumed gets the
+// compressed bytes consumed.
+ATPU_EXPORT i64 atpu_zstd_decompress_frame(const u8* src, size_t srcSize,
+                                           u8* dst, size_t dstCap,
+                                           const u8* dict, size_t dictSize,
+                                           size_t* consumed) {
+  *consumed = 0;
+  return decode_frame(src, srcSize, dst, dstCap, dict, dictSize, consumed);
+}
+
+// Decode a whole stream of concatenated frames.
+ATPU_EXPORT i64 atpu_zstd_decompress(const u8* src, size_t srcSize, u8* dst,
+                                     size_t dstCap, const u8* dict,
+                                     size_t dictSize) {
+  size_t ip = 0, op = 0;
+  while (ip < srcSize) {
+    size_t consumed = 0;
+    i64 n = decode_frame(src + ip, srcSize - ip, dst + op, dstCap - op, dict,
+                         dictSize, &consumed);
+    if (n < 0) return n;
+    ip += consumed;
+    op += (size_t)n;
+  }
+  return (i64)op;
+}
+
+// Frame content size: >=0 known, -1 unknown, -2 skippable, <=-10 corrupt.
+ATPU_EXPORT i64 atpu_zstd_frame_content_size(const u8* src, size_t srcSize) {
+  if (srcSize < 5) return -10;
+  u32 magic = rd32le(src);
+  if ((magic & 0xFFFFFFF0u) == 0x184D2A50u) return -2;
+  if (magic != 0xFD2FB528u) return -10;
+  u8 fhd = src[4];
+  int fcsFlag = fhd >> 6;
+  bool singleSeg = (fhd >> 5) & 1;
+  int didFlag = fhd & 3;
+  static const int didSizes[4] = {0, 1, 2, 4};
+  size_t off = 5 + (singleSeg ? 0 : 1) + didSizes[didFlag];
+  int fcsSizes[4] = {singleSeg ? 1 : 0, 2, 4, 8};
+  int fcsLen = fcsSizes[fcsFlag];
+  if (fcsLen == 0) return -1;
+  if (off + (size_t)fcsLen > srcSize) return -10;
+  if (fcsLen == 1) return src[off];
+  if (fcsLen == 2) return (i64)rd16le(src + off) + 256;
+  if (fcsLen == 4) return rd32le(src + off);
+  return (i64)rd64le(src + off);
+}
+
+ATPU_EXPORT u64 atpu_xxh64(const u8* src, size_t len, u64 seed) {
+  return xxh64(src, len, seed);
+}
