@@ -110,29 +110,33 @@ class ZlibCodec(Codec):
 
 @dispatch.register("zlib", "compress", TIER_HOST, "zlib_compress_host")
 def _zlib_compress_host(data: bytes, level: int) -> bytes:
-    return zlib.compress(data, level)
+    # own C++ deflate (csrc/deflate.cpp): hash-chain lazy matcher +
+    # dynamic/static/stored block choice; CPython zlib is now a test oracle
+    from ..runtime import native
+    return native.deflate(data, level, native.DEFLATE_ZLIB)
 
 
 @dispatch.register("zlib", "decompress", TIER_HOST, "zlib_decompress_host")
 def _zlib_decompress_host(data: bytes, expected_size=None) -> bytes:
-    return zlib.decompress(data)
+    from ..runtime import native
+    return native.inflate(data, expected_size)
 
 
 @dispatch.register("zlib", "compress_blocks", TIER_HOST,
                    "zlib_compress_blocks_host")
 def _zlib_compress_blocks_host(blocks, level: int):
     """Per-block sync-flushed raw deflate (concatenatable chunks)."""
-    chunks = []
-    for b in blocks:
-        co = zlib.compressobj(level, zlib.DEFLATED, -15)
-        chunks.append(co.compress(b) + co.flush(zlib.Z_SYNC_FLUSH))
-    return chunks, [len(b) for b in blocks]
+    from ..runtime import native
+    return ([native.deflate(b, level, native.DEFLATE_SYNC_CHUNK)
+             for b in blocks], [len(b) for b in blocks])
 
 
 @dispatch.register("zlib", "decompress_blocks", TIER_HOST,
                    "zlib_decompress_blocks_host")
 def _zlib_decompress_blocks_host(chunks, dlens):
-    return [zlib.decompressobj(-15).decompress(c) for c in chunks]
+    from ..runtime import native
+    return [native.inflate(c, d, raw=True)
+            for c, d in zip(chunks, dlens)]
 
 
 @dispatch.register("zlib", "compress_blocks", TIER_XLA,

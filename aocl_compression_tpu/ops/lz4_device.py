@@ -133,7 +133,8 @@ def _chain_match_len(cur, prev, ok0, nw: int = NW):
 
 
 def _find_matches(data_u8: jnp.ndarray, n: jnp.ndarray, B: int,
-                  max_off: int = 0, depth: int = 2, nw: int = NW):
+                  max_off: int = 0, depth: int = 2, nw: int = NW,
+                  small_offsets: tuple = SMALL_OFFSETS):
     """Per-position best (offset, matchlen) candidates — sort-centric.
 
     Returns (mlen, moff, valid) clamped to the format's end-of-block rules
@@ -151,7 +152,7 @@ def _find_matches(data_u8: jnp.ndarray, n: jnp.ndarray, B: int,
     key = ((h << 16) | idx.astype(jnp.uint32)).astype(jnp.int32)
 
     ops = jax.lax.sort([key] + [w.astype(jnp.int32) for w in words],
-                       num_keys=1)
+                       num_keys=1, is_stable=False)
     skey, swords = ops[0], ops[1:]
     spos = skey & 0xFFFF
     shash = jax.lax.shift_right_logical(skey, 16)
@@ -178,7 +179,8 @@ def _find_matches(data_u8: jnp.ndarray, n: jnp.ndarray, B: int,
         best_off = jnp.where(better, off, best_off)
 
     # restore position order: one more variadic sort keyed by position
-    _, mlen_h, off_h = jax.lax.sort([spos, best_len, best_off], num_keys=1)
+    _, mlen_h, off_h = jax.lax.sort([spos, best_len, best_off],
+                                    num_keys=1, is_stable=False)
 
     # --- exact run lengths for small offsets (RLE / short periods) ---------
     # One batched reverse-cummin over all offsets (no flips: reverse=True).
@@ -186,12 +188,12 @@ def _find_matches(data_u8: jnp.ndarray, n: jnp.ndarray, B: int,
     best_len, best_off = mlen_h, off_h
     BIG = jnp.int32(2 * B)
     rows = []
-    for o in SMALL_OFFSETS:
+    for o in small_offsets:
         agree = jnp.concatenate(
             [jnp.zeros(o, bool), d[o:] == d[:-o]]) & (idx >= o)
         rows.append(jnp.where(~agree, idx, BIG))
     nxt_all = jax.lax.cummin(jnp.stack(rows), axis=1, reverse=True)
-    for i, o in enumerate(SMALL_OFFSETS):
+    for i, o in enumerate(small_offsets):
         run = jnp.minimum(nxt_all[i], _i32(B)) - idx
         better = (run >= MIN_MATCH) & (run > best_len)
         best_len = jnp.where(better, run, best_len)
@@ -591,8 +593,9 @@ def _emit_sorted(data_u8, n, sel, cpos, cml, coff, B: int, G: int):
 
 
 def _encode_block_v2(data_u8, n, B: int, G: int, depth: int = 2,
-                     nw: int = NW):
-    mlen, moff, valid = _find_matches(data_u8, n, B, depth=depth, nw=nw)
+                     nw: int = NW, small_offsets: tuple = SMALL_OFFSETS):
+    mlen, moff, valid = _find_matches(data_u8, n, B, depth=depth, nw=nw,
+                                      small_offsets=small_offsets)
     sel, cpos, cml, coff = _grid_select(mlen, moff, valid, B, G)
     return _emit_sorted(data_u8, n, sel, cpos, cml, coff, B, G)
 
@@ -611,7 +614,7 @@ def _encode_block(data_u8, n, B: int, OUTCAP: int, MAXSEQ: int, G: int = 0,
 
 @functools.lru_cache(maxsize=32)
 def make_encoder(block_size: int, G: int = 0, depth: int = 2,
-                 nw: int = NW):
+                 nw: int = NW, small_offsets: tuple = SMALL_OFFSETS):
     """Build the jitted batched encoder for a given block size / parse grid.
 
     Signature: (blocks u8[N, B], lens i32[N]) ->
@@ -626,7 +629,7 @@ def make_encoder(block_size: int, G: int = 0, depth: int = 2,
         @jax.jit
         def encode(blocks, lens):
             fn = functools.partial(_encode_block_v2, B=B, G=G, depth=depth,
-                                   nw=nw)
+                                   nw=nw, small_offsets=small_offsets)
             return jax.vmap(fn)(blocks, lens)
         return encode
 

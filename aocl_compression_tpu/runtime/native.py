@@ -77,6 +77,13 @@ def get_lib() -> ctypes.CDLL:
             ("atpu_zstd_frame_content_size", _i64, [_u8p, ctypes.c_size_t]),
             ("atpu_xxh64", ctypes.c_uint64,
              [_u8p, ctypes.c_size_t, ctypes.c_uint64]),
+            ("atpu_deflate", _i64,
+             [_u8p, ctypes.c_size_t, _u8p, ctypes.c_size_t, _i32, _i32]),
+            ("atpu_inflate", _i64,
+             [_u8p, ctypes.c_size_t, _u8p, ctypes.c_size_t, _i32]),
+            ("atpu_deflate_bound", _i64, [_i64]),
+            ("atpu_adler32", ctypes.c_uint32,
+             [_u8p, ctypes.c_size_t, ctypes.c_uint32]),
         ]:
             fn = getattr(lib, name)
             fn.restype = restype
@@ -325,3 +332,47 @@ def zstd_decompress(data: bytes, expected_size: Optional[int] = None,
 
 def xxh64(data: bytes, seed: int = 0) -> int:
     return int(get_lib().atpu_xxh64(_as_u8p(_tobuf(data)), len(data), seed))
+
+
+# --- deflate / zlib (own C++ codec, csrc/deflate.cpp) -------------------------
+
+DEFLATE_ZLIB, DEFLATE_RAW, DEFLATE_SYNC_CHUNK = 0, 1, 2
+
+
+def deflate(data: bytes, level: int = 6, mode: int = DEFLATE_ZLIB) -> bytes:
+    """Own DEFLATE encoder: mode 0 = zlib stream, 1 = raw (final block),
+    2 = raw sync-flushed chunk (RAP container format)."""
+    lib = get_lib()
+    src = _tobuf(data)
+    dst = np.empty(lib.atpu_deflate_bound(len(data)) + 16, dtype=np.uint8)
+    n = lib.atpu_deflate(_as_u8p(src), len(data), _as_u8p(dst), dst.size,
+                         level, mode)
+    if n < 0:
+        raise ValueError("deflate failed")
+    return dst[:n].tobytes()
+
+
+def inflate(data: bytes, expected_size: Optional[int] = None,
+            raw: bool = False) -> bytes:
+    """Own DEFLATE decoder (zlib stream verified via adler32, or raw)."""
+    lib = get_lib()
+    src = _tobuf(data)
+    cap = expected_size if expected_size is not None else max(
+        64, 4 * len(data))
+    while True:
+        dst = np.empty(max(cap, 1), dtype=np.uint8)
+        n = lib.atpu_inflate(_as_u8p(src), len(data), _as_u8p(dst), dst.size,
+                             1 if raw else 0)
+        if n >= 0:
+            return dst[:n].tobytes()
+        if n == -2 and expected_size is None and cap < (1 << 31):
+            cap *= 4
+            continue
+        if n == -4:
+            raise ValueError("zlib: adler32 mismatch")
+        raise ValueError("inflate: corrupt stream")
+
+
+def adler32(data: bytes, start: int = 1) -> int:
+    return int(get_lib().atpu_adler32(_as_u8p(_tobuf(data)), len(data),
+                                      start))

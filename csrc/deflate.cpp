@@ -1,0 +1,790 @@
+// Own DEFLATE (RFC 1951) encoder + decoder, zlib (RFC 1950) wrapper.
+//
+// Replaces the round-1 CPython-zlib delegates for compress levels 1-9 and
+// all of inflate (VERDICT item 8). Capability parity targets:
+// /root/reference/algos/zlib/deflate.c (+ deflate_medium.c, deflate_quick.c
+// strategy ladder), inflate.c / inffast_chunk.c, compress.c:153 compress2,
+// uncompr.c. Independent implementation — hash-chain lazy matching with a
+// level-parameter ladder mirroring the reference's semantics (chain depth /
+// lazy threshold / nice length), dynamic-vs-static-vs-stored block choice.
+//
+// Modes (both directions):
+//   0 = zlib stream (2-byte header ... adler32)
+//   1 = raw deflate, complete (ends with a final block)
+//   2 = raw deflate, sync-flushed chunk: non-final blocks + an empty stored
+//       block, byte-aligned — the RAP container chunk format (chunks
+//       concatenate into one valid stream; parity with Z_SYNC_FLUSH).
+
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+
+#define ATPU_EXPORT extern "C" __attribute__((visibility("default")))
+
+namespace {
+
+typedef uint8_t u8;
+typedef uint16_t u16;
+typedef uint32_t u32;
+typedef uint64_t u64;
+typedef long long i64;
+
+enum { ERR_CORRUPT = -1, ERR_DST_SMALL = -2, ERR_CHECKSUM = -4 };
+
+static const int MIN_MATCH = 3, MAX_MATCH = 258, WSIZE = 32768;
+
+// ---------------------------------------------------------------------------
+// adler32
+// ---------------------------------------------------------------------------
+static u32 adler32(const u8* p, size_t n, u32 start) {
+  u32 a = start & 0xFFFF, b = start >> 16;
+  while (n) {
+    size_t chunk = n > 5552 ? 5552 : n;
+    n -= chunk;
+    while (chunk--) { a += *p++; b += a; }
+    a %= 65521;
+    b %= 65521;
+  }
+  return (b << 16) | a;
+}
+
+// ---------------------------------------------------------------------------
+// length / distance code tables (RFC 1951 §3.2.5)
+// ---------------------------------------------------------------------------
+static const u16 LEN_BASE[29] = {3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 15, 17, 19,
+  23, 27, 31, 35, 43, 51, 59, 67, 83, 99, 115, 131, 163, 195, 227, 258};
+static const u8 LEN_XBITS[29] = {0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2,
+  2, 3, 3, 3, 3, 4, 4, 4, 4, 5, 5, 5, 5, 0};
+static const u16 DIST_BASE[30] = {1, 2, 3, 4, 5, 7, 9, 13, 17, 25, 33, 49,
+  65, 97, 129, 193, 257, 385, 513, 769, 1025, 1537, 2049, 3073, 4097, 6145,
+  8193, 12289, 16385, 24577};
+static const u8 DIST_XBITS[30] = {0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5,
+  6, 6, 7, 7, 8, 8, 9, 9, 10, 10, 11, 11, 12, 12, 13, 13};
+static const u8 CL_ORDER[19] = {16, 17, 18, 0, 8, 7, 9, 6, 10, 5, 11, 4, 12,
+  3, 13, 2, 14, 1, 15};
+
+static int len_code_of(int len) {  // len in [3,258]
+  static int lut[259];
+  static bool init = false;
+  if (!init) {
+    for (int c = 0; c < 29; c++) {
+      int hi = (c == 28) ? 258 : LEN_BASE[c + 1] - 1;
+      for (int l = LEN_BASE[c]; l <= hi && l <= 258; l++) lut[l] = c;
+    }
+    init = true;
+  }
+  return lut[len];
+}
+
+static int dist_code_of(int d) {  // d in [1,32768]
+  int c = 29;
+  while (DIST_BASE[c] > (u16)d) c--;
+  return c;
+}
+
+// ---------------------------------------------------------------------------
+// bit IO
+// ---------------------------------------------------------------------------
+struct BitWriter {
+  u8* out;
+  size_t cap, len = 0;
+  u64 acc = 0;
+  int nbits = 0;
+  bool overflow = false;
+
+  BitWriter(u8* o, size_t c) : out(o), cap(c) {}
+  void put(u32 v, int n) {  // LSB-first
+    acc |= (u64)(v & ((1u << n) - 1)) << nbits;
+    nbits += n;
+    while (nbits >= 8) {
+      if (len >= cap) { overflow = true; nbits = 0; return; }
+      out[len++] = (u8)acc;
+      acc >>= 8;
+      nbits -= 8;
+    }
+  }
+  void align() { if (nbits) put(0, 8 - nbits); }
+  void bytes(const u8* p, size_t n) {
+    if (len + n > cap) { overflow = true; return; }
+    memcpy(out + len, p, n);
+    len += n;
+  }
+};
+
+struct BitReader {
+  const u8* p;
+  const u8* end;
+  u64 acc = 0;
+  int nbits = 0;
+  bool fail = false;
+
+  BitReader(const u8* s, const u8* e) : p(s), end(e) {}
+  void refill() {
+    while (nbits <= 56 && p < end) { acc |= (u64)(*p++) << nbits; nbits += 8; }
+  }
+  u32 get(int n) {
+    if (nbits < n) refill();
+    if (nbits < n) { fail = true; return 0; }
+    u32 v = (u32)(acc & ((1ULL << n) - 1));
+    acc >>= n;
+    nbits -= n;
+    return v;
+  }
+  u32 peek(int n) {
+    if (nbits < n) refill();
+    return (u32)(acc & ((1ULL << n) - 1));
+  }
+  void drop(int n) { acc >>= n; nbits -= n; if (nbits < 0) fail = true; }
+  void align() { int r = nbits & 7; acc >>= r; nbits -= r; }
+  size_t bytes_left() const { return (size_t)(end - p) + (size_t)(nbits / 8); }
+};
+
+// ---------------------------------------------------------------------------
+// canonical Huffman decode table (full lookup, maxbits <= 15)
+// ---------------------------------------------------------------------------
+struct HTable {
+  u16 sym[1 << 15];
+  u8 len[1 << 15];
+  int maxbits = 0;
+
+  // lens[i] = code length of symbol i (0 = absent). allow_incomplete:
+  // distance trees may be under-subscribed (zlib compat; unfilled entries
+  // decode as invalid only if actually referenced)
+  bool build(const u8* lens, int n, bool allow_incomplete = false) {
+    int bl_count[16] = {0};
+    maxbits = 0;
+    for (int i = 0; i < n; i++) {
+      if (lens[i] > 15) return false;
+      bl_count[lens[i]]++;
+      if (lens[i] > maxbits) maxbits = lens[i];
+    }
+    if (maxbits == 0) return false;
+    int code = 0, next_code[16];
+    bl_count[0] = 0;
+    for (int b = 1; b <= 15; b++) {
+      code = (code + bl_count[b - 1]) << 1;
+      next_code[b] = code;
+    }
+    // over-subscribed / incomplete check
+    int left = 1;
+    for (int b = 1; b <= 15; b++) {
+      left <<= 1;
+      left -= bl_count[b];
+      if (left < 0) return false;
+    }
+    if (left > 0 && !allow_incomplete
+        && !(maxbits == 1 && bl_count[1] == 1)) return false;
+    int size = 1 << maxbits;
+    memset(len, 0, (size_t)size);
+    for (int s = 0; s < n; s++) {
+      int l = lens[s];
+      if (!l) continue;
+      u32 c = (u32)next_code[l]++;
+      // deflate codes are read MSB-first; our reader is LSB-first, so store
+      // the entry at every bit-reversed index with the code as prefix
+      u32 rc = 0;
+      for (int b = 0; b < l; b++) rc |= ((c >> b) & 1) << (l - 1 - b);
+      for (u32 idx = rc; idx < (u32)size; idx += (1u << l)) {
+        sym[idx] = (u16)s;
+        len[idx] = (u8)l;
+      }
+    }
+    return true;
+  }
+};
+
+static int decode_sym(BitReader& br, const HTable& t) {
+  u32 idx = br.peek(t.maxbits);
+  int l = t.len[idx];
+  if (!l || br.nbits < l) { br.refill(); idx = br.peek(t.maxbits);
+    l = t.len[idx]; if (!l) return -1; }
+  if (br.nbits < l) return -1;
+  br.drop(l);
+  return t.sym[idx];
+}
+
+// ---------------------------------------------------------------------------
+// inflate
+// ---------------------------------------------------------------------------
+static const u8 STATIC_LIT_LENS_INIT = 0;
+
+static void static_tables(HTable& lit, HTable& dist) {
+  u8 ll[288], dl[32];
+  for (int i = 0; i < 144; i++) ll[i] = 8;
+  for (int i = 144; i < 256; i++) ll[i] = 9;
+  for (int i = 256; i < 280; i++) ll[i] = 7;
+  for (int i = 280; i < 288; i++) ll[i] = 8;
+  // the static distance tree has 32 five-bit codes; 30-31 are reserved
+  // (decoded but rejected at use, RFC 1951 3.2.6)
+  for (int i = 0; i < 32; i++) dl[i] = 5;
+  lit.build(ll, 288);
+  dist.build(dl, 32);
+}
+
+// inflate raw deflate; stops after the final block (mode 1) or when input
+// is exhausted on a block boundary (mode 2 chunks have no final block).
+static i64 inflate_raw(const u8* src, size_t srcSize, u8* dst, size_t dstCap,
+                       size_t* consumed) {
+  BitReader br(src, src + srcSize);
+  size_t op = 0;
+  HTable* lit = (HTable*)malloc(sizeof(HTable) * 2);
+  if (!lit) return ERR_CORRUPT;
+  HTable* dist = lit + 1;
+  i64 result = ERR_CORRUPT;
+  for (;;) {
+    if (br.bytes_left() == 0 && br.nbits == 0) { result = (i64)op; break; }
+    u32 bfinal = br.get(1);
+    u32 btype = br.get(2);
+    if (br.fail) { result = (i64)op; break; }  // clean boundary: done
+    if (btype == 0) {  // stored
+      br.align();
+      if (br.nbits >= 32) {
+        // pull LEN/NLEN from the accumulator
+      }
+      u32 len = br.get(16), nlen = br.get(16);
+      if (br.fail || (len ^ nlen) != 0xFFFF) goto done;
+      if (op + len > dstCap) { result = ERR_DST_SMALL; goto done; }
+      for (u32 i = 0; i < len; i++) {
+        u32 b = br.get(8);
+        if (br.fail) goto done;
+        dst[op++] = (u8)b;
+      }
+    } else if (btype == 1 || btype == 2) {
+      if (btype == 1) {
+        static_tables(*lit, *dist);
+      } else {
+        int hlit = (int)br.get(5) + 257;
+        int hdist = (int)br.get(5) + 1;
+        int hclen = (int)br.get(4) + 4;
+        if (br.fail || hlit > 288 || hdist > 30) goto done;
+        u8 cl_lens[19] = {0};
+        for (int i = 0; i < hclen; i++)
+          cl_lens[CL_ORDER[i]] = (u8)br.get(3);
+        if (br.fail) goto done;
+        HTable cl;
+        if (!cl.build(cl_lens, 19)) goto done;
+        u8 lens[288 + 30] = {0};
+        int total = hlit + hdist;
+        for (int i = 0; i < total;) {
+          int s = decode_sym(br, cl);
+          if (s < 0) goto done;
+          if (s < 16) lens[i++] = (u8)s;
+          else if (s == 16) {
+            if (i == 0) goto done;
+            int r = 3 + (int)br.get(2);
+            u8 v = lens[i - 1];
+            while (r-- && i < total) lens[i++] = v;
+          } else if (s == 17) {
+            int r = 3 + (int)br.get(3);
+            while (r-- && i < total) i++;
+          } else {
+            int r = 11 + (int)br.get(7);
+            while (r-- && i < total) i++;
+          }
+          if (br.fail) goto done;
+        }
+        if (!lit->build(lens, hlit)) goto done;
+        if (lens[hlit] == 0 && hdist == 1) {
+          // no distance codes: any match is corrupt; build degenerate
+          u8 one[2] = {1, 0};
+          dist->build(one, 2);
+          dist->maxbits = 0;  // mark invalid for matches
+        } else if (!dist->build(lens + hlit, hdist, true)) {
+          goto done;
+        }
+      }
+      for (;;) {
+        int s = decode_sym(br, *lit);
+        if (s < 0) goto done;
+        if (s < 256) {
+          if (op >= dstCap) { result = ERR_DST_SMALL; goto done; }
+          dst[op++] = (u8)s;
+        } else if (s == 256) {
+          break;
+        } else {
+          int c = s - 257;
+          if (c >= 29 || dist->maxbits == 0) goto done;
+          int len = LEN_BASE[c] + (int)br.get(LEN_XBITS[c]);
+          int dc = decode_sym(br, *dist);
+          if (dc < 0 || dc >= 30) goto done;
+          int d = DIST_BASE[dc] + (int)br.get(DIST_XBITS[dc]);
+          if (br.fail || (size_t)d > op) goto done;
+          if (op + (size_t)len > dstCap) { result = ERR_DST_SMALL; goto done; }
+          u8* o = dst + op;
+          const u8* q = o - d;
+          for (int i = 0; i < len; i++) o[i] = q[i];
+          op += (size_t)len;
+        }
+      }
+    } else {
+      goto done;
+    }
+    if (bfinal) { result = (i64)op; break; }
+  }
+done:
+  if (result >= 0 && consumed) {
+    *consumed = srcSize - ((size_t)(br.end - br.p) + (size_t)(br.nbits / 8));
+  }
+  free(lit);
+  return result;
+}
+
+// ---------------------------------------------------------------------------
+// Huffman code construction (encoder side): length-limited to 15 bits via
+// the zlib-style overflow adjustment, canonical code assignment.
+// ---------------------------------------------------------------------------
+struct HeapNode { u32 freq; int id; };
+
+static void build_lengths(const u32* freq, int n, int maxlen, u8* lens) {
+  // Huffman via two sorted queues over a combined node array.
+  int nsym = 0;
+  int order[320];
+  for (int i = 0; i < n; i++) if (freq[i]) order[nsym++] = i;
+  memset(lens, 0, (size_t)n);
+  if (nsym == 0) return;
+  if (nsym == 1) { lens[order[0]] = 1; return; }
+  // sort leaves by freq ascending (insertion sort; n <= 288)
+  for (int i = 1; i < nsym; i++) {
+    int v = order[i];
+    int j = i - 1;
+    while (j >= 0 && freq[order[j]] > freq[v]) { order[j + 1] = order[j]; j--; }
+    order[j + 1] = v;
+  }
+  // build tree: parent array
+  u32 nf[640];
+  int parent[640];
+  for (int i = 0; i < nsym; i++) nf[i] = freq[order[i]];
+  int leafq = 0, nodeq = nsym, nodes = nsym;
+  int head = nsym;  // internal nodes appended from index nsym
+  (void)head;
+  while (nodes - (leafq + (nodeq - nsym)) >= 2) {
+    // pick two smallest among remaining leaves and internal nodes
+    int picks[2];
+    for (int k = 0; k < 2; k++) {
+      bool leafOk = leafq < nsym;
+      bool nodeOk = nodeq < nodes;
+      if (leafOk && (!nodeOk || nf[leafq] <= nf[nodeq])) picks[k] = leafq++;
+      else picks[k] = nodeq++;
+    }
+    nf[nodes] = nf[picks[0]] + nf[picks[1]];
+    parent[picks[0]] = nodes;
+    parent[picks[1]] = nodes;
+    nodes++;
+  }
+  // depth of each leaf
+  int root = nodes - 1;
+  int depth[640];
+  depth[root] = 0;
+  for (int i = root - 1; i >= 0; i--) depth[i] = depth[parent[i]] + 1;
+  // histogram with clamping + zlib-style overflow repair
+  int bl_count[64] = {0};
+  int overflow = 0;
+  for (int i = 0; i < nsym; i++) {
+    int d2 = depth[i];
+    if (d2 > maxlen) { overflow += 1; d2 = maxlen; }
+    bl_count[d2]++;
+  }
+  while (overflow > 0) {
+    int bits = maxlen - 1;
+    while (bl_count[bits] == 0) bits--;
+    bl_count[bits]--;
+    bl_count[bits + 1] += 2;
+    bl_count[maxlen]--;
+    overflow -= 2;
+  }
+  // assign lengths: longest first to the rarest symbols (order[] ascending
+  // frequency => walk from the front)
+  int oi = 0;
+  for (int bits = maxlen; bits >= 1; bits--) {
+    for (int k = 0; k < bl_count[bits]; k++) lens[order[oi++]] = (u8)bits;
+  }
+}
+
+static void assign_codes(const u8* lens, int n, u16* codes) {
+  int bl_count[16] = {0};
+  for (int i = 0; i < n; i++) bl_count[lens[i]]++;
+  bl_count[0] = 0;
+  int code = 0, next_code[16];
+  for (int b = 1; b <= 15; b++) {
+    code = (code + bl_count[b - 1]) << 1;
+    next_code[b] = code;
+  }
+  for (int s = 0; s < n; s++) {
+    if (!lens[s]) { codes[s] = 0; continue; }
+    u32 c = (u32)next_code[lens[s]]++;
+    u32 rc = 0;  // emit LSB-first => pre-reverse
+    for (int b = 0; b < lens[s]; b++) rc |= ((c >> b) & 1) << (lens[s] - 1 - b);
+    codes[s] = (u16)rc;
+  }
+}
+
+// ---------------------------------------------------------------------------
+// deflate encoder
+// ---------------------------------------------------------------------------
+struct LevelParams { int good, lazy, nice, chain; };
+// semantics mirror the reference ladder (algos/zlib/deflate.c
+// configuration_table): good = shorten search above this, lazy = defer
+// threshold, nice = stop at this length, chain = max chain walk
+static const LevelParams LP[10] = {
+  {0, 0, 0, 0},
+  {4, 0, 8, 4},      // 1: greedy quick (deflate_quick class)
+  {4, 0, 16, 8},     // 2
+  {4, 0, 32, 32},    // 3 (deflate_medium class)
+  {4, 4, 16, 16},    // 4: lazy from here
+  {8, 16, 32, 32},   // 5
+  {8, 16, 128, 128}, // 6
+  {8, 32, 128, 256}, // 7
+  {32, 128, 258, 1024},   // 8
+  {32, 258, 258, 4096},   // 9
+};
+
+struct Token { u16 lit_or_len; u16 dist; };  // dist==0 -> literal
+
+struct SymStats {
+  u32 lfreq[286] = {0};
+  u32 dfreq[30] = {0};
+};
+
+// emit one block of tokens with the best of {dynamic, static, stored}
+static bool emit_block(BitWriter& bw, const Token* toks, size_t ntok,
+                       const u8* raw, size_t rawLen, bool final_block) {
+  SymStats st;
+  for (size_t i = 0; i < ntok; i++) {
+    if (toks[i].dist) {
+      st.lfreq[257 + len_code_of(toks[i].lit_or_len)]++;
+      st.dfreq[dist_code_of(toks[i].dist)]++;
+    } else {
+      st.lfreq[toks[i].lit_or_len]++;
+    }
+  }
+  st.lfreq[256]++;
+
+  u8 llen[286], dlen[30];
+  build_lengths(st.lfreq, 286, 15, llen);
+  build_lengths(st.dfreq, 30, 15, dlen);
+  // deflate requires at least one distance code slot in the header
+  u16 lcode[286], dcode[30];
+  assign_codes(llen, 286, lcode);
+  assign_codes(dlen, 30, dcode);
+
+  // --- size estimates ---
+  u64 dynBits = 0, statBits = 0;
+  for (int s = 0; s < 286; s++) {
+    int xb = (s >= 257 && s < 286) ? LEN_XBITS[s - 257] : 0;
+    int sl = (s < 144) ? 8 : (s < 256) ? 9 : (s < 280) ? 7 : 8;
+    dynBits += (u64)st.lfreq[s] * (llen[s] + xb);
+    statBits += (u64)st.lfreq[s] * (sl + xb);
+  }
+  for (int s = 0; s < 30; s++) {
+    dynBits += (u64)st.dfreq[s] * (dlen[s] + DIST_XBITS[s]);
+    statBits += (u64)st.dfreq[s] * (5 + DIST_XBITS[s]);
+  }
+
+  // --- code length code (dynamic header) ---
+  u8 all[286 + 30];
+  int hlit = 286, hdist = 30;
+  while (hlit > 257 && llen[hlit - 1] == 0) hlit--;
+  while (hdist > 1 && dlen[hdist - 1] == 0) hdist--;
+  memcpy(all, llen, (size_t)hlit);
+  memcpy(all + hlit, dlen, (size_t)hdist);
+  int total = hlit + hdist;
+  // RLE the length sequence into CL symbols
+  u16 cl_syms[286 + 30];
+  u8 cl_extra[286 + 30];
+  int ncl = 0;
+  u32 clfreq[19] = {0};
+  for (int i = 0; i < total;) {
+    int v = all[i];
+    int run = 1;
+    while (i + run < total && all[i + run] == v) run++;
+    if (v == 0) {
+      int r = run;
+      while (r >= 11) { int t = r > 138 ? 138 : r;
+        cl_syms[ncl] = 18; cl_extra[ncl++] = (u8)(t - 11); clfreq[18]++;
+        r -= t; }
+      while (r >= 3) { int t = r > 10 ? 10 : r;
+        cl_syms[ncl] = 17; cl_extra[ncl++] = (u8)(t - 3); clfreq[17]++;
+        r -= t; }
+      while (r--) { cl_syms[ncl] = 0; cl_extra[ncl++] = 0; clfreq[0]++; }
+    } else {
+      cl_syms[ncl] = (u16)v; cl_extra[ncl++] = 0; clfreq[v]++;
+      int r = run - 1;
+      while (r >= 3) { int t = r > 6 ? 6 : r;
+        cl_syms[ncl] = 16; cl_extra[ncl++] = (u8)(t - 3); clfreq[16]++;
+        r -= t; }
+      while (r--) { cl_syms[ncl] = (u16)v; cl_extra[ncl++] = 0; clfreq[v]++; }
+    }
+    i += run;
+  }
+  u8 cllen[19];
+  build_lengths(clfreq, 19, 7, cllen);
+  u16 clcode[19];
+  assign_codes(cllen, 19, clcode);
+  int hclen = 19;
+  while (hclen > 4 && cllen[CL_ORDER[hclen - 1]] == 0) hclen--;
+  u64 hdrBits = 14 + (u64)hclen * 3;
+  for (int i = 0; i < ncl; i++) {
+    hdrBits += cllen[cl_syms[i]];
+    if (cl_syms[i] == 16) hdrBits += 2;
+    else if (cl_syms[i] == 17) hdrBits += 3;
+    else if (cl_syms[i] == 18) hdrBits += 7;
+  }
+  dynBits += hdrBits;
+
+  u64 storedBits = 8 * (u64)(rawLen + 5 * (rawLen / 65535 + 1)) + 8;
+
+  if (storedBits < dynBits && storedBits < statBits) {
+    // stored block(s)
+    size_t off = 0;
+    while (true) {
+      size_t chunk = rawLen - off > 65535 ? 65535 : rawLen - off;
+      bool last = final_block && (off + chunk == rawLen);
+      bw.put(last ? 1 : 0, 1);
+      bw.put(0, 2);
+      bw.align();
+      bw.put((u32)chunk, 16);
+      bw.put((u32)chunk ^ 0xFFFF, 16);
+      bw.bytes(raw + off, chunk);
+      off += chunk;
+      if (off == rawLen) break;
+    }
+    return !bw.overflow;
+  }
+
+  bool use_dyn = dynBits < statBits;
+  bw.put(final_block ? 1 : 0, 1);
+  bw.put(use_dyn ? 2 : 1, 2);
+
+  u8 ell[288];
+  u16 ecc[288];
+  u8 edl[32];
+  u16 edc[32];
+  if (use_dyn) {
+    bw.put((u32)(hlit - 257), 5);
+    bw.put((u32)(hdist - 1), 5);
+    bw.put((u32)(hclen - 4), 4);
+    for (int i = 0; i < hclen; i++) bw.put(cllen[CL_ORDER[i]], 3);
+    for (int i = 0; i < ncl; i++) {
+      bw.put(clcode[cl_syms[i]], cllen[cl_syms[i]]);
+      if (cl_syms[i] == 16) bw.put(cl_extra[i], 2);
+      else if (cl_syms[i] == 17) bw.put(cl_extra[i], 3);
+      else if (cl_syms[i] == 18) bw.put(cl_extra[i], 7);
+    }
+    memcpy(ell, llen, 286);
+    memcpy(ecc, lcode, 286 * sizeof(u16));
+    memcpy(edl, dlen, 30);
+    memcpy(edc, dcode, 30 * sizeof(u16));
+  } else {
+    // the static trees are defined over 288 literal/length and 32 distance
+    // symbols (RFC 1951 3.2.6) -- canonical assignment must use the full
+    // alphabets or every 9-bit code shifts
+    u8 sl[288], sd[32];
+    for (int i = 0; i < 288; i++)
+      sl[i] = (i < 144) ? 8 : (i < 256) ? 9 : (i < 280) ? 7 : 8;
+    for (int i = 0; i < 32; i++) sd[i] = 5;
+    assign_codes(sl, 288, ecc);
+    assign_codes(sd, 32, edc);
+    memcpy(ell, sl, 288);
+    memcpy(edl, sd, 32);
+  }
+  for (size_t i = 0; i < ntok; i++) {
+    if (toks[i].dist) {
+      int lc = len_code_of(toks[i].lit_or_len);
+      bw.put(ecc[257 + lc], ell[257 + lc]);
+      bw.put((u32)(toks[i].lit_or_len - LEN_BASE[lc]), LEN_XBITS[lc]);
+      int dc = dist_code_of(toks[i].dist);
+      bw.put(edc[dc], edl[dc]);
+      bw.put((u32)(toks[i].dist - DIST_BASE[dc]), DIST_XBITS[dc]);
+    } else {
+      bw.put(ecc[toks[i].lit_or_len], ell[toks[i].lit_or_len]);
+    }
+  }
+  bw.put(ecc[256], ell[256]);  // end of block
+  return !bw.overflow;
+}
+
+static const int HASH_BITS = 15, HASH_SIZE = 1 << HASH_BITS;
+static inline u32 hash3(const u8* p) {
+  u32 v = (u32)p[0] | ((u32)p[1] << 8) | ((u32)p[2] << 16);
+  return (v * 2654435761u) >> (32 - HASH_BITS);
+}
+
+static int match_len(const u8* a, const u8* b, const u8* limit) {
+  const u8* s = a;
+  while (a + 8 <= limit) {
+    u64 x, y;
+    memcpy(&x, a, 8);
+    memcpy(&y, b, 8);
+    u64 diff = x ^ y;
+    if (diff) return (int)(a - s) + (__builtin_ctzll(diff) >> 3);
+    a += 8;
+    b += 8;
+  }
+  while (a < limit && *a == *b) { a++; b++; }
+  return (int)(a - s);
+}
+
+struct Matcher {
+  int32_t head[HASH_SIZE];
+  int32_t prev[WSIZE];
+
+  void init() { memset(head, -1, sizeof(head)); }
+  void insert(const u8* base, size_t pos) {
+    u32 h = hash3(base + pos);
+    prev[pos & (WSIZE - 1)] = head[h];
+    head[h] = (int32_t)pos;
+  }
+  // best (len, dist) at pos
+  int find(const u8* base, size_t pos, size_t end, const LevelParams& lp,
+           int* distOut) const {
+    u32 h = hash3(base + pos);
+    int32_t cand = head[h];
+    int best = MIN_MATCH - 1, bestd = 0;
+    int chain = lp.chain;
+    const u8* limit = base + (end - pos > MAX_MATCH ? pos + MAX_MATCH : end);
+    while (cand >= 0 && chain-- > 0) {
+      size_t c = (size_t)cand;
+      if (pos - c > WSIZE - 1) break;
+      int l = match_len(base + pos, base + c, limit);
+      if (l > best) {
+        best = l;
+        bestd = (int)(pos - c);
+        if (l >= lp.nice) break;
+      }
+      cand = prev[c & (WSIZE - 1)];
+      if ((size_t)cand >= c) break;  // corrupt chain guard
+    }
+    *distOut = bestd;
+    return best;
+  }
+};
+
+// raw-deflate compress of one buffer; tokens blocked every ~64K symbols
+static i64 deflate_raw(const u8* src, size_t n, u8* dst, size_t dstCap,
+                       int level, int mode) {
+  LevelParams lp = LP[level < 1 ? 1 : (level > 9 ? 9 : level)];
+  BitWriter bw(dst, dstCap);
+  Matcher* m = (Matcher*)malloc(sizeof(Matcher));
+  if (!m) return ERR_CORRUPT;
+  m->init();
+  const size_t TOKCAP = 1 << 16;
+  Token* toks = (Token*)malloc(sizeof(Token) * TOKCAP);
+  if (!toks) { free(m); return ERR_CORRUPT; }
+  size_t ntok = 0;
+  size_t blockStart = 0;
+  size_t pos = 0;
+  bool ok = true;
+
+  auto flush = [&](bool final_blk) {
+    ok = ok && emit_block(bw, toks, ntok, src + blockStart, pos - blockStart,
+                          final_blk);
+    ntok = 0;
+    blockStart = pos;
+  };
+
+  while (pos < n) {
+    if (ntok >= TOKCAP - 2) flush(false);
+    if (pos + MIN_MATCH > n) {
+      toks[ntok++] = {(u16)src[pos], 0};
+      pos++;
+      continue;
+    }
+    int d1;
+    int l1 = m->find(src, pos, n, lp, &d1);
+    m->insert(src, pos);
+    if (l1 >= MIN_MATCH && lp.lazy && pos + 1 + MIN_MATCH <= n &&
+        l1 < lp.lazy) {
+      // lazy: peek the next position; emit a literal if it matches longer
+      int d2;
+      int l2 = m->find(src, pos + 1, n, lp, &d2);
+      if (l2 > l1) {
+        toks[ntok++] = {(u16)src[pos], 0};
+        pos++;
+        continue;
+      }
+    }
+    if (l1 >= MIN_MATCH) {
+      toks[ntok++] = {(u16)l1, (u16)d1};
+      // insert hash entries over the match span (bounded for speed)
+      size_t insEnd = pos + (size_t)l1;
+      size_t step = (l1 > lp.good * 8) ? 2 : 1;
+      for (size_t q = pos + 1; q + MIN_MATCH <= insEnd && q + MIN_MATCH <= n;
+           q += step)
+        m->insert(src, q);
+      pos = insEnd;
+    } else {
+      toks[ntok++] = {(u16)src[pos], 0};
+      pos++;
+    }
+  }
+  flush(mode == 1);  // mode 1: final block; mode 2: sync chunk, no final
+  if (mode == 2) {
+    // Z_SYNC_FLUSH: empty stored block, byte-aligned
+    bw.put(0, 1);
+    bw.put(0, 2);
+    bw.align();
+    bw.put(0, 16);
+    bw.put(0xFFFF, 16);
+  } else {
+    bw.align();
+  }
+  free(toks);
+  free(m);
+  if (!ok || bw.overflow) return ERR_DST_SMALL;
+  return (i64)bw.len;
+}
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// C API
+// ---------------------------------------------------------------------------
+
+// mode: 0 zlib stream, 1 raw final, 2 raw sync-flushed chunk
+ATPU_EXPORT i64 atpu_deflate(const u8* src, size_t n, u8* dst, size_t dstCap,
+                             int level, int mode) {
+  if (mode == 0) {
+    if (dstCap < 6) return ERR_DST_SMALL;
+    dst[0] = 0x78;
+    dst[1] = (level >= 7) ? 0xDA : (level >= 5) ? 0x9C
+             : (level >= 2) ? 0x5E : 0x01;
+    i64 body = deflate_raw(src, n, dst + 2, dstCap - 6, level, 1);
+    if (body < 0) return body;
+    u32 ad = adler32(src, n, 1);
+    u8* t = dst + 2 + body;
+    t[0] = (u8)(ad >> 24); t[1] = (u8)(ad >> 16);
+    t[2] = (u8)(ad >> 8); t[3] = (u8)ad;
+    return body + 6;
+  }
+  return deflate_raw(src, n, dst, dstCap, level, mode);
+}
+
+// mode: 0 zlib stream (verify adler32), 1 raw
+ATPU_EXPORT i64 atpu_inflate(const u8* src, size_t n, u8* dst, size_t dstCap,
+                             int mode) {
+  if (mode == 0) {
+    if (n < 6) return ERR_CORRUPT;
+    if ((src[0] & 0x0F) != 8) return ERR_CORRUPT;      // CM must be deflate
+    if (((src[0] << 8) | src[1]) % 31 != 0) return ERR_CORRUPT;
+    if (src[1] & 0x20) return ERR_CORRUPT;             // FDICT unsupported
+    size_t consumed = 0;
+    i64 out = inflate_raw(src + 2, n - 2, dst, dstCap, &consumed);
+    if (out < 0) return out;
+    if (2 + consumed + 4 > n) return ERR_CORRUPT;
+    const u8* t = src + 2 + consumed;
+    u32 want = ((u32)t[0] << 24) | ((u32)t[1] << 16) | ((u32)t[2] << 8)
+               | (u32)t[3];
+    if (adler32(dst, (size_t)out, 1) != want) return ERR_CHECKSUM;
+    return out;
+  }
+  size_t consumed = 0;
+  return inflate_raw(src, n, dst, dstCap, &consumed);
+}
+
+ATPU_EXPORT i64 atpu_deflate_bound(i64 n) {
+  return n + (n >> 8) + 5 * (n / 65535 + 1) + 32;
+}
+
+ATPU_EXPORT u32 atpu_adler32(const u8* src, size_t n, u32 start) {
+  return adler32(src, n, start);
+}

@@ -1,0 +1,95 @@
+"""Own C++ DEFLATE codec (csrc/deflate.cpp) vs CPython zlib as oracle.
+
+Reference parity: algos/zlib/deflate.c level ladder, inflate.c, the
+Z_SYNC_FLUSH chunk semantics of the RAP path (compress.c:211-340).
+"""
+
+import random
+import zlib
+
+import pytest
+
+from aocl_compression_tpu.runtime import native
+
+
+def _payloads():
+    random.seed(5)
+    base = open("/root/reference/algos/zlib/trees.c", "rb").read()
+    return {
+        "text": base,
+        "empty": b"",
+        "one": b"Q",
+        "rle": b"r" * 70000,
+        "rand": bytes(random.randrange(256) for _ in range(50000)),
+        "period": b"xyz" * 30000,
+        "mixed": base[:15000] + bytes(random.randrange(256)
+                                      for _ in range(20000)) + base,
+    }
+
+
+@pytest.mark.parametrize("level", [1, 2, 4, 6, 9])
+def test_own_deflate_stock_inflate(level):
+    for name, p in _payloads().items():
+        c = native.deflate(p, level)
+        assert zlib.decompress(c) == p, (level, name)
+
+
+@pytest.mark.parametrize("level", [1, 6, 9])
+def test_stock_deflate_own_inflate(level):
+    for name, p in _payloads().items():
+        c = zlib.compress(p, level)
+        assert native.inflate(c, len(p)) == p, (level, name)
+        assert native.inflate(c) == p, (level, name)  # unknown size
+
+
+def test_sync_chunks_concatenate():
+    base = _payloads()["text"]
+    blocks = [base[i:i + 30000] for i in range(0, len(base), 30000)]
+    chunks = [native.deflate(b, 6, native.DEFLATE_SYNC_CHUNK)
+              for b in blocks]
+    joined = b"".join(chunks) + b"\x03\x00"
+    assert zlib.decompressobj(-15).decompress(joined) == base
+    assert native.inflate(joined, len(base) + 8, raw=True) == base
+    # each chunk independently decodable
+    for c, b in zip(chunks, blocks):
+        assert native.inflate(c, len(b), raw=True) == b
+
+
+def test_adler32_checked():
+    p = b"payload " * 2000
+    c = bytearray(native.deflate(p, 6))
+    c[-1] ^= 0xFF
+    with pytest.raises(ValueError, match="adler32"):
+        native.inflate(bytes(c), len(p))
+
+
+def test_ratio_competitive_with_stock():
+    base = _payloads()["text"]
+    for level in (1, 6, 9):
+        own = len(native.deflate(base, level))
+        stock = len(zlib.compress(base, level))
+        assert own < stock * 1.06, (level, own, stock)
+
+
+def test_corrupt_streams_raise_not_crash():
+    p = _payloads()["text"][:40000]
+    c = bytearray(zlib.compress(p, 6))
+    random.seed(13)
+    for _ in range(300):
+        bad = bytearray(c)
+        bad[random.randrange(len(bad))] ^= 1 << random.randrange(8)
+        try:
+            out = native.inflate(bytes(bad), len(p))
+            assert len(out) <= len(p)
+        except ValueError:
+            pass
+    for cut in range(1, 40):
+        try:
+            native.inflate(bytes(c[:-cut]), len(p))
+        except ValueError:
+            pass
+
+
+def test_own_adler32_matches_zlib():
+    p = b"adler vector " * 999
+    assert native.adler32(p) == zlib.adler32(p)
