@@ -185,12 +185,38 @@ class Bzip2Codec(Codec):
 
 @dispatch.register("bzip2", "compress", TIER_HOST, "bzip2_compress_host")
 def _bzip2_compress_host(data: bytes, level: int) -> bytes:
-    return bz2.compress(data, level)
+    # own C++ pipeline (csrc/bzip2.cpp): RLE1 -> prefix-doubling cyclic BWT
+    # -> MTF -> RLE2 -> multi-table Huffman; CPython bz2 is now a test oracle
+    from ..runtime import native
+    return native.bz2_compress(data, level)
 
 
 @dispatch.register("bzip2", "decompress", TIER_HOST, "bzip2_decompress_host")
 def _bzip2_decompress_host(data: bytes, expected_size=None) -> bytes:
-    return bz2.decompress(data)
+    from ..runtime import native
+    return native.bz2_decompress(data, expected_size)
+
+
+@dispatch.register("bzip2", "compress", TIER_XLA, "bzip2_compress_xla")
+def _bzip2_compress_xla(data: bytes, level: int) -> bytes:
+    """Device-BWT tier: RLE1/CRC on host (C++), the block sort — the hot
+    O(n log n) stage, reference blocksort.c — as the TPU prefix-doubling
+    sort pipeline (ops/bwt_device.py), entropy stages back in C++."""
+    from ..ops import bwt_device
+    from ..runtime import native
+    if len(data) < 4096:  # dispatch overhead dwarfs tiny inputs
+        return native.bz2_compress(data, level)
+    rle, offs, lens, crcs = native.bz2_prepare(data, level)
+    Ls, origs = [], []
+    for off, ln in zip(offs, lens):
+        if ln == 0:
+            continue
+        L, I = bwt_device.bwt(rle[off:off + ln].tobytes())
+        Ls.append(L)
+        origs.append(I)
+    keep = lens > 0
+    return native.bz2_emit(level, b"".join(Ls), lens[keep], origs,
+                           crcs[keep])
 
 
 class LzmaCodec(Codec):
@@ -216,11 +242,15 @@ class LzmaCodec(Codec):
 
 @dispatch.register("lzma", "compress", TIER_HOST, "lzma_compress_host")
 def _lzma_compress_host(data: bytes, level: int) -> bytes:
-    # FORMAT_ALONE = legacy .lzma: 5B props + 8B size + raw stream — the
-    # byte layout the reference adapter assembles (api/codec.cpp:206-243).
-    return lzma.compress(data, format=lzma.FORMAT_ALONE, preset=level)
+    # own C++ range coder + hash-chain match finder (csrc/lzma.cpp).
+    # FORMAT_ALONE byte layout: 5B props+dictSize, 8B size, raw stream —
+    # what the reference adapter assembles (api/codec.cpp:206-243).
+    # CPython lzma is now a test oracle only.
+    from ..runtime import native
+    return native.lzma_compress(data, level)
 
 
 @dispatch.register("lzma", "decompress", TIER_HOST, "lzma_decompress_host")
 def _lzma_decompress_host(data: bytes, expected_size=None) -> bytes:
-    return lzma.decompress(data, format=lzma.FORMAT_ALONE)
+    from ..runtime import native
+    return native.lzma_decompress(data, expected_size)

@@ -30,12 +30,15 @@ Encode (per block, vmapped over the batch):
                       accel>=2 elects one best candidate per G-byte tile
                       (G = 1<<accel) and chains tiles — ~3% ratio cost at
                       G=4 for a ~40% throughput gain.
-  4. emission       — per-sequence sizes -> exclusive scan -> three
-                      scatter+cummax "fills" broadcast each covering
-                      sequence's fields to every output byte (the packed
-                      fill values are strictly monotone per sequence, which
-                      is what makes cummax a valid segmented broadcast).
-                      The only gather left is the literal-byte fetch.
+  4. emission       — two modes. Tile parses (G>=2) use the round-2
+                      SORT-EMIT (_emit_sorted): every output byte is
+                      sourced from the input byte domain (literals carry
+                      their own byte; matched "spare" positions carry the
+                      sequence's header bytes), per-byte fields come from
+                      monotone cummax/cummin fills on the tile domain, and
+                      ONE lax.sort of (out_pos<<8 | byte) materializes the
+                      stream — zero gathers, zero scatters. The exact
+                      parse (G=0) keeps the original fill+gather emit.
 
 Decode (per block, vmapped):
   1. token scan     — for EVERY byte position, compute "if a token started
@@ -612,6 +615,30 @@ def _encode_block(data_u8, n, B: int, OUTCAP: int, MAXSEQ: int, G: int = 0,
     return _emit(data_u8, pos, ml, off, nseq, n, B, OUTCAP, MAXSEQ)
 
 
+def encoder_block_fn(B: int, G: int, depth: int = 2, nw: int = NW,
+                     small_offsets: tuple = SMALL_OFFSETS):
+    """Per-block encode fn + output row width, with the measured default
+    config for the sort-emit path. Shared by make_encoder and the
+    sharded/distributed wrappers so every tier produces identical streams.
+    Returns (fn(data_u8, n) -> (out, body, tail, flag), out_width)."""
+    if G >= 2:
+        if depth == 2:
+            depth, nw = 4, 8  # chip-measured sweet spot (see make_encoder)
+        fn = functools.partial(_encode_block_v2, B=B, G=G, depth=depth,
+                               nw=nw, small_offsets=small_offsets)
+        return fn, B
+    OUTCAP = out_capacity(B)
+    MAXSEQ = (B // max(G, MIN_MATCH)) + 2
+    fn0 = functools.partial(_encode_block, B=B, OUTCAP=OUTCAP,
+                            MAXSEQ=MAXSEQ, G=G, depth=depth)
+
+    def fn(data_u8, n):
+        out, body, tail = fn0(data_u8, n)
+        return out, body, tail, jnp.zeros((), jnp.bool_)
+
+    return fn, OUTCAP
+
+
 @functools.lru_cache(maxsize=32)
 def make_encoder(block_size: int, G: int = 0, depth: int = 2,
                  nw: int = NW, small_offsets: tuple = SMALL_OFFSETS):
@@ -624,24 +651,11 @@ def make_encoder(block_size: int, G: int = 0, depth: int = 2,
     blocks the sort-emit could not serialize (see _emit_sorted) — callers
     re-encode those on the host tier; always all-False for the G==0 path.
     """
-    B = block_size
-    if G >= 2:
-        @jax.jit
-        def encode(blocks, lens):
-            fn = functools.partial(_encode_block_v2, B=B, G=G, depth=depth,
-                                   nw=nw, small_offsets=small_offsets)
-            return jax.vmap(fn)(blocks, lens)
-        return encode
-
-    OUTCAP = out_capacity(B)
-    MAXSEQ = (B // max(G, MIN_MATCH)) + 2
+    fn, _ = encoder_block_fn(block_size, G, depth, nw, small_offsets)
 
     @jax.jit
     def encode(blocks, lens):
-        fn = functools.partial(_encode_block, B=B, OUTCAP=OUTCAP,
-                               MAXSEQ=MAXSEQ, G=G, depth=depth)
-        out, body, tail = jax.vmap(fn)(blocks, lens)
-        return out, body, tail, jnp.zeros(body.shape, jnp.bool_)
+        return jax.vmap(fn)(blocks, lens)
 
     return encode
 
@@ -847,6 +861,9 @@ def encode_blocks(blocks, accel: int = 1, depth: int = 2):
     G = grid_for_accel(accel)
     if G and G * 4 > B:  # tiny blocks: grid overhead isn't worth it
         G = 0
+    # G>=2 + depth 2 resolves to the chip-measured sweet spot inside
+    # encoder_block_fn: nw=8 payloads, depth-4 candidate search
+    # (88 MB/s at ratio 2.843 vs 67 MB/s at 2.78 with (16, 2))
     enc = make_encoder(B, G, depth)
     out, sizes, tails, flags = jax.block_until_ready(
         enc(jnp.asarray(arr), jnp.asarray(lens)))

@@ -69,13 +69,10 @@ def make_distributed_encoder(block_size: int, mesh: Mesh, G: int = 0):
         total_in/total_out i32 (psum))
     """
     B = block_size
-    OUTCAP = lz4_device.out_capacity(B)
-    MAXSEQ = (B // max(G, lz4_device.MIN_MATCH)) + 2
+    fn, _outcap = lz4_device.encoder_block_fn(B, G)
 
     def local(blocks, lens):
-        fn = functools.partial(lz4_device._encode_block, B=B, OUTCAP=OUTCAP,
-                               MAXSEQ=MAXSEQ, G=G)
-        bodies, sizes, tails = jax.vmap(fn)(blocks, lens)
+        bodies, sizes, tails, flags = jax.vmap(fn)(blocks, lens)
         total_in = jax.lax.psum(jnp.sum(lens), ("hosts", "chips"))
         total_out = jax.lax.psum(jnp.sum(sizes), ("hosts", "chips"))
         sizes = jax.lax.all_gather(
@@ -84,12 +81,15 @@ def make_distributed_encoder(block_size: int, mesh: Mesh, G: int = 0):
         tails = jax.lax.all_gather(
             jax.lax.all_gather(tails, "chips", tiled=True),
             "hosts", tiled=True)
-        return bodies, sizes, tails, total_in, total_out
+        flags = jax.lax.all_gather(
+            jax.lax.all_gather(flags, "chips", tiled=True),
+            "hosts", tiled=True)
+        return bodies, sizes, tails, flags, total_in, total_out
 
     step = jax.shard_map(
         local, mesh=mesh,
         in_specs=(P(("hosts", "chips"), None), P(("hosts", "chips"))),
-        out_specs=(P(("hosts", "chips"), None), P(), P(), P(), P()),
+        out_specs=(P(("hosts", "chips"), None), P(), P(), P(), P(), P()),
         check_vma=False)
     return jax.jit(step)
 
@@ -118,15 +118,34 @@ def compress_blocks_distributed(
 
     G = lz4_device.grid_for_accel(accel)
     enc = make_distributed_encoder(B, mesh, G)
-    bodies, sizes, tails, _ti, _to = jax.block_until_ready(
+    bodies, sizes, tails, flags, _ti, _to = jax.block_until_ready(
         enc(garr, glens))
 
     # drain only the addressable (host-local) shards of the payload
     local_chunks = []
+    local_index = []
     sizes_np = np.asarray(sizes)
+    tails_np = np.asarray(tails)
+    flags_np = np.asarray(flags)
     for shard in bodies.addressable_shards:
         base = shard.index[0].start or 0
         data = np.asarray(shard.data)
         for r in range(data.shape[0]):
             local_chunks.append(data[r, :sizes_np[base + r]].tobytes())
-    return local_chunks, (sizes_np, np.asarray(tails)), int(garr.shape[0])
+            local_index.append(base + r)
+    if flags_np.any():
+        # sort-emit overflow blocks: host re-encode (same contract as
+        # lz4_device.encode_blocks), fixing the replicated tables too
+        from ..codecs.lz4_stitch import final_sequence_len
+        from ..runtime import native
+        for li, gi in enumerate(local_index):
+            if not flags_np[gi]:
+                continue
+            if li < len(blocks_local):
+                stream, t = native.lz4_compress_tail(blocks_local[li],
+                                                     max(accel, 1))
+                body = stream[:len(stream) - final_sequence_len(t)]
+                local_chunks[li] = body
+                sizes_np[gi] = len(body)
+                tails_np[gi] = t
+    return local_chunks, (sizes_np, tails_np), int(garr.shape[0])

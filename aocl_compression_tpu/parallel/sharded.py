@@ -57,17 +57,14 @@ def make_sharded_encoder(block_size: int, mesh: Mesh,
     ICI all-gather) because container assembly needs every block's size.
     """
     B = block_size
-    OUTCAP = lz4_device.out_capacity(B)
-    MAXSEQ = B // lz4_device.MIN_MATCH + 2
+    fn, _outcap = lz4_device.encoder_block_fn(B, 0)
 
     shard = NamedSharding(mesh, P(axis_name))
     shard2 = NamedSharding(mesh, P(axis_name, None))
     repl = NamedSharding(mesh, P())
 
     def step(blocks, lens):
-        fn = functools.partial(lz4_device._encode_block, B=B, OUTCAP=OUTCAP,
-                               MAXSEQ=MAXSEQ)
-        bodies, sizes, tails = jax.vmap(fn)(blocks, lens)
+        bodies, sizes, tails, _flags = jax.vmap(fn)(blocks, lens)
         return bodies, sizes, tails
 
     return jax.jit(step,
@@ -104,15 +101,12 @@ def make_training_step(block_size: int, mesh: Mesh,
     the stats reduction (ICI), plus the replicated size gather.
     """
     B = block_size
-    OUTCAP = lz4_device.out_capacity(B)
-    MAXSEQ = B // lz4_device.MIN_MATCH + 2
+    fn, _outcap = lz4_device.encoder_block_fn(B, 0)
     shard2 = NamedSharding(mesh, P(axis_name, None))
     shard1 = NamedSharding(mesh, P(axis_name))
 
     def local_encode(blocks, lens):
-        fn = functools.partial(lz4_device._encode_block, B=B, OUTCAP=OUTCAP,
-                               MAXSEQ=MAXSEQ)
-        bodies, sizes, tails = jax.vmap(fn)(blocks, lens)
+        bodies, sizes, tails, _flags = jax.vmap(fn)(blocks, lens)
         # per-shard stats -> global via psum over the mesh axis (ICI)
         local_bytes = jnp.sum(sizes)
         total_bytes = jax.lax.psum(local_bytes, axis_name)

@@ -84,6 +84,21 @@ def get_lib() -> ctypes.CDLL:
             ("atpu_deflate_bound", _i64, [_i64]),
             ("atpu_adler32", ctypes.c_uint32,
              [_u8p, ctypes.c_size_t, ctypes.c_uint32]),
+            ("atpu_bz2_compress", _i64,
+             [_u8p, ctypes.c_size_t, _u8p, ctypes.c_size_t, _i32]),
+            ("atpu_bz2_decompress", _i64,
+             [_u8p, ctypes.c_size_t, _u8p, ctypes.c_size_t]),
+            ("atpu_bz2_prepare", _i64,
+             [_u8p, ctypes.c_size_t, _i32, _u8p, ctypes.c_size_t,
+              ctypes.POINTER(_i64), ctypes.POINTER(_i64), _u32p, _i32]),
+            ("atpu_bz2_emit", _i64,
+             [_i32, _i32, _u8p, ctypes.POINTER(_i64), ctypes.POINTER(_i64),
+              _u32p, _u8p, ctypes.c_size_t]),
+            ("atpu_lzma_compress", _i64,
+             [_u8p, ctypes.c_size_t, _u8p, ctypes.c_size_t, _i32]),
+            ("atpu_lzma_decompress", _i64,
+             [_u8p, ctypes.c_size_t, _u8p, ctypes.c_size_t]),
+            ("atpu_lzma_unpacked_size", _i64, [_u8p, ctypes.c_size_t]),
         ]:
             fn = getattr(lib, name)
             fn.restype = restype
@@ -376,3 +391,108 @@ def inflate(data: bytes, expected_size: Optional[int] = None,
 def adler32(data: bytes, start: int = 1) -> int:
     return int(get_lib().atpu_adler32(_as_u8p(_tobuf(data)), len(data),
                                       start))
+
+
+# --- bzip2 (own C++ codec, csrc/bzip2.cpp) ------------------------------------
+
+def bz2_compress(data: bytes, level: int = 9) -> bytes:
+    lib = get_lib()
+    src = _tobuf(data)
+    dst = np.empty(len(data) + len(data) // 2 + 600, dtype=np.uint8)
+    n = lib.atpu_bz2_compress(_as_u8p(src), len(data), _as_u8p(dst),
+                              dst.size, level)
+    if n < 0:
+        raise ValueError("bz2 compress failed")
+    return dst[:n].tobytes()
+
+
+def bz2_decompress(data: bytes, expected_size: Optional[int] = None) -> bytes:
+    lib = get_lib()
+    src = _tobuf(data)
+    cap = expected_size if expected_size is not None else max(
+        256, 8 * len(data))
+    while True:
+        dst = np.empty(max(cap, 1), dtype=np.uint8)
+        n = lib.atpu_bz2_decompress(_as_u8p(src), len(data), _as_u8p(dst),
+                                    dst.size)
+        if n >= 0:
+            return dst[:n].tobytes()
+        if n == -2 and expected_size is None and cap < (1 << 31):
+            cap *= 4
+            continue
+        if n == -4:
+            raise ValueError("bz2: CRC mismatch")
+        raise ValueError("bz2: corrupt stream")
+
+
+def bz2_prepare(data: bytes, level: int):
+    """RLE1 + block split + per-block CRC (the device-BWT path's stage 1).
+    Returns (rle1 buffer, offsets, lens, crcs)."""
+    lib = get_lib()
+    src = _tobuf(data)
+    rle = np.empty(len(data) + len(data) // 2 + 64, dtype=np.uint8)
+    max_blocks = rle.size // (100000 * level) + 2
+    offs = np.empty(max_blocks, dtype=np.int64)
+    lens = np.empty(max_blocks, dtype=np.int64)
+    crcs = np.empty(max_blocks, dtype=np.uint32)
+    nb = lib.atpu_bz2_prepare(
+        _as_u8p(src), len(data), level, _as_u8p(rle), rle.size,
+        offs.ctypes.data_as(ctypes.POINTER(_i64)),
+        lens.ctypes.data_as(ctypes.POINTER(_i64)),
+        crcs.ctypes.data_as(_u32p), max_blocks)
+    if nb < 0:
+        raise ValueError("bz2 prepare failed")
+    return rle, offs[:nb], lens[:nb], crcs[:nb]
+
+
+def bz2_emit(level: int, Ls: bytes, lens, orig_ptrs, crcs) -> bytes:
+    """Write a .bz2 stream from per-block BWT outputs (device tier)."""
+    lib = get_lib()
+    lsbuf = _tobuf(Ls)
+    lens64 = np.ascontiguousarray(lens, dtype=np.int64)
+    origs = np.ascontiguousarray(orig_ptrs, dtype=np.int64)
+    crcs32 = np.ascontiguousarray(crcs, dtype=np.uint32)
+    total = int(lens64.sum())
+    dst = np.empty(total + total // 2 + 600, dtype=np.uint8)
+    n = lib.atpu_bz2_emit(
+        level, len(lens64), _as_u8p(lsbuf),
+        lens64.ctypes.data_as(ctypes.POINTER(_i64)),
+        origs.ctypes.data_as(ctypes.POINTER(_i64)),
+        crcs32.ctypes.data_as(_u32p), _as_u8p(dst), dst.size)
+    if n < 0:
+        raise ValueError("bz2 emit failed")
+    return dst[:n].tobytes()
+
+
+# --- LZMA (own C++ codec, csrc/lzma.cpp) ---------------------------------------
+
+def lzma_compress(data: bytes, level: int = 6) -> bytes:
+    lib = get_lib()
+    src = _tobuf(data)
+    dst = np.empty(len(data) + len(data) // 2 + 256, dtype=np.uint8)
+    n = lib.atpu_lzma_compress(_as_u8p(src), len(data), _as_u8p(dst),
+                               dst.size, level)
+    if n < 0:
+        raise ValueError("lzma compress failed")
+    return dst[:n].tobytes()
+
+
+def lzma_decompress(data: bytes,
+                    expected_size: Optional[int] = None) -> bytes:
+    lib = get_lib()
+    src = _tobuf(data)
+    if expected_size is None:
+        declared = lib.atpu_lzma_unpacked_size(_as_u8p(src), len(data))
+        cap = int(declared) if declared >= 0 else max(256, 8 * len(data))
+    else:
+        cap = expected_size
+    while True:
+        dst = np.empty(max(cap, 1), dtype=np.uint8)
+        n = lib.atpu_lzma_decompress(_as_u8p(src), len(data), _as_u8p(dst),
+                                     dst.size)
+        if n >= 0:
+            return dst[:n].tobytes()
+        if n == -2 and cap < (1 << 31):
+            cap = max(cap * 4, 1024)
+            continue
+        raise ValueError("lzma: corrupt stream")

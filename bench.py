@@ -57,7 +57,7 @@ def main():
     arr = np.frombuffer(data, dtype=np.uint8).reshape(N, B)
     lens = np.full(N, B, dtype=np.int32)
 
-    enc = lz4_device.make_encoder(B, G)
+    enc = lz4_device.make_encoder(B, G, 4, 8)
     ja, jl = jnp.asarray(arr), jnp.asarray(lens)
 
     # warmup / compile

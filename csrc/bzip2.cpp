@@ -1,0 +1,772 @@
+// Own bzip2 codec (compress + decompress) — no third-party code.
+//
+// Replaces the round-1 CPython-bz2 delegate (VERDICT item 2). Capability
+// parity targets: /root/reference/algos/bzip2/ — blocksort.c (BWT; here a
+// prefix-doubling cyclic-rotation sort instead of mainSimpleSort's quadrant
+// tricks), compress.c (RLE1, MTF, RLE2, multi-table Huffman, bitstream),
+// decompress.c, huffman.c, crctable.c (CRC32 poly 0x04c11db7, MSB-first).
+//
+// The pipeline is split so the TPU device tier can supply the BWT:
+//   atpu_bz2_prepare(...)        RLE1 + per-block CRC + block split
+//   atpu_bz2_emit(...)           MTF/RLE2/Huffman/bitstream from BWT output
+//   atpu_bz2_compress(...)       full host pipeline (prepare + BWT + emit)
+//   atpu_bz2_decompress(...)     full inverse with CRC verification
+
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+
+#define ATPU_EXPORT extern "C" __attribute__((visibility("default")))
+
+namespace {
+
+typedef uint8_t u8;
+typedef uint16_t u16;
+typedef uint32_t u32;
+typedef uint64_t u64;
+typedef long long i64;
+
+enum { ERR_CORRUPT = -1, ERR_DST_SMALL = -2, ERR_CHECKSUM = -4 };
+
+static const int MAX_ALPHA = 258, MAX_GROUPS = 6, GROUP_SIZE = 50;
+static const int MAX_CODE_LEN = 17;  // encoder limit (format allows 20)
+
+// ---------------------------------------------------------------------------
+// bzip2 CRC32: polynomial 0x04c11db7, MSB-first, init/final 0xFFFFFFFF
+// ---------------------------------------------------------------------------
+struct Crc32 {
+  u32 table[256];
+  Crc32() {
+    for (u32 i = 0; i < 256; i++) {
+      u32 c = i << 24;
+      for (int k = 0; k < 8; k++)
+        c = (c & 0x80000000u) ? (c << 1) ^ 0x04c11db7u : (c << 1);
+      table[i] = c;
+    }
+  }
+};
+static const Crc32 CRC;
+
+static inline u32 crc_update(u32 crc, u8 b) {
+  return (crc << 8) ^ CRC.table[(u8)(crc >> 24) ^ b];
+}
+
+// ---------------------------------------------------------------------------
+// MSB-first bit IO (bzip2 convention)
+// ---------------------------------------------------------------------------
+struct MsbWriter {
+  u8* out;
+  size_t cap, len = 0;
+  u64 acc = 0;
+  int nbits = 0;
+  bool overflow = false;
+
+  MsbWriter(u8* o, size_t c) : out(o), cap(c) {}
+  void put(u32 v, int n) {
+    acc = (acc << n) | (v & ((n >= 32) ? 0xFFFFFFFFu : ((1u << n) - 1)));
+    nbits += n;
+    while (nbits >= 8) {
+      if (len >= cap) { overflow = true; nbits = 0; return; }
+      out[len++] = (u8)(acc >> (nbits - 8));
+      nbits -= 8;
+    }
+  }
+  void finish() { if (nbits) put(0, 8 - nbits); }
+};
+
+struct MsbReader {
+  const u8* p;
+  const u8* end;
+  u64 acc = 0;
+  int nbits = 0;
+  bool fail = false;
+
+  MsbReader(const u8* s, const u8* e) : p(s), end(e) {}
+  u32 get(int n) {
+    while (nbits < n) {
+      if (p >= end) { fail = true; return 0; }
+      acc = (acc << 8) | *p++;
+      nbits += 8;
+    }
+    u32 v = (u32)((acc >> (nbits - n)) & ((n >= 32) ? 0xFFFFFFFFu
+                                                    : ((1u << n) - 1)));
+    nbits -= n;
+    return v;
+  }
+};
+
+// ---------------------------------------------------------------------------
+// length-limited Huffman (same scheme as csrc/deflate.cpp, maxlen 17;
+// every symbol of the alphabet gets a code — freqs are clamped >= 1)
+// ---------------------------------------------------------------------------
+static void bz_build_lengths(const u32* freq_in, int n, u8* lens) {
+  u32 freq[MAX_ALPHA];
+  for (int i = 0; i < n; i++) freq[i] = freq_in[i] ? freq_in[i] : 1;
+  int order[MAX_ALPHA];
+  for (int i = 0; i < n; i++) order[i] = i;
+  for (int i = 1; i < n; i++) {  // insertion sort by freq asc
+    int v = order[i];
+    int j = i - 1;
+    while (j >= 0 && freq[order[j]] > freq[v]) { order[j + 1] = order[j]; j--; }
+    order[j + 1] = v;
+  }
+  if (n == 1) { lens[0] = 1; return; }
+  u32 nf[2 * MAX_ALPHA];
+  int parent[2 * MAX_ALPHA];
+  for (int i = 0; i < n; i++) nf[i] = freq[order[i]];
+  int leafq = 0, nodeq = n, nodes = n;
+  while ((n - leafq) + (nodes - nodeq) >= 2) {
+    int picks[2];
+    for (int k = 0; k < 2; k++) {
+      bool leafOk = leafq < n, nodeOk = nodeq < nodes;
+      if (leafOk && (!nodeOk || nf[leafq] <= nf[nodeq])) picks[k] = leafq++;
+      else picks[k] = nodeq++;
+    }
+    nf[nodes] = nf[picks[0]] + nf[picks[1]];
+    parent[picks[0]] = nodes;
+    parent[picks[1]] = nodes;
+    nodes++;
+  }
+  int depth[2 * MAX_ALPHA];
+  depth[nodes - 1] = 0;
+  for (int i = nodes - 2; i >= 0; i--) depth[i] = depth[parent[i]] + 1;
+  int bl_count[64] = {0};
+  int overflow = 0;
+  for (int i = 0; i < n; i++) {
+    int d = depth[i];
+    if (d > MAX_CODE_LEN) { overflow++; d = MAX_CODE_LEN; }
+    bl_count[d]++;
+  }
+  while (overflow > 0) {
+    int bits = MAX_CODE_LEN - 1;
+    while (bl_count[bits] == 0) bits--;
+    bl_count[bits]--;
+    bl_count[bits + 1] += 2;
+    bl_count[MAX_CODE_LEN]--;
+    overflow -= 2;
+  }
+  int oi = 0;
+  for (int bits = MAX_CODE_LEN; bits >= 1; bits--)
+    for (int k = 0; k < bl_count[bits]; k++) lens[order[oi++]] = (u8)bits;
+}
+
+// canonical codes, bzip2 style: ascending length, symbol order within
+static void bz_assign_codes(const u8* lens, int n, int minLen, int maxLen,
+                            u32* codes) {
+  u32 vec = 0;
+  for (int l = minLen; l <= maxLen; l++) {
+    for (int i = 0; i < n; i++)
+      if (lens[i] == l) codes[i] = vec++;
+    vec <<= 1;
+  }
+}
+
+struct DecTable {
+  int minLen, maxLen;
+  i64 limit[24], base[24];
+  u16 perm[MAX_ALPHA];
+};
+
+static bool bz_build_dectable(const u8* lens, int n, DecTable* t) {
+  t->minLen = 32;
+  t->maxLen = 0;
+  for (int i = 0; i < n; i++) {
+    if (lens[i] < 1 || lens[i] > 23) return false;
+    if (lens[i] < t->minLen) t->minLen = lens[i];
+    if (lens[i] > t->maxLen) t->maxLen = lens[i];
+  }
+  int pp = 0;
+  for (int l = t->minLen; l <= t->maxLen; l++)
+    for (int i = 0; i < n; i++)
+      if (lens[i] == l) t->perm[pp++] = (u16)i;
+  int cnt[24] = {0};
+  for (int i = 0; i < n; i++) cnt[lens[i]]++;
+  i64 vec = 0;
+  int total = 0;
+  for (int l = t->minLen; l <= t->maxLen; l++) {
+    t->base[l] = vec - total;        // code - base = perm index offset
+    vec += cnt[l];
+    total += cnt[l];
+    t->limit[l] = vec - 1;
+    vec <<= 1;
+  }
+  return true;
+}
+
+static int bz_get_sym(MsbReader& br, const DecTable& t) {
+  int l = t.minLen;
+  i64 v = br.get(l);
+  while (true) {
+    if (br.fail || l > t.maxLen) return -1;
+    if (v <= t.limit[l]) break;
+    v = (v << 1) | br.get(1);
+    l++;
+  }
+  i64 idx = v - t.base[l];
+  if (idx < 0 || idx >= MAX_ALPHA) return -1;
+  return t.perm[idx];
+}
+
+// ---------------------------------------------------------------------------
+// cyclic-rotation BWT via prefix doubling + LSD counting sort
+// ---------------------------------------------------------------------------
+static int bwt_forward(const u8* s, int n, u8* L) {
+  if (n == 0) return 0;
+  int* rank = (int*)malloc(sizeof(int) * (size_t)n * 4);
+  if (!rank) return -1;
+  int* tmp = rank + n;
+  int* sa = rank + 2 * n;
+  int* sa2 = rank + 3 * n;
+  int* cnt = (int*)calloc((size_t)(n > 256 ? n : 256) + 1, sizeof(int));
+  if (!cnt) { free(rank); return -1; }
+
+  for (int i = 0; i < n; i++) rank[i] = s[i];
+  for (int i = 0; i < n; i++) sa[i] = i;
+  // initial counting sort by first byte
+  memset(cnt, 0, sizeof(int) * 257);
+  for (int i = 0; i < n; i++) cnt[rank[i] + 1]++;
+  for (int i = 0; i < 256; i++) cnt[i + 1] += cnt[i];
+  for (int i = 0; i < n; i++) sa2[cnt[rank[i]]++] = i;
+  memcpy(sa, sa2, sizeof(int) * (size_t)n);
+
+  int maxRank = 255;
+  for (int k = 1; k < n; k <<= 1) {
+    // sort sa by (rank[i], rank[i+k mod n]) — LSD: second key then first
+    memset(cnt, 0, sizeof(int) * (size_t)(maxRank + 2));
+    for (int i = 0; i < n; i++) {
+      int j = sa[i] + k;
+      if (j >= n) j -= n;
+      tmp[i] = rank[j];  // second key of the element at sorted slot i
+    }
+    for (int i = 0; i < n; i++) cnt[tmp[i] + 1]++;
+    for (int i = 0; i <= maxRank; i++) cnt[i + 1] += cnt[i];
+    for (int i = 0; i < n; i++) sa2[cnt[tmp[i]]++] = sa[i];
+    // stable counting sort by first key
+    memset(cnt, 0, sizeof(int) * (size_t)(maxRank + 2));
+    for (int i = 0; i < n; i++) cnt[rank[sa2[i]] + 1]++;
+    for (int i = 0; i <= maxRank; i++) cnt[i + 1] += cnt[i];
+    for (int i = 0; i < n; i++) sa[cnt[rank[sa2[i]]]++] = sa2[i];
+    // re-rank
+    int r = 0;
+    tmp[sa[0]] = 0;
+    for (int i = 1; i < n; i++) {
+      int a = sa[i], b = sa[i - 1];
+      int ak = a + k < n ? a + k : a + k - n;
+      int bk = b + k < n ? b + k : b + k - n;
+      if (rank[a] != rank[b] || rank[ak] != rank[bk]) r++;
+      tmp[a] = r;
+    }
+    memcpy(rank, tmp, sizeof(int) * (size_t)n);
+    maxRank = r;
+    if (r == n - 1) break;
+  }
+  int I = -1;
+  for (int i = 0; i < n; i++) {
+    int j = sa[i];
+    if (j == 0) I = i;
+    L[i] = s[(j + n - 1) % n];
+  }
+  free(cnt);
+  free(rank);
+  return I;
+}
+
+// ---------------------------------------------------------------------------
+// RLE1 (bzip2 stage 1): runs of 4-255 -> 4 literal bytes + count byte
+// ---------------------------------------------------------------------------
+struct Rle1Block { size_t rle_off, rle_len; u32 crc; };
+
+// Encode src into RLE1 form, splitting into blocks of <= blockLimit bytes
+// (post-RLE1); per-block CRC is over the ORIGINAL bytes the block consumed.
+static int rle1_split(const u8* src, size_t n, int blockLimit, u8* out,
+                      size_t outCap, Rle1Block* blocks, int maxBlocks) {
+  size_t ip = 0, op = 0;
+  int nb = 0;
+  while (ip < n || nb == 0) {
+    if (nb >= maxBlocks) return -1;
+    Rle1Block* b = &blocks[nb];
+    b->rle_off = op;
+    u32 crc = 0xFFFFFFFFu;
+    size_t blockEnd = op + (size_t)blockLimit;
+    while (ip < n) {
+      // measure the run at ip (capped at 255)
+      size_t run = 1;
+      while (ip + run < n && run < 255 && src[ip + run] == src[ip]) run++;
+      size_t atom = run >= 4 ? 5 : run;  // bytes the atom writes
+      if (op + atom > blockEnd || op + atom > outCap) break;
+      if (run >= 4) {
+        for (int k = 0; k < 4; k++) out[op++] = src[ip];
+        out[op++] = (u8)(run - 4);
+      } else {
+        for (size_t k = 0; k < run; k++) out[op++] = src[ip];
+      }
+      for (size_t k = 0; k < run; k++) crc = crc_update(crc, src[ip + k]);
+      ip += run;
+    }
+    b->rle_len = op - b->rle_off;
+    b->crc = crc ^ 0xFFFFFFFFu;
+    nb++;
+    if (ip >= n) break;
+  }
+  return nb;
+}
+
+// ---------------------------------------------------------------------------
+// block emission: BWT output (L, origPtr) -> MTF -> RLE2 -> Huffman
+// ---------------------------------------------------------------------------
+static bool emit_bz2_block(MsbWriter& bw, const u8* L, int n, int origPtr,
+                           u32 crc) {
+  bw.put(0x31415926u, 32);
+  bw.put(0x5359u, 16);
+  bw.put(crc, 32);
+  bw.put(0, 1);  // not randomized
+  bw.put((u32)origPtr, 24);
+
+  // symbol map
+  bool used[256] = {false};
+  for (int i = 0; i < n; i++) used[L[i]] = true;
+  u8 unmap[256];
+  int nUsed = 0;
+  for (int i = 0; i < 256; i++)
+    if (used[i]) unmap[nUsed++] = (u8)i;
+  u16 used16 = 0;
+  for (int i = 0; i < 16; i++) {
+    for (int j = 0; j < 16; j++)
+      if (used[16 * i + j]) { used16 |= (u16)(1 << (15 - i)); break; }
+  }
+  bw.put(used16, 16);
+  for (int i = 0; i < 16; i++) {
+    if (!(used16 & (1 << (15 - i)))) continue;
+    u16 bits = 0;
+    for (int j = 0; j < 16; j++)
+      if (used[16 * i + j]) bits |= (u16)(1 << (15 - j));
+    bw.put(bits, 16);
+  }
+
+  int alphaSize = nUsed + 2;
+  int EOB = alphaSize - 1;
+
+  // MTF + RLE2 into the symbol stream
+  u16* syms = (u16*)malloc(sizeof(u16) * ((size_t)n + 2));
+  if (!syms) return false;
+  int nSyms = 0;
+  u8 order[256];
+  memcpy(order, unmap, 256);  // MTF list over used symbols (compact codes)
+  u8 pos_of[256];
+  for (int i = 0; i < nUsed; i++) pos_of[order[i]] = (u8)i;
+  u32 zrun = 0;
+  u32 freq[MAX_ALPHA] = {0};
+
+  auto flush_zrun = [&]() {
+    u32 v = zrun;
+    while (v > 0) {
+      if (v & 1) { syms[nSyms++] = 0; freq[0]++; v = (v - 1) >> 1; }
+      else { syms[nSyms++] = 1; freq[1]++; v = (v - 2) >> 1; }
+    }
+    zrun = 0;
+  };
+
+  for (int i = 0; i < n; i++) {
+    u8 b = L[i];
+    u8 p = pos_of[b];
+    if (p == 0) { zrun++; continue; }
+    if (zrun) flush_zrun();
+    // move to front
+    memmove(order + 1, order, p);
+    order[0] = b;
+    for (int k = 0; k <= p; k++) pos_of[order[k]] = (u8)k;
+    u16 s = (u16)(p + 1);  // MTF value v >= 1 -> symbol v+1
+    syms[nSyms++] = s;
+    freq[s]++;
+  }
+  if (zrun) flush_zrun();
+  syms[nSyms++] = (u16)EOB;
+  freq[EOB]++;
+
+  // group count (reference thresholds, compress.c sendMTFValues)
+  int nGroups = nSyms < 200 ? 2 : nSyms < 600 ? 3 : nSyms < 1200 ? 4
+                : nSyms < 2400 ? 5 : 6;
+  int nSel = (nSyms + GROUP_SIZE - 1) / GROUP_SIZE;
+
+  // initial tables: slice the alphabet by cumulative frequency
+  u8 lens[MAX_GROUPS][MAX_ALPHA];
+  {
+    int remF = nSyms, gs = 0;
+    for (int g = nGroups - 1; g >= 0; g--) {
+      int tFreq = remF / (g + 1);
+      int ge = gs - 1;
+      int aFreq = 0;
+      while (aFreq < tFreq && ge < alphaSize - 1) {
+        ge++;
+        aFreq += (int)freq[ge];
+      }
+      if (ge > gs && g != nGroups - 1 && g != 0 &&
+          ((nGroups - g) & 1)) { aFreq -= (int)freq[ge]; ge--; }
+      for (int a = 0; a < alphaSize; a++)
+        lens[nGroups - 1 - g][a] = (a >= gs && a <= ge) ? 2 : 8;
+      gs = ge + 1;
+      remF -= aFreq;
+    }
+  }
+
+  u8* sel = (u8*)malloc((size_t)nSel);
+  if (!sel) { free(syms); return false; }
+
+  // refinement iterations: assign each 50-symbol group to the cheapest
+  // table, then rebuild each table from its groups' frequencies
+  for (int iter = 0; iter < 3; iter++) {
+    u32 gfreq[MAX_GROUPS][MAX_ALPHA];
+    memset(gfreq, 0, sizeof(gfreq));
+    for (int g = 0; g < nSel; g++) {
+      int lo = g * GROUP_SIZE;
+      int hi = lo + GROUP_SIZE < nSyms ? lo + GROUP_SIZE : nSyms;
+      u32 best = 0xFFFFFFFFu;
+      int bestT = 0;
+      for (int t = 0; t < nGroups; t++) {
+        u32 cost = 0;
+        for (int i = lo; i < hi; i++) cost += lens[t][syms[i]];
+        if (cost < best) { best = cost; bestT = t; }
+      }
+      sel[g] = (u8)bestT;
+      for (int i = lo; i < hi; i++) gfreq[bestT][syms[i]]++;
+    }
+    for (int t = 0; t < nGroups; t++)
+      bz_build_lengths(gfreq[t], alphaSize, lens[t]);
+  }
+
+  bw.put((u32)nGroups, 3);
+  bw.put((u32)nSel, 15);
+  // selectors, MTF'd over table indices, unary
+  {
+    u8 tord[MAX_GROUPS];
+    for (int i = 0; i < nGroups; i++) tord[i] = (u8)i;
+    for (int g = 0; g < nSel; g++) {
+      u8 t = sel[g];
+      int p = 0;
+      while (tord[p] != t) p++;
+      memmove(tord + 1, tord, (size_t)p);
+      tord[0] = t;
+      for (int k = 0; k < p; k++) bw.put(1, 1);
+      bw.put(0, 1);
+    }
+  }
+  // code lengths, delta coded
+  u32 codes[MAX_GROUPS][MAX_ALPHA];
+  int minL[MAX_GROUPS], maxL[MAX_GROUPS];
+  for (int t = 0; t < nGroups; t++) {
+    minL[t] = 32;
+    maxL[t] = 0;
+    for (int a = 0; a < alphaSize; a++) {
+      if (lens[t][a] < minL[t]) minL[t] = lens[t][a];
+      if (lens[t][a] > maxL[t]) maxL[t] = lens[t][a];
+    }
+    bz_assign_codes(lens[t], alphaSize, minL[t], maxL[t], codes[t]);
+    int cur = lens[t][0];
+    bw.put((u32)cur, 5);
+    for (int a = 0; a < alphaSize; a++) {
+      while (cur < lens[t][a]) { bw.put(2, 2); cur++; }  // 10 = inc
+      while (cur > lens[t][a]) { bw.put(3, 2); cur--; }  // 11 = dec
+      bw.put(0, 1);
+    }
+  }
+  // symbol stream
+  for (int i = 0; i < nSyms; i++) {
+    int t = sel[i / GROUP_SIZE];
+    u16 s2 = syms[i];
+    bw.put(codes[t][s2], lens[t][s2]);
+  }
+  free(sel);
+  free(syms);
+  return !bw.overflow;
+}
+
+// ---------------------------------------------------------------------------
+// decompress
+// ---------------------------------------------------------------------------
+static i64 bz2_decode_stream(MsbReader& br, u8* dst, size_t dstCap,
+                             size_t* op_inout) {
+  u32 h1 = br.get(8), h2 = br.get(8), h3 = br.get(8), lvl = br.get(8);
+  if (br.fail || h1 != 'B' || h2 != 'Z' || h3 != 'h') return ERR_CORRUPT;
+  if (lvl < '1' || lvl > '9') return ERR_CORRUPT;
+  int blockLimit = 100000 * (int)(lvl - '0');
+  size_t op = *op_inout;
+  u32 streamCrc = 0;
+
+  u8* L = (u8*)malloc((size_t)blockLimit + 16);
+  u32* tt = (u32*)malloc(sizeof(u32) * ((size_t)blockLimit + 16));
+  if (!L || !tt) { free(L); free(tt); return ERR_CORRUPT; }
+  i64 result = ERR_CORRUPT;
+
+  for (;;) {
+    u64 magic = ((u64)br.get(24) << 24) | br.get(24);
+    if (br.fail) goto done;
+    if (magic == 0x177245385090ULL) {  // end of stream
+      u32 want = br.get(32);
+      if (br.fail || want != streamCrc) { result = ERR_CHECKSUM; goto done; }
+      result = (i64)op;
+      goto done;
+    }
+    if (magic != 0x314159265359ULL) goto done;
+    {
+      u32 blockCrc = br.get(32);
+      u32 randomized = br.get(1);
+      u32 origPtr = br.get(24);
+      if (br.fail || randomized) goto done;  // deprecated randomized mode
+      u16 used16 = (u16)br.get(16);
+      bool used[256] = {false};
+      int nUsed = 0;
+      u8 unmap[256];
+      for (int i = 0; i < 16; i++) {
+        if (!(used16 & (1 << (15 - i)))) continue;
+        u16 bits = (u16)br.get(16);
+        for (int j = 0; j < 16; j++)
+          if (bits & (1 << (15 - j))) used[16 * i + j] = true;
+      }
+      for (int i = 0; i < 256; i++)
+        if (used[i]) unmap[nUsed++] = (u8)i;
+      if (nUsed == 0) goto done;
+      int alphaSize = nUsed + 2;
+      int EOB = alphaSize - 1;
+
+      int nGroups = (int)br.get(3);
+      int nSel = (int)br.get(15);
+      if (br.fail || nGroups < 2 || nGroups > 6 || nSel < 1) goto done;
+      u8* sel = (u8*)malloc((size_t)nSel);
+      if (!sel) goto done;
+      {
+        u8 tord[MAX_GROUPS];
+        for (int i = 0; i < nGroups; i++) tord[i] = (u8)i;
+        for (int g = 0; g < nSel; g++) {
+          int p = 0;
+          while (br.get(1) == 1) { p++; if (p >= nGroups || br.fail) {
+              free(sel); goto done; } }
+          u8 t = tord[p];
+          memmove(tord + 1, tord, (size_t)p);
+          tord[0] = t;
+          sel[g] = t;
+        }
+      }
+      DecTable* tables = (DecTable*)malloc(sizeof(DecTable) * MAX_GROUPS);
+      if (!tables) { free(sel); goto done; }
+      bool tok = true;
+      for (int t = 0; t < nGroups && tok; t++) {
+        u8 lens[MAX_ALPHA];
+        int cur = (int)br.get(5);
+        for (int a = 0; a < alphaSize; a++) {
+          for (;;) {
+            if (br.fail || cur < 1 || cur > 20) { tok = false; break; }
+            if (br.get(1) == 0) break;
+            cur += br.get(1) ? -1 : 1;
+          }
+          if (!tok) break;
+          lens[a] = (u8)cur;
+        }
+        tok = tok && bz_build_dectable(lens, alphaSize, &tables[t]);
+      }
+      if (!tok) { free(tables); free(sel); goto done; }
+
+      // decode symbol stream -> MTF/RLE2 -> byte counts + tt fill
+      u8 order[256];
+      memcpy(order, unmap, 256);
+      int cftab[257] = {0};
+      int nblock = 0;
+      u32 zrun = 0;
+      u32 zbit = 1;
+      int gsym = 0;
+      bool ok2 = true;
+      auto emit_byte = [&](u8 b) -> bool {
+        if (nblock >= blockLimit) return false;
+        L[nblock++] = b;
+        cftab[b + 1]++;
+        return true;
+      };
+      for (;;) {
+        int t = sel[(gsym / GROUP_SIZE) < nSel ? gsym / GROUP_SIZE
+                                               : nSel - 1];
+        if (gsym / GROUP_SIZE >= nSel) { ok2 = false; break; }
+        int s = bz_get_sym(br, tables[t]);
+        gsym++;
+        if (s < 0 || s >= alphaSize) { ok2 = false; break; }
+        if (s == 0 || s == 1) {  // RUNA / RUNB
+          zrun += (s == 0) ? zbit : 2 * zbit;
+          zbit <<= 1;
+          continue;
+        }
+        if (zrun) {
+          u8 b = order[0];
+          while (zrun--) if (!emit_byte(b)) { ok2 = false; break; }
+          zrun = 0;
+          zbit = 1;
+          if (!ok2) break;
+        }
+        if (s == EOB) break;
+        int p = s - 1;  // MTF index
+        if (p >= nUsed) { ok2 = false; break; }
+        u8 b = order[p];
+        memmove(order + 1, order, (size_t)p);
+        order[0] = b;
+        if (!emit_byte(b)) { ok2 = false; break; }
+      }
+      free(tables);
+      free(sel);
+      if (!ok2 || br.fail || (int)origPtr >= (nblock ? nblock : 1)) goto done;
+
+      // inverse BWT: LF walk via tt (standard cftab chaining)
+      for (int i = 0; i < 256; i++) cftab[i + 1] += cftab[i];
+      for (int i = 0; i < nblock; i++) tt[cftab[L[i]]++] = (u32)i;
+      u32 tpos = tt[origPtr];
+      u32 crc = 0xFFFFFFFFu;
+      // RLE1 decode inline
+      int runCount = 0;
+      u8 prev = 0;
+      bool counting = false;
+      for (int i = 0; i < nblock; i++) {
+        u8 b = L[tpos];
+        tpos = tt[tpos];
+        if (counting) {
+          // b is a repeat count for `prev`
+          for (int k = 0; k < (int)b; k++) {
+            if (op >= dstCap) { result = ERR_DST_SMALL; goto done; }
+            dst[op++] = prev;
+            crc = crc_update(crc, prev);
+          }
+          counting = false;
+          runCount = 0;
+          continue;
+        }
+        if (op >= dstCap) { result = ERR_DST_SMALL; goto done; }
+        dst[op++] = b;
+        crc = crc_update(crc, b);
+        if (runCount > 0 && b == prev) runCount++;
+        else runCount = 1;
+        prev = b;
+        if (runCount == 4) { counting = true; }
+      }
+      crc ^= 0xFFFFFFFFu;
+      if (crc != blockCrc) { result = ERR_CHECKSUM; goto done; }
+      streamCrc = ((streamCrc << 1) | (streamCrc >> 31)) ^ crc;
+    }
+  }
+done:
+  free(L);
+  free(tt);
+  if (result >= 0) *op_inout = (size_t)result;
+  return result;
+}
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// C API
+// ---------------------------------------------------------------------------
+
+ATPU_EXPORT i64 atpu_bz2_compress(const u8* src, size_t n, u8* dst,
+                                  size_t dstCap, int level) {
+  if (level < 1) level = 1;
+  if (level > 9) level = 9;
+  int blockLimit = 100000 * level;
+  size_t rleCap = n + n / 2 + 64;
+  u8* rle = (u8*)malloc(rleCap);
+  int maxBlocks = (int)(rleCap / (size_t)blockLimit) + 2;
+  Rle1Block* blocks = (Rle1Block*)malloc(sizeof(Rle1Block)
+                                         * (size_t)maxBlocks);
+  u8* L = (u8*)malloc((size_t)blockLimit + 16);
+  if (!rle || !blocks || !L) { free(rle); free(blocks); free(L);
+    return ERR_CORRUPT; }
+  i64 result = ERR_CORRUPT;
+  int nb = rle1_split(src, n, blockLimit, rle, rleCap, blocks, maxBlocks);
+  MsbWriter bw(dst, dstCap);
+  u32 streamCrc = 0;
+  if (nb < 0) goto done;
+  bw.put('B', 8); bw.put('Z', 8); bw.put('h', 8);
+  bw.put((u32)('0' + level), 8);
+  for (int b = 0; b < nb; b++) {
+    int len = (int)blocks[b].rle_len;
+    int I = 0;
+    if (len > 0) {
+      I = bwt_forward(rle + blocks[b].rle_off, len, L);
+      if (I < 0) goto done;
+    } else if (nb > 1 || n > 0) {
+      continue;  // empty trailing block
+    }
+    if (len == 0) continue;  // empty input handled by empty stream below
+    if (!emit_bz2_block(bw, L, len, I, blocks[b].crc)) goto done;
+    streamCrc = ((streamCrc << 1) | (streamCrc >> 31)) ^ blocks[b].crc;
+  }
+  bw.put(0x17724538u, 32);
+  bw.put(0x5090u, 16);
+  bw.put(streamCrc, 32);
+  bw.finish();
+  result = bw.overflow ? (i64)ERR_DST_SMALL : (i64)bw.len;
+done:
+  free(rle);
+  free(blocks);
+  free(L);
+  return result;
+}
+
+// Device-BWT entry: the caller already ran RLE1 (atpu_bz2_prepare) and the
+// BWT (TPU pipeline, ops/bwt_device.py); this writes the bit-exact stream.
+ATPU_EXPORT i64 atpu_bz2_emit(int level, int nblocks, const u8* Ls,
+                              const i64* lens, const i64* origPtrs,
+                              const u32* crcs, u8* dst, size_t dstCap) {
+  if (level < 1 || level > 9 || nblocks < 0) return ERR_CORRUPT;
+  MsbWriter bw(dst, dstCap);
+  bw.put('B', 8); bw.put('Z', 8); bw.put('h', 8);
+  bw.put((u32)('0' + level), 8);
+  u32 streamCrc = 0;
+  size_t off = 0;
+  for (int b = 0; b < nblocks; b++) {
+    if (lens[b] <= 0 || lens[b] > 100000 * level) return ERR_CORRUPT;
+    if (!emit_bz2_block(bw, Ls + off, (int)lens[b], (int)origPtrs[b],
+                        crcs[b]))
+      return ERR_DST_SMALL;
+    streamCrc = ((streamCrc << 1) | (streamCrc >> 31)) ^ crcs[b];
+    off += (size_t)lens[b];
+  }
+  bw.put(0x17724538u, 32);
+  bw.put(0x5090u, 16);
+  bw.put(streamCrc, 32);
+  bw.finish();
+  return bw.overflow ? (i64)ERR_DST_SMALL : (i64)bw.len;
+}
+
+// RLE1 + block split + per-block CRC for the device-BWT path. Returns the
+// number of blocks; fills rleOut (concatenated RLE1 data), offs/lens/crcs.
+ATPU_EXPORT i64 atpu_bz2_prepare(const u8* src, size_t n, int level,
+                                 u8* rleOut, size_t rleCap, i64* offs,
+                                 i64* lens, u32* crcs, int maxBlocks) {
+  if (level < 1 || level > 9) return ERR_CORRUPT;
+  Rle1Block* blocks = (Rle1Block*)malloc(sizeof(Rle1Block)
+                                         * (size_t)maxBlocks);
+  if (!blocks) return ERR_CORRUPT;
+  int nb = rle1_split(src, n, 100000 * level, rleOut, rleCap, blocks,
+                      maxBlocks);
+  if (nb < 0) { free(blocks); return ERR_CORRUPT; }
+  for (int b = 0; b < nb; b++) {
+    offs[b] = (i64)blocks[b].rle_off;
+    lens[b] = (i64)blocks[b].rle_len;
+    crcs[b] = blocks[b].crc;
+  }
+  free(blocks);
+  return nb;
+}
+
+ATPU_EXPORT i64 atpu_bz2_decompress(const u8* src, size_t n, u8* dst,
+                                    size_t dstCap) {
+  MsbReader br(src, src + n);
+  size_t op = 0;
+  bool any = false;
+  while (!br.fail) {
+    // stop when fewer than 4 header bytes remain
+    size_t rem = (size_t)(br.end - br.p) + (size_t)(br.nbits / 8);
+    if (rem < 4) break;
+    i64 r = bz2_decode_stream(br, dst, dstCap, &op);
+    if (r < 0) return r;
+    any = true;
+    br.nbits = 0;  // streams are byte-aligned
+    br.acc = 0;
+  }
+  if (!any && n > 0) return ERR_CORRUPT;
+  return (i64)op;
+}

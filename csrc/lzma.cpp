@@ -1,0 +1,630 @@
+// Own LZMA codec (.lzma ALONE format) — encoder + decoder, no third-party
+// code. Replaces the round-1 CPython-lzma delegate (VERDICT item 5).
+//
+// Capability parity targets: /root/reference/algos/lzma/ — LzmaEnc.c
+// (range encoder + packet state machine), LzmaDec.c (decoder), LzFind.c
+// (match finder; here hash-4 chains with rep-distance probes, the CEHC
+// contiguous-layout idea of algos/common/aoclHashChain.h:116-149 realized
+// as a flat prev[] ring). Independent implementation from the public LZMA
+// specification; validity is proven by cross-decoding with liblzma both
+// directions (tests/test_lzma_native.py).
+//
+// Layout (FORMAT_ALONE): 1 byte props ((pb*5+lp)*9+lc), 4B LE dictSize,
+// 8B LE uncompressed size (we write the real size; we decode both real
+// and unknown-size + end-marker streams).
+
+#include <cstdint>
+#include <cstring>
+#include <cstdlib>
+#include <cstddef>
+
+#define ATPU_EXPORT extern "C" __attribute__((visibility("default")))
+
+namespace {
+
+typedef uint8_t u8;
+typedef uint16_t u16;
+typedef uint32_t u32;
+typedef uint64_t u64;
+typedef long long i64;
+
+enum { ERR_CORRUPT = -1, ERR_DST_SMALL = -2 };
+
+static const int NSTATES = 12, NPOSSTATES = 16;
+static const u32 PROB_INIT = 1024;  // 2048/2
+static const int MATCH_LEN_MIN = 2, MATCH_LEN_MAX = 273;
+
+struct LenProbs {
+  u16 choice, choice2;
+  u16 low[NPOSSTATES][8], mid[NPOSSTATES][8], high[256];
+};
+
+struct Probs {
+  u16 isMatch[NSTATES][NPOSSTATES];
+  u16 isRep[NSTATES], isRepG0[NSTATES], isRepG1[NSTATES], isRepG2[NSTATES];
+  u16 isRep0Long[NSTATES][NPOSSTATES];
+  u16 posSlot[4][64];
+  u16 specPos[115];
+  u16 align_[16];
+  LenProbs matchLen, repLen;
+  u16* lit;  // (1 << (lc+lp)) * 0x300
+  int lc, lp, pb;
+
+  bool alloc(int lc_, int lp_, int pb_) {
+    lc = lc_; lp = lp_; pb = pb_;
+    size_t nlit = ((size_t)0x300) << (lc + lp);
+    lit = (u16*)malloc(sizeof(u16) * nlit);
+    if (!lit) return false;
+    // init everything to PROB_INIT (all prob fields precede `lit`)
+    u16* base = (u16*)this;
+    size_t nhdr = (offsetof(Probs, lit)) / sizeof(u16);
+    for (size_t i = 0; i < nhdr; i++) base[i] = PROB_INIT;
+    for (size_t i = 0; i < nlit; i++) lit[i] = PROB_INIT;
+    return true;
+  }
+  void release() { free(lit); lit = nullptr; }
+};
+
+static inline int state_after_lit(int s) {
+  return s < 4 ? 0 : s < 10 ? s - 3 : s - 6;
+}
+
+// ---------------------------------------------------------------------------
+// range decoder
+// ---------------------------------------------------------------------------
+struct RDec {
+  const u8* p;
+  const u8* end;
+  u32 range = 0xFFFFFFFFu;
+  u32 code = 0;
+  bool fail = false;
+
+  bool init(const u8* s, const u8* e) {
+    p = s;
+    end = e;
+    if (end - p < 5 || *p != 0) return false;
+    p++;
+    code = 0;
+    for (int i = 0; i < 4; i++) code = (code << 8) | *p++;
+    return true;
+  }
+  inline u8 next() { return p < end ? *p++ : (fail = true, 0); }
+  inline void norm() {
+    if (range < (1u << 24)) { range <<= 8; code = (code << 8) | next(); }
+  }
+  inline int bit(u16* prob) {
+    u32 bound = (range >> 11) * *prob;
+    int b;
+    if (code < bound) {
+      range = bound;
+      *prob = (u16)(*prob + ((2048 - *prob) >> 5));
+      b = 0;
+    } else {
+      code -= bound;
+      range -= bound;
+      *prob = (u16)(*prob - (*prob >> 5));
+      b = 1;
+    }
+    norm();
+    return b;
+  }
+  inline u32 direct(int n) {
+    u32 res = 0;
+    while (n--) {
+      range >>= 1;
+      u32 t = (code - range) >> 31;  // 0 if code >= range
+      code -= range & (t - 1);
+      res = (res << 1) | (1 - t);
+      norm();
+    }
+    return res;
+  }
+  // bittree forward: n bits, probs[1..]
+  inline u32 tree(u16* probs, int n) {
+    u32 m = 1;
+    for (int i = 0; i < n; i++) m = (m << 1) | (u32)bit(&probs[m]);
+    return m - (1u << n);
+  }
+  inline u32 tree_rev(u16* probs, int n) {
+    u32 m = 1, res = 0;
+    for (int i = 0; i < n; i++) {
+      int b = bit(&probs[m]);
+      m = (m << 1) | (u32)b;
+      res |= (u32)b << i;
+    }
+    return res;
+  }
+};
+
+static int dec_len(RDec& rd, LenProbs& lp2, int posState) {
+  if (!rd.bit(&lp2.choice))
+    return MATCH_LEN_MIN + (int)rd.tree(lp2.low[posState], 3);
+  if (!rd.bit(&lp2.choice2))
+    return MATCH_LEN_MIN + 8 + (int)rd.tree(lp2.mid[posState], 3);
+  return MATCH_LEN_MIN + 16 + (int)rd.tree(lp2.high, 8);
+}
+
+// ---------------------------------------------------------------------------
+// range encoder
+// ---------------------------------------------------------------------------
+struct REnc {
+  u8* out;
+  size_t cap, len = 0;
+  u64 low = 0;
+  u32 range = 0xFFFFFFFFu;
+  u8 cache = 0;
+  u64 cacheSize = 1;
+  bool overflow = false;
+
+  REnc(u8* o, size_t c) : out(o), cap(c) {}
+  void shift_low() {
+    if ((u32)(low >> 32) != 0 || (u32)low < 0xFF000000u) {
+      u8 carry = (u8)(low >> 32);
+      while (cacheSize--) {
+        if (len >= cap) { overflow = true; cacheSize = 1; break; }
+        out[len++] = (u8)(cache + carry);
+        cache = 0xFF;
+      }
+      cache = (u8)(low >> 24);
+      cacheSize = 0;
+    }
+    cacheSize++;
+    low = (low << 8) & 0xFFFFFFFFu;
+  }
+  inline void norm() {
+    while (range < (1u << 24)) { shift_low(); range <<= 8; }
+  }
+  inline void bit(u16* prob, int b) {
+    u32 bound = (range >> 11) * *prob;
+    if (!b) {
+      range = bound;
+      *prob = (u16)(*prob + ((2048 - *prob) >> 5));
+    } else {
+      low += bound;
+      range -= bound;
+      *prob = (u16)(*prob - (*prob >> 5));
+    }
+    norm();
+  }
+  inline void direct(u32 v, int n) {
+    while (n--) {
+      range >>= 1;
+      if ((v >> n) & 1) low += range;
+      norm();
+    }
+  }
+  inline void tree(u16* probs, int n, u32 sym) {
+    u32 m = 1;
+    for (int i = n - 1; i >= 0; i--) {
+      u32 b = (sym >> i) & 1;
+      bit(&probs[m], (int)b);
+      m = (m << 1) | b;
+    }
+  }
+  inline void tree_rev(u16* probs, int n, u32 sym) {
+    u32 m = 1;
+    for (int i = 0; i < n; i++) {
+      u32 b = (sym >> i) & 1;
+      bit(&probs[m], (int)b);
+      m = (m << 1) | b;
+    }
+  }
+  void flush() { for (int i = 0; i < 5; i++) shift_low(); }
+};
+
+static void enc_len(REnc& re, LenProbs& lp2, int posState, int len) {
+  int v = len - MATCH_LEN_MIN;
+  if (v < 8) {
+    re.bit(&lp2.choice, 0);
+    re.tree(lp2.low[posState], 3, (u32)v);
+  } else if (v < 16) {
+    re.bit(&lp2.choice, 1);
+    re.bit(&lp2.choice2, 0);
+    re.tree(lp2.mid[posState], 3, (u32)(v - 8));
+  } else {
+    re.bit(&lp2.choice, 1);
+    re.bit(&lp2.choice2, 1);
+    re.tree(lp2.high, 8, (u32)(v - 16));
+  }
+}
+
+// ---------------------------------------------------------------------------
+// decoder
+// ---------------------------------------------------------------------------
+static i64 lzma_decode_raw(Probs& P, RDec& rd, u8* dst, size_t dstCap,
+                           u64 unpackSize, bool sizeKnown) {
+  size_t op = 0;
+  u32 rep0 = 1, rep1 = 1, rep2 = 1, rep3 = 1;
+  int state = 0;
+  u32 posMask = (1u << P.pb) - 1;
+  u32 litPosMask = (1u << P.lp) - 1;
+
+  while (!sizeKnown || op < unpackSize) {
+    if (rd.fail) return ERR_CORRUPT;
+    if (!sizeKnown && op >= dstCap) return ERR_DST_SMALL;
+    int posState = (int)((u32)op & posMask);
+    if (!rd.bit(&P.isMatch[state][posState])) {
+      // literal
+      if (op >= dstCap) return ERR_DST_SMALL;
+      u8 prev = op ? dst[op - 1] : 0;
+      u16* probs = P.lit + 0x300 * ((((u32)op & litPosMask) << P.lc)
+                                    + (prev >> (8 - P.lc)));
+      u32 symbol = 1;
+      if (state >= 7) {
+        if (rep0 > op) return ERR_CORRUPT;
+        u8 matchByte = dst[op - rep0];
+        do {
+          u32 matchBit = (matchByte >> 7) & 1;
+          matchByte <<= 1;
+          u32 b = (u32)rd.bit(&probs[((1 + matchBit) << 8) + symbol]);
+          symbol = (symbol << 1) | b;
+          if (matchBit != b) break;
+        } while (symbol < 0x100);
+      }
+      while (symbol < 0x100)
+        symbol = (symbol << 1) | (u32)rd.bit(&probs[symbol]);
+      dst[op++] = (u8)symbol;
+      state = state_after_lit(state);
+      continue;
+    }
+    int len;
+    if (rd.bit(&P.isRep[state])) {
+      // rep match
+      if (op == 0) return ERR_CORRUPT;
+      if (!rd.bit(&P.isRepG0[state])) {
+        if (!rd.bit(&P.isRep0Long[state][posState])) {
+          // short rep: 1 byte
+          if (rep0 > op || op >= dstCap) return ERR_CORRUPT;
+          dst[op] = dst[op - rep0];
+          op++;
+          state = state < 7 ? 9 : 11;
+          continue;
+        }
+      } else {
+        u32 dist;
+        if (!rd.bit(&P.isRepG1[state])) {
+          dist = rep1;
+        } else if (!rd.bit(&P.isRepG2[state])) {
+          dist = rep2;
+          rep2 = rep1;
+        } else {
+          dist = rep3;
+          rep3 = rep2;
+          rep2 = rep1;
+        }
+        rep1 = rep0;
+        rep0 = dist;
+      }
+      len = dec_len(rd, P.repLen, posState);
+      state = state < 7 ? 8 : 11;
+    } else {
+      // new match
+      rep3 = rep2;
+      rep2 = rep1;
+      rep1 = rep0;
+      len = dec_len(rd, P.matchLen, posState);
+      int lps = len - 2 < 3 ? len - 2 : 3;
+      u32 slot = rd.tree(P.posSlot[lps], 6);
+      if (slot < 4) {
+        rep0 = slot;
+      } else {
+        int nd = (int)(slot >> 1) - 1;
+        rep0 = (2 | (slot & 1)) << nd;
+        if (slot < 14) {
+          rep0 += rd.tree_rev(P.specPos + rep0 - slot, nd);
+        } else {
+          rep0 += rd.direct(nd - 4) << 4;
+          rep0 += rd.tree_rev(P.align_, 4);
+        }
+      }
+      if (rep0 == 0xFFFFFFFFu) {
+        // end marker
+        if (sizeKnown) return ERR_CORRUPT;
+        return (i64)op;
+      }
+      rep0++;
+      state = state < 7 ? 7 : 10;
+    }
+    if (rep0 > op) return ERR_CORRUPT;
+    if (op + (size_t)len > dstCap) return ERR_DST_SMALL;
+    const u8* q = dst + op - rep0;
+    u8* o = dst + op;
+    for (int i = 0; i < len; i++) o[i] = q[i];
+    op += (size_t)len;
+  }
+  return (i64)op;
+}
+
+// ---------------------------------------------------------------------------
+// encoder
+// ---------------------------------------------------------------------------
+static const int EHASH_BITS = 16, EHASH_SIZE = 1 << EHASH_BITS;
+
+static inline u32 ehash4(const u8* p) {
+  u32 v;
+  memcpy(&v, p, 4);
+  return (v * 2654435761u) >> (32 - EHASH_BITS);
+}
+
+static int ematch_len(const u8* a, const u8* b, const u8* limit) {
+  const u8* s = a;
+  while (a + 8 <= limit) {
+    u64 x, y;
+    memcpy(&x, a, 8);
+    memcpy(&y, b, 8);
+    u64 d = x ^ y;
+    if (d) return (int)(a - s) + (__builtin_ctzll(d) >> 3);
+    a += 8;
+    b += 8;
+  }
+  while (a < limit && *a == *b) { a++; b++; }
+  return (int)(a - s);
+}
+
+struct EncMF {
+  int32_t* head;
+  int32_t* prev;
+  u32 window;
+
+  bool alloc(u32 win) {
+    window = win;
+    head = (int32_t*)malloc(sizeof(int32_t) * EHASH_SIZE);
+    prev = (int32_t*)malloc(sizeof(int32_t) * (size_t)win);
+    if (!head || !prev) return false;
+    memset(head, -1, sizeof(int32_t) * EHASH_SIZE);
+    return true;
+  }
+  void release() { free(head); free(prev); }
+  void insert(const u8* base, size_t pos) {
+    u32 h = ehash4(base + pos);
+    prev[pos & (window - 1)] = head[h];
+    head[h] = (int32_t)pos;
+  }
+  int find(const u8* base, size_t pos, size_t n, int depth, u32* distOut) {
+    const u8* limit = base + (n - pos > MATCH_LEN_MAX
+                              ? pos + MATCH_LEN_MAX : n);
+    int best = 0;
+    u32 bestd = 0;
+    int32_t cand = head[ehash4(base + pos)];
+    while (cand >= 0 && depth-- > 0) {
+      size_t c = (size_t)cand;
+      if (pos - c >= window) break;
+      int l = ematch_len(base + pos, base + c, limit);
+      if (l > best) { best = l; bestd = (u32)(pos - c); }
+      int32_t nxt = prev[c & (window - 1)];
+      if (nxt >= (int32_t)c) break;
+      cand = nxt;
+    }
+    *distOut = bestd;
+    return best;
+  }
+};
+
+struct EncParams { u32 dict; int depth; };
+static EncParams eparams(int level) {
+  switch (level < 0 ? 0 : (level > 9 ? 9 : level)) {
+    case 0: return {1u << 16, 4};
+    case 1: return {1u << 17, 8};
+    case 2: return {1u << 18, 12};
+    case 3: return {1u << 19, 16};
+    case 4: return {1u << 20, 24};
+    case 5: return {1u << 21, 32};
+    case 6: return {1u << 22, 48};
+    case 7: return {1u << 22, 96};
+    case 8: return {1u << 23, 192};
+    default: return {1u << 23, 384};
+  }
+}
+
+static void enc_literal(REnc& re, Probs& P, const u8* dst, size_t op,
+                        int state, u32 rep0, u8 sym) {
+  u8 prev = op ? dst[op - 1] : 0;
+  u32 litPosMask = (1u << P.lp) - 1;
+  u16* probs = P.lit + 0x300 * ((((u32)op & litPosMask) << P.lc)
+                                + (prev >> (8 - P.lc)));
+  u32 symbol = 0x100 | sym;
+  if (state >= 7) {
+    u8 matchByte = dst[op - rep0];
+    u32 m = 1;
+    int i = 7;
+    for (; i >= 0; i--) {
+      u32 matchBit = (matchByte >> i) & 1;
+      u32 b = (symbol >> i) & 1;
+      re.bit(&probs[((1 + matchBit) << 8) + m], (int)b);
+      m = (m << 1) | b;
+      if (matchBit != b) { i--; break; }
+    }
+    for (; i >= 0; i--) {
+      u32 b = (symbol >> i) & 1;
+      re.bit(&probs[m], (int)b);
+      m = (m << 1) | b;
+    }
+  } else {
+    u32 m = 1;
+    for (int i = 7; i >= 0; i--) {
+      u32 b = (symbol >> i) & 1;
+      re.bit(&probs[m], (int)b);
+      m = (m << 1) | b;
+    }
+  }
+}
+
+static void enc_dist(REnc& re, Probs& P, int len, u32 dist) {
+  // dist is the raw distance-1 ("dist slot value"), i.e. rep0 - 1
+  int lps = len - 2 < 3 ? len - 2 : 3;
+  u32 slot;
+  if (dist < 4) {
+    slot = dist;
+  } else {
+    int nb = 31 - __builtin_clz(dist);
+    slot = (u32)(nb * 2) + ((dist >> (nb - 1)) & 1);
+  }
+  re.tree(P.posSlot[lps], 6, slot);
+  if (slot >= 4) {
+    int nd = (int)(slot >> 1) - 1;
+    u32 base = (2 | (slot & 1)) << nd;
+    u32 rest = dist - base;
+    if (slot < 14) {
+      re.tree_rev(P.specPos + base - slot, nd, rest);
+    } else {
+      re.direct(rest >> 4, nd - 4);
+      re.tree_rev(P.align_, 4, rest & 15);
+    }
+  }
+}
+
+static i64 lzma_encode(const u8* src, size_t n, u8* dst, size_t dstCap,
+                       int level) {
+  const int lc = 3, lp = 0, pb = 2;
+  EncParams ep = eparams(level);
+  if (dstCap < 13) return ERR_DST_SMALL;
+  dst[0] = (u8)((pb * 5 + lp) * 9 + lc);
+  u32 dsize = ep.dict;
+  for (int i = 0; i < 4; i++) dst[1 + i] = (u8)(dsize >> (8 * i));
+  for (int i = 0; i < 8; i++) dst[5 + i] = (u8)((u64)n >> (8 * i));
+
+  Probs P;
+  if (!P.alloc(lc, lp, pb)) return ERR_CORRUPT;
+  EncMF mf;
+  if (!mf.alloc(ep.dict)) { P.release(); return ERR_CORRUPT; }
+  REnc re(dst + 13, dstCap - 13);
+
+  u32 rep0 = 1, rep1 = 1, rep2 = 1, rep3 = 1;
+  int state = 0;
+  u32 posMask = (1u << pb) - 1;
+  size_t pos = 0;
+
+  while (pos < n) {
+    int posState = (int)((u32)pos & posMask);
+    // candidate: rep matches (len >= 2)
+    int bestRepLen = 0, bestRepIdx = -1;
+    if (pos >= 1) {
+      u32 reps[4] = {rep0, rep1, rep2, rep3};
+      const u8* limit = src + (n - pos > MATCH_LEN_MAX
+                               ? pos + MATCH_LEN_MAX : n);
+      for (int r = 0; r < 4; r++) {
+        if (reps[r] > pos) continue;
+        int l = ematch_len(src + pos, src + pos - reps[r], limit);
+        // longer rep wins; prefer low rep index on ties
+        if (l >= 2 && l > bestRepLen) { bestRepLen = l; bestRepIdx = r; }
+      }
+    }
+    // candidate: new match
+    u32 nd = 0;
+    int nl = 0;
+    if (pos + 4 <= n) {
+      nl = mf.find(src, pos, n, ep.depth, &nd);
+      mf.insert(src, pos);
+    }
+    if (nl < 3) nl = 0;  // new matches below 3 rarely pay for the distance
+
+    bool useRep = bestRepLen >= 2 &&
+                  (bestRepLen + 1 >= nl || (bestRepIdx == 0 &&
+                                            bestRepLen + 2 >= nl));
+    if (useRep && bestRepLen >= 2) {
+      // emit rep match
+      re.bit(&P.isMatch[state][posState], 1);
+      re.bit(&P.isRep[state], 1);
+      u32 reps[4] = {rep0, rep1, rep2, rep3};
+      if (bestRepIdx == 0) {
+        re.bit(&P.isRepG0[state], 0);
+        re.bit(&P.isRep0Long[state][posState], 1);
+      } else {
+        re.bit(&P.isRepG0[state], 1);
+        if (bestRepIdx == 1) {
+          re.bit(&P.isRepG1[state], 0);
+        } else {
+          re.bit(&P.isRepG1[state], 1);
+          re.bit(&P.isRepG2[state], bestRepIdx == 2 ? 0 : 1);
+          if (bestRepIdx == 3) rep3 = rep2;
+          rep2 = rep1;
+        }
+        u32 d = reps[bestRepIdx];
+        if (bestRepIdx >= 2) { /* rep2/rep3 rotation done above */ }
+        rep1 = rep0;
+        rep0 = d;
+      }
+      enc_len(re, P.repLen, posState, bestRepLen);
+      state = state < 7 ? 8 : 11;
+      // insert skipped positions into the match finder
+      size_t endp = pos + (size_t)bestRepLen;
+      for (size_t q = pos + 1; q + 4 <= n && q < endp; q++) mf.insert(src, q);
+      pos = endp;
+      continue;
+    }
+    if (nl >= 3) {
+      int len = nl;
+      u32 dist = nd;
+      re.bit(&P.isMatch[state][posState], 1);
+      re.bit(&P.isRep[state], 0);
+      rep3 = rep2;
+      rep2 = rep1;
+      rep1 = rep0;
+      rep0 = dist;
+      enc_len(re, P.matchLen, posState, len);
+      enc_dist(re, P, len, dist - 1);
+      state = state < 7 ? 7 : 10;
+      size_t endp = pos + (size_t)len;
+      for (size_t q = pos + 1; q + 4 <= n && q < endp; q++) mf.insert(src, q);
+      pos = endp;
+      continue;
+    }
+    // literal
+    re.bit(&P.isMatch[state][posState], 0);
+    enc_literal(re, P, src, pos, state, rep0, src[pos]);
+    state = state_after_lit(state);
+    pos++;
+  }
+  re.flush();
+  mf.release();
+  P.release();
+  if (re.overflow) return ERR_DST_SMALL;
+  return (i64)(13 + re.len);
+}
+
+}  // namespace
+
+// ---------------------------------------------------------------------------
+// C API
+// ---------------------------------------------------------------------------
+
+ATPU_EXPORT i64 atpu_lzma_compress(const u8* src, size_t n, u8* dst,
+                                   size_t dstCap, int level) {
+  return lzma_encode(src, n, dst, dstCap, level);
+}
+
+ATPU_EXPORT i64 atpu_lzma_decompress(const u8* src, size_t n, u8* dst,
+                                     size_t dstCap) {
+  if (n < 13) return ERR_CORRUPT;
+  u8 props = src[0];
+  if (props >= 9 * 5 * 5) return ERR_CORRUPT;
+  int lc = props % 9;
+  int rem = props / 9;
+  int lp = rem % 5;
+  int pb = rem / 5;
+  u64 unpack = 0;
+  for (int i = 0; i < 8; i++) unpack |= (u64)src[5 + i] << (8 * i);
+  bool sizeKnown = unpack != 0xFFFFFFFFFFFFFFFFULL;
+  if (sizeKnown && unpack > dstCap) return ERR_DST_SMALL;
+  Probs P;
+  if (!P.alloc(lc, lp, pb)) return ERR_CORRUPT;
+  RDec rd;
+  i64 r;
+  if (!rd.init(src + 13, src + n)) {
+    r = ERR_CORRUPT;
+  } else {
+    r = lzma_decode_raw(P, rd, dst, dstCap, unpack, sizeKnown);
+  }
+  P.release();
+  return r;
+}
+
+// declared uncompressed size (-1 unknown, -10 corrupt header)
+ATPU_EXPORT i64 atpu_lzma_unpacked_size(const u8* src, size_t n) {
+  if (n < 13) return -10;
+  u64 unpack = 0;
+  for (int i = 0; i < 8; i++) unpack |= (u64)src[5 + i] << (8 * i);
+  if (unpack == 0xFFFFFFFFFFFFFFFFULL) return -1;
+  if (unpack > (1ULL << 62)) return -10;
+  return (i64)unpack;
+}
