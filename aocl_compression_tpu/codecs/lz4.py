@@ -23,7 +23,7 @@ from ..api.handle import Handle
 from ..parallel import container
 from ..runtime import native
 from ..utils import dispatch
-from ..utils.config import TIER_HOST, TIER_XLA, get_config
+from ..utils.config import TIER_HOST, TIER_MESH, TIER_XLA, get_config
 from . import lz4_stitch
 from .base import Codec
 
@@ -52,20 +52,46 @@ class Lz4Codec(Codec):
         accel = max(1, handle.opt_var)
         # the device pipeline is the throughput mode (tile-anchor parse);
         # accel<=1 keeps the serial-greedy ratio semantics on the host tier
-        # (reference: accel maps to the match-skip step, lz4.c:1447)
-        cap = handle.max_tier if accel >= 2 else TIER_HOST
-        cb = dispatch.resolve(self.name, "compress_blocks", cap,
-                              handle.opt_off)
+        # (reference: accel maps to the match-skip step, lz4.c:1447).
+        # num_shards > 1 requests the mesh tier (reference: MT behind the
+        # same entry points, threads/threads.c:46).
+        cap = handle.max_tier if accel >= 2 or handle.num_shards > 1 \
+            else TIER_HOST
+        cb, ctier = dispatch.resolve_with_tier(
+            self.name, "compress_blocks", cap, handle.opt_off)
+        if ctier == TIER_MESH:
+            shards = handle.num_shards * max(1, handle.num_hosts)
+            compress = lambda blocks: cb(blocks, accel,
+                                         num_shards=shards or None)
+        else:
+            compress = lambda blocks: cb(blocks, accel)
         # device decode is opt-in (measured slower than the host C++ path;
         # see config.device_decode_enabled)
         from ..utils.config import device_decode_enabled
         dcap = handle.max_tier if device_decode_enabled() else TIER_HOST
-        db = dispatch.resolve(self.name, "decompress_blocks", dcap,
-                              handle.opt_off)
+        db, dtier = dispatch.resolve_with_tier(
+            self.name, "decompress_blocks", dcap, handle.opt_off)
         bs = self._block_size(handle)
+        if dtier == TIER_MESH:
+            shards = handle.num_shards * max(1, handle.num_hosts)
+            decompress = lambda chunks, dlens: db(
+                chunks, dlens, bs, num_shards=shards or None)
+        else:
+            decompress = lambda chunks, dlens: db(chunks, dlens, bs)
+        # mem_limit caps the bytes in flight per batched device dispatch
+        # (reference handle field memLimit / bench -m); batching happens
+        # BELOW the stitcher so the serial-stream layout is unchanged
+        if handle.mem_limit and ctier >= TIER_XLA:
+            ml = handle.mem_limit
+            if ctier == TIER_MESH:
+                shards = handle.num_shards * max(1, handle.num_hosts)
+                compress = lambda blocks: cb(blocks, accel,
+                                             num_shards=shards or None,
+                                             mem_limit=ml)
+            else:
+                compress = lambda blocks: cb(blocks, accel, mem_limit=ml)
         return container.BlockCodecAdapter(
-            compress_blocks=lambda blocks: cb(blocks, accel),
-            decompress_blocks=lambda chunks, dlens: db(chunks, dlens, bs))
+            compress_blocks=compress, decompress_blocks=decompress)
 
     def compress(self, handle: Handle, data: bytes) -> bytes:
         if self._rap_enabled(handle):
@@ -101,6 +127,23 @@ def _oneshot_decompress(data: bytes, expected_size: Optional[int]) -> bytes:
     raise ValueError("lz4 decompress: cannot size output")
 
 
+def _block_groups(blocks, mem_limit):
+    """Split blocks into groups of <= mem_limit input bytes per dispatch
+    (the reference's memLimit semantics, codec_bench -m). Applied BELOW
+    the stitcher: groups only bound device batch sizes, never the stream
+    layout."""
+    groups, cur, size = [], [], 0
+    for b in blocks:
+        if cur and size + len(b) > mem_limit:
+            groups.append(cur)
+            cur, size = [], 0
+        cur.append(b)
+        size += len(b)
+    if cur:
+        groups.append(cur)
+    return groups
+
+
 # --- host-tier variants -------------------------------------------------------
 
 @dispatch.register("lz4", "compress", TIER_HOST, "lz4_compress_host")
@@ -127,11 +170,16 @@ def _decompress_blocks_host(chunks: Sequence[bytes], dlens: Sequence[int],
 
 @dispatch.register("lz4", "compress_blocks", TIER_XLA,
                    "lz4_compress_blocks_xla")
-def _compress_blocks_xla(blocks: Sequence[bytes], accel: int):
+def _compress_blocks_xla(blocks: Sequence[bytes], accel: int,
+                         mem_limit=None):
     from ..ops import lz4_device
     if max(len(b) for b in blocks) > lz4_device.MAX_DEVICE_BLOCK:
         return _compress_blocks_host(blocks, accel)  # 16-bit packing limit
-    bodies, tails = lz4_device.encode_blocks(blocks, accel)
+    bodies, tails = [], []
+    for g in (_block_groups(blocks, mem_limit) if mem_limit else [blocks]):
+        bo, ta = lz4_device.encode_blocks(g, accel)
+        bodies.extend(bo)
+        tails.extend(ta)
     return lz4_stitch.stitch_bodies(bodies, tails, blocks)
 
 
@@ -157,3 +205,31 @@ def _compress_xla(data: bytes, accel: int) -> bytes:
     bodies, tails = lz4_device.encode_blocks(blocks, accel)
     chunks, _ = lz4_stitch.stitch_bodies(bodies, tails, blocks)
     return b"".join(chunks)
+
+
+# --- mesh-tier variants (parallel/sharded.py over a device mesh) --------------
+
+@dispatch.register("lz4", "compress_blocks", TIER_MESH,
+                   "lz4_compress_blocks_mesh")
+def _compress_blocks_mesh(blocks: Sequence[bytes], accel: int,
+                          num_shards=None, mem_limit=None):
+    from ..parallel import sharded
+    if max(len(b) for b in blocks) > 65536:
+        return _compress_blocks_host(blocks, accel)
+    bodies, tails = [], []
+    for g in (_block_groups(blocks, mem_limit) if mem_limit else [blocks]):
+        bo, ta = sharded.compress_blocks_mesh(g, accel, num_shards)
+        bodies.extend(bo)
+        tails.extend(ta)
+    return lz4_stitch.stitch_bodies(bodies, tails, blocks)
+
+
+@dispatch.register("lz4", "decompress_blocks", TIER_MESH,
+                   "lz4_decompress_blocks_mesh")
+def _decompress_blocks_mesh(chunks: Sequence[bytes], dlens: Sequence[int],
+                            block_size: int, num_shards=None):
+    from ..parallel import sharded
+    if max(dlens, default=0) > 65536:
+        return _decompress_blocks_host(chunks, dlens, block_size)
+    return sharded.decompress_blocks_mesh(chunks, dlens, block_size,
+                                          num_shards)

@@ -5,10 +5,11 @@ level table zstd_compress.c:7311-7405, RAP-in-skippable-frame embedding
 :5324-5387, MT decode zstd_decompress.c:1252-1330).
 
 Tiers:
-  HOST — the baked-in `zstandard` library (format-exact, levels 1-22). This
-         is the round-1 compatibility oracle; the own FSE/Huffman device
-         pipeline (parallel ANS Pallas kernels) lands at higher tiers and is
-         cross-checked against it.
+  HOST — own C++ encoder/decoder (csrc/zstd_encode.cpp, zstd_decode.cpp):
+         levels 1-22, per-block Huffman literals + FSE sequence tables,
+         dictionary support. The zstandard pip package appears only in
+         tests as a cross-check oracle.
+  XLA  — the device pipeline (ops/zstd_device.py) for level-1 encode.
 
 MT/RAP layout mirrors the reference exactly: the RAP frame rides inside a
 standard zstd *skippable frame* (magic 0x184D2A50, variant 0) so stock zstd
@@ -32,11 +33,6 @@ from .base import Codec
 
 _SKIPPABLE_MAGIC = 0x184D2A50
 _SKIPPABLE_HEADER_SIZE = 8
-
-
-def _zstd():
-    import zstandard
-    return zstandard
 
 
 class ZstdCodec(Codec):
@@ -117,35 +113,62 @@ class ZstdCodec(Codec):
 
 def train_dictionary(samples: Sequence[bytes], dict_size: int = 16384,
                      level: int = 3) -> bytes:
-    """Train a zstd dictionary from sample buffers.
+    """Train a zstd dictionary from sample buffers — own implementation.
 
-    Parity with the reference's dictBuilder (algos/zstd/lib/dictBuilder/,
-    ZDICT_trainFromBuffer) — COVER/fastCover selection is delegated to the
-    backing zstd library's trainer."""
-    z = _zstd()
-    return z.train_dictionary(dict_size, list(samples),
-                              level=level).as_bytes()
-
-
-def _cdict(level: int, dictionary: Optional[bytes]):
-    z = _zstd()
-    if dictionary is None:
-        return z.ZstdCompressor(level=level)
-    return z.ZstdCompressor(
-        level=level, dict_data=z.ZstdCompressionDict(dictionary))
+    Capability parity with the reference's dictBuilder (algos/zstd/lib/
+    dictBuilder/ ZDICT_trainFromBuffer; COVER family): greedy selection of
+    high-coverage fragments by k-gram frequency. Produces a RAW-CONTENT
+    dictionary (usable by this codec and by stock zstd in raw-content
+    mode); the most frequent fragments are placed at the dictionary tail
+    where back-reference offsets are shortest.
+    """
+    import numpy as np
+    blob = b"".join(samples)
+    if len(blob) <= dict_size:
+        return blob
+    a = np.frombuffer(blob, dtype=np.uint8)
+    K, SEG = 8, 64
+    # rolling 8-gram hash at every position
+    h = np.zeros(len(a) - K + 1, dtype=np.uint64)
+    for k in range(K):
+        h = h * np.uint64(1099511628211) + a[k:len(a) - K + 1 + k]
+    hb = (h >> np.uint64(40)).astype(np.uint32)  # 24-bit buckets
+    counts = np.bincount(hb, minlength=1 << 24)
+    # segment score = sum of its grams' global frequencies
+    score_pos = counts[hb].astype(np.int64)
+    nseg = len(score_pos) // SEG
+    seg_scores = score_pos[:nseg * SEG].reshape(nseg, SEG).sum(axis=1)
+    order = np.argsort(seg_scores)  # ascending: best segments last
+    need = dict_size // SEG
+    chosen = sorted(order[-need * 2:].tolist())
+    # merge adjacent, dedupe, take up to dict_size from the best
+    parts, seen, total = [], set(), 0
+    for si in reversed(chosen):
+        if si in seen:
+            continue
+        seen.add(si)
+        frag = blob[si * SEG:(si + 1) * SEG]
+        parts.append(frag)
+        total += len(frag)
+        if total >= dict_size:
+            break
+    parts.reverse()  # most frequent at the tail (closest offsets)
+    return b"".join(parts)[-dict_size:]
 
 
 @dispatch.register("zstd", "compress", TIER_HOST, "zstd_compress_host")
 def _compress_host(data: bytes, level: int, dictionary=None) -> bytes:
-    return _cdict(level, dictionary).compress(data)
+    # own C++ encoder (csrc/zstd_encode.cpp); the zstandard pip package
+    # is no longer on any production path
+    return native.zstd_compress(data, level, dictionary)
 
 
 @dispatch.register("zstd", "compress_blocks", TIER_HOST,
                    "zstd_compress_blocks_host")
 def _compress_blocks_host(blocks: Sequence[bytes], level: int,
                           dictionary=None):
-    cctx = _cdict(level, dictionary)
-    return [cctx.compress(b) for b in blocks], [len(b) for b in blocks]
+    return ([native.zstd_compress(b, level, dictionary) for b in blocks],
+            [len(b) for b in blocks])
 
 
 @dispatch.register("zstd", "decompress", TIER_HOST, "zstd_decompress_host")

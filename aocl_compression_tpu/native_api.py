@@ -145,8 +145,9 @@ def ZSTD_decompress(src: bytes,
 
 
 def ZSTD_getFrameContentSize(src: bytes) -> int:
-    import zstandard
-    return zstandard.frame_content_size(src)
+    from .runtime import native
+    n = native.zstd_frame_content_size(bytes(src))
+    return -1 if n is None else n
 
 
 def ZDICT_trainFromBuffer(samples, dict_size: int = 16384) -> bytes:

@@ -121,12 +121,40 @@ def _make_compactor(N: int, OUTCAP: int, use_pallas: bool):
 
 
 def fetch_chunks(bodies: jnp.ndarray, sizes: jnp.ndarray) -> List[bytes]:
-    """Compact on device, fetch once, slice per-chunk byte strings."""
+    """Compact on device, fetch once, slice per-chunk byte strings.
+
+    Routed through the dispatch registry so the Pallas DMA compactor is a
+    real, auditable tier: AOCL_ENABLE_INSTRUCTIONS=XLA caps to the pure-XLA
+    compactor and the audit can prove the Pallas kernel did not run."""
+    from ..utils import dispatch
+    fn = dispatch.resolve("container", "fetch_chunks", None)
+    return fn(bodies, sizes)
+
+
+def _fetch_impl(bodies, sizes, pallas: bool) -> List[bytes]:
     N, OUTCAP = bodies.shape
-    run = _make_compactor(N, OUTCAP, _pallas_ok())
+    run = _make_compactor(N, OUTCAP, pallas)
     dense, row_offs, used = jax.block_until_ready(run(bodies, sizes))
     used = int(used)
     buf = np.asarray(dense[:used]).tobytes()
     offs = np.asarray(row_offs)
     sz = np.asarray(sizes)
     return [buf[offs[i] * ROWB: offs[i] * ROWB + sz[i]] for i in range(N)]
+
+
+def _register_tiers():
+    from ..utils import dispatch
+    from ..utils.config import TIER_PALLAS, TIER_XLA
+
+    @dispatch.register("container", "fetch_chunks", TIER_PALLAS,
+                       "fetch_chunks_pallas")
+    def _fetch_pallas(bodies, sizes):
+        return _fetch_impl(bodies, sizes, _pallas_ok())
+
+    @dispatch.register("container", "fetch_chunks", TIER_XLA,
+                       "fetch_chunks_xla")
+    def _fetch_xla(bodies, sizes):
+        return _fetch_impl(bodies, sizes, False)
+
+
+_register_tiers()

@@ -47,7 +47,7 @@ def make_mesh(n_devices: Optional[int] = None,
 
 @functools.lru_cache(maxsize=8)
 def make_sharded_encoder(block_size: int, mesh: Mesh,
-                         axis_name: str = "blocks"):
+                         axis_name: str = "blocks", G: int = 0):
     """Jit the batched LZ4 encoder with the block axis sharded over the mesh.
 
     Returns fn(blocks u8[N, B], lens i32[N]) ->
@@ -57,19 +57,18 @@ def make_sharded_encoder(block_size: int, mesh: Mesh,
     ICI all-gather) because container assembly needs every block's size.
     """
     B = block_size
-    fn, _outcap = lz4_device.encoder_block_fn(B, 0)
+    fn, _outcap = lz4_device.encoder_block_fn(B, G)
 
     shard = NamedSharding(mesh, P(axis_name))
     shard2 = NamedSharding(mesh, P(axis_name, None))
     repl = NamedSharding(mesh, P())
 
     def step(blocks, lens):
-        bodies, sizes, tails, _flags = jax.vmap(fn)(blocks, lens)
-        return bodies, sizes, tails
+        return jax.vmap(fn)(blocks, lens)
 
     return jax.jit(step,
                    in_shardings=(shard2, shard),
-                   out_shardings=(shard2, repl, repl))
+                   out_shardings=(shard2, repl, repl, repl))
 
 
 @functools.lru_cache(maxsize=8)
@@ -142,9 +141,84 @@ def compress_sharded(data: bytes, block_size: int,
         arr[i, :len(b)] = np.frombuffer(b, dtype=np.uint8)
         lens[i] = len(b)
     enc = make_sharded_encoder(B, mesh)
-    bodies, sizes, tails = enc(jnp.asarray(arr), jnp.asarray(lens))
+    bodies, sizes, tails, _flags = enc(jnp.asarray(arr), jnp.asarray(lens))
     bodies_np = np.asarray(bodies)
     sizes_np = np.asarray(sizes)
     tails_np = np.asarray(tails)
     return ([bodies_np[i, :sizes_np[i]].tobytes() for i in range(n)],
             [int(t) for t in tails_np[:n]])
+
+
+def compress_blocks_mesh(blocks, accel: int = 1,
+                         num_shards: Optional[int] = None):
+    """Mesh-tier batch encode behind the unified API (VERDICT item 4):
+    shards the block axis over up to `num_shards` devices via the jitted
+    sharded encoder and returns the same (bodies, tails) contract as
+    lz4_device.encode_blocks — identical streams, any mesh size.
+
+    Reference analog: the MT path behind the same public entry points
+    (algos/lz4/lz4.c:2655, threads/threads.c:46).
+    """
+    from ..ops import lz4_device
+    lz4_device.check_block_sizes(blocks)
+    ndev = len(jax.devices())
+    shards = min(num_shards or ndev, ndev, max(1, len(blocks)))
+    if shards <= 1:
+        return lz4_device.encode_blocks(blocks, accel)
+    mesh = make_mesh(shards)
+    B = lz4_device._bucket(max(len(b) for b in blocks))
+    G = lz4_device.grid_for_accel(accel)
+    if G and G * 4 > B:
+        G = 0
+    n = len(blocks)
+    n_pad = -(-n // shards) * shards
+    arr = np.zeros((n_pad, B), dtype=np.uint8)
+    lens = np.zeros(n_pad, dtype=np.int32)
+    for i, b in enumerate(blocks):
+        arr[i, :len(b)] = np.frombuffer(b, dtype=np.uint8)
+        lens[i] = len(b)
+    enc = make_sharded_encoder(B, mesh, G=G)
+    bodies, sizes, tails, flags = jax.block_until_ready(
+        enc(jnp.asarray(arr), jnp.asarray(lens)))
+    bodies_np = np.asarray(bodies)
+    sizes_np = np.asarray(sizes)
+    out = [bodies_np[i, :sizes_np[i]].tobytes() for i in range(n)]
+    tails_out = [int(t) for t in np.asarray(tails)[:n]]
+    flags_np = np.asarray(flags)[:n]
+    if flags_np.any():
+        from ..codecs.lz4_stitch import final_sequence_len
+        from ..runtime import native
+        for i in np.nonzero(flags_np)[0]:
+            stream, t = native.lz4_compress_tail(blocks[i], max(accel, 1))
+            out[i] = stream[:len(stream) - final_sequence_len(t)]
+            tails_out[i] = t
+    return out, tails_out
+
+
+def decompress_blocks_mesh(chunks, dlens, block_size: int,
+                           num_shards: Optional[int] = None):
+    """Mesh-tier RAP decode fan-out: chunk regions sharded over devices."""
+    from ..ops import lz4_device
+    ndev = len(jax.devices())
+    shards = min(num_shards or ndev, ndev, max(1, len(chunks)))
+    if shards <= 1:
+        return lz4_device.decode_blocks(chunks, dlens, block_size)
+    if max(dlens, default=0) > lz4_device.MAX_DEVICE_BLOCK:
+        raise ValueError("device decode: block exceeds the 64 KiB limit")
+    mesh = make_mesh(shards)
+    C = lz4_device._bucket(max((len(c) for c in chunks), default=1))
+    B = lz4_device._bucket(max(max(dlens), block_size))
+    n = len(chunks)
+    n_pad = -(-n // shards) * shards
+    arr = np.zeros((n_pad, C), dtype=np.uint8)
+    clens = np.zeros(n_pad, dtype=np.int32)
+    dl = np.zeros(n_pad, dtype=np.int32)
+    for i, c in enumerate(chunks):
+        arr[i, :len(c)] = np.frombuffer(c, dtype=np.uint8)
+        clens[i] = len(c)
+        dl[i] = dlens[i]
+    dec = make_sharded_decoder(C, B, mesh)
+    out = jax.block_until_ready(
+        dec(jnp.asarray(arr), jnp.asarray(clens), jnp.asarray(dl)))
+    out_np = np.asarray(out)
+    return [out_np[i, :dlens[i]].tobytes() for i in range(n)]

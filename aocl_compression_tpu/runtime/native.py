@@ -99,6 +99,10 @@ def get_lib() -> ctypes.CDLL:
             ("atpu_lzma_decompress", _i64,
              [_u8p, ctypes.c_size_t, _u8p, ctypes.c_size_t]),
             ("atpu_lzma_unpacked_size", _i64, [_u8p, ctypes.c_size_t]),
+            ("atpu_zstd_compress", _i64,
+             [_u8p, ctypes.c_size_t, _u8p, ctypes.c_size_t, _i32, _u8p,
+              ctypes.c_size_t]),
+            ("atpu_zstd_compress_bound", _i64, [_i64]),
         ]:
             fn = getattr(lib, name)
             fn.restype = restype
@@ -496,3 +500,22 @@ def lzma_decompress(data: bytes,
             cap = max(cap * 4, 1024)
             continue
         raise ValueError("lzma: corrupt stream")
+
+
+def zstd_compress(data: bytes, level: int = 3,
+                  dictionary: Optional[bytes] = None) -> bytes:
+    """Own zstd encoder (csrc/zstd_encode.cpp), levels 1-22, with
+    raw-content or structured dictionary support (content prefix +
+    repcode/dictID handling)."""
+    lib = get_lib()
+    src = _tobuf(data)
+    d = _tobuf(dictionary) if dictionary else None
+    dst = np.empty(lib.atpu_zstd_compress_bound(len(data)) + 64,
+                   dtype=np.uint8)
+    n = lib.atpu_zstd_compress(
+        _as_u8p(src), len(data), _as_u8p(dst), dst.size, level,
+        _as_u8p(d) if d is not None and d.size else None,
+        int(d.size) if d is not None else 0)
+    if n < 0:
+        raise ValueError("zstd compress failed")
+    return dst[:n].tobytes()

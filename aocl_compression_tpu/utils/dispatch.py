@@ -62,6 +62,24 @@ def resolve(codec: str, op: str, max_tier: Optional[int] = None,
     return fn
 
 
+def resolve_with_tier(codec: str, op: str, max_tier: Optional[int] = None,
+                      opt_off: bool = False):
+    """Like resolve, but also returns the chosen tier so callers can pass
+    tier-specific context (e.g. handle.num_shards to the mesh tier)."""
+    cap = TIER_HOST if opt_off else min(
+        max_tier_from_env(), max_tier if max_tier is not None else 99)
+    impls = _registry.get((codec, op))
+    if not impls:
+        raise KeyError(f"no implementation registered for {codec}.{op}")
+    eligible = [t for t in impls if t <= cap]
+    if not eligible:
+        eligible = [min(impls)]
+    tier = max(eligible)
+    name, fn = impls[tier]
+    _record_hit(name, tier)
+    return fn, tier
+
+
 def registered_tiers(codec: str, op: str):
     return sorted(_registry.get((codec, op), {}))
 

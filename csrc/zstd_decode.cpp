@@ -884,3 +884,19 @@ ATPU_EXPORT i64 atpu_zstd_frame_content_size(const u8* src, size_t srcSize) {
 ATPU_EXPORT u64 atpu_xxh64(const u8* src, size_t len, u64 seed) {
   return xxh64(src, len, seed);
 }
+
+// Parse a dictionary for the encoder: returns content length (>=0) or <0;
+// fills *contentOff, reps[3], *dictID. Raw-content dicts: whole buffer,
+// default reps, id 0.
+ATPU_EXPORT i64 atpu_zstd_dict_info(const u8* dict, size_t dictSize,
+                                    size_t* contentOff, u32* reps,
+                                    u32* dictID) {
+  DCtx ctx;
+  if (load_dict(&ctx, dict, dictSize) < 0) return ERR_DICT;
+  *contentOff = (size_t)(ctx.dictContent ? ctx.dictContent - dict : 0);
+  reps[0] = ctx.rep[0];
+  reps[1] = ctx.rep[1];
+  reps[2] = ctx.rep[2];
+  *dictID = ctx.dictID;
+  return (i64)ctx.dictLen;
+}

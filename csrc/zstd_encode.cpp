@@ -462,6 +462,7 @@ struct TableChoice {
 static void choose_table(const u32* freq, int nsym, u32 total,
                          const short* def, int defLog, int maxLog,
                          TableChoice* tc) {
+  memset(tc->norm, 0, sizeof(tc->norm));  // builders may scan past nsym
   int nz = 0, last = 0;
   for (int s = 0; s < nsym; s++)
     if (freq[s]) { nz++; last = s; }
@@ -526,9 +527,9 @@ static LevelP zparams(int level) {
   if (level > 22) level = 22;
   static const LevelP t[23] = {
     {0, 0, 0, 0},
-    {1u << 18, 4, 0, 16},    // 1
-    {1u << 19, 6, 0, 24},    // 2
-    {1u << 20, 8, 0, 32},    // 3
+    {1u << 19, 4, 0, 16},    // 1
+    {1u << 20, 6, 0, 24},    // 2
+    {1u << 21, 8, 0, 32},    // 3
     {1u << 20, 12, 1, 32},   // 4
     {1u << 21, 16, 1, 48},   // 5
     {1u << 21, 24, 1, 64},   // 6
@@ -848,59 +849,58 @@ static i64 write_sequences(const Seq* seqs, size_t nseq, u8* out,
   return (i64)(len + sl);
 }
 
-}  // namespace
-
 // ---------------------------------------------------------------------------
 // frame encoder
 // ---------------------------------------------------------------------------
+
+struct EvalResult { int len; u32 dist; };
+
+}  // namespace
+
+extern "C" i64 atpu_zstd_dict_info(const u8* dict, size_t dictSize,
+                                   size_t* contentOff, u32* reps,
+                                   u32* dictID);
 
 ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
                                    size_t dstCap, int level, const u8* dict,
                                    size_t dictSize) {
   LevelP lp = zparams(level);
-  // frame header: magic + FHD (+ dictID) + content size
+  u32 rep[3] = {1, 4, 8};
+  const u8* dcontent = nullptr;
+  size_t dlen = 0;
+  u32 dictID = 0;
+  if (dict && dictSize) {
+    size_t coff = 0;
+    u32 reps2[3];
+    u32 did = 0;
+    i64 cl = atpu_zstd_dict_info(dict, dictSize, &coff, reps2, &did);
+    if (cl < 0) return ERR_CORRUPT;
+    dcontent = dict + coff;
+    dlen = (size_t)cl;
+    dictID = did;
+    rep[0] = reps2[0];
+    rep[1] = reps2[1];
+    rep[2] = reps2[2];
+  }
+
+  // ---- frame header ----
   size_t op = 0;
-  if (dstCap < 16) return ERR_DST_SMALL;
+  if (dstCap < 24) return ERR_DST_SMALL;
   wr32le(dst, 0xFD2FB528u);
   op = 4;
-  // dictionary: structured dicts contribute content + rep inits + dictID
-  const u8* dctx = dict;
-  size_t dlen = dictSize;
-  u32 dictID = 0;
-  u32 rep[3] = {1, 4, 8};
-  if (dict && dictSize >= 8 && rd32le_(dict) == 0xEC30A437u) {
-    dictID = rd32le_(dict + 4);
-    // skip entropy tables: we re-derive only content + reps. The repcode
-    // init lives in the last 12 bytes before content; without parsing the
-    // table sizes here we'd miss it — so parse minimally via the decoder's
-    // layout: entropy tables are skipped by scanning for our own use is
-    // complex; instead treat everything after the 12-byte rep block as
-    // opaque and use a conservative fallback: no content prefix, default
-    // reps, but KEEP the dictID so stock zstd demands the right dict.
-    // (Full structured-dict compression parity is provided through the
-    // raw-content path used by our own trainer.)
-    dctx = nullptr;
-    dlen = 0;
-  }
-  int didFlag = dictID ? 4 : 0;
-  (void)didFlag;
   u8 fhd;
   int fcsLen;
   if (n >= (1ull << 32)) { fhd = 0xC0; fcsLen = 8; }
   else if (n >= 65536 + 256) { fhd = 0x80; fcsLen = 4; }
   else if (n >= 256) { fhd = 0x40; fcsLen = 2; }
   else { fhd = 0x00; fcsLen = 1; }
-  if (dictID) fhd |= 2;  // 2-byte... use 4-byte dict id flag = 2? (flag 2
-  // means 2 bytes; flag 3 means 4). Use flag 3 for full ids.
-  if (dictID) fhd = (u8)((fhd & ~3u) | 3u);
-  if (fcsLen == 1) {
-    fhd |= 0x20;  // single-segment (required so 1-byte FCS is present)
-    dst[op++] = fhd;
-  } else {
-    dst[op++] = fhd;
-    // window descriptor
+  if (fcsLen == 1) fhd |= 0x20;  // single-segment => 1-byte FCS present
+  if (dictID) fhd |= 3;          // 4-byte dictionary ID
+  dst[op++] = fhd;
+  if (!(fhd & 0x20)) {
     u32 wsz = lp.window;
     int wlog = highbit32(wsz);
+    if (wlog < 10) wlog = 10;
     dst[op++] = (u8)((wlog - 10) << 3);
   }
   if (dictID) { wr32le(dst + op, dictID); op += 4; }
@@ -909,131 +909,151 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
   else if (fcsLen == 4) { wr32le(dst + op, (u32)n); op += 4; }
   else { u64 v = n; memcpy(dst + op, &v, 8); op += 8; }
 
-  // virtual prefix: dict content precedes src in match space
+  // ---- virtual prefix: dict content precedes src in match space ----
   size_t pref = dlen;
   u8* buf = nullptr;
   const u8* base = src;
   if (pref) {
-    buf = (u8*)malloc(pref + n);
+    buf = (u8*)malloc(pref + n + 8);
     if (!buf) return ERR_CORRUPT;
-    memcpy(buf, dctx, pref);
+    memcpy(buf, dcontent, pref);
     memcpy(buf + pref, src, n);
     base = buf;
   }
   size_t total = pref + n;
 
   ZMF mf;
+  Seq* seqs = nullptr;
+  u8* lits = nullptr;
+  u8* scratch = nullptr;
+  i64 result = ERR_CORRUPT;
   if (!mf.alloc(lp.window)) { free(buf); return ERR_CORRUPT; }
-  // pre-insert the dict prefix
+  seqs = (Seq*)malloc(sizeof(Seq) * (BLOCK_MAX / 3 + 16));
+  lits = (u8*)malloc(BLOCK_MAX + 64);
+  scratch = (u8*)malloc(BLOCK_MAX + (BLOCK_MAX >> 2) + 4096);
+  if (!seqs || !lits || !scratch) goto done;
   for (size_t i = 0; i + 4 <= pref; i++) mf.insert(base, i);
 
-  Seq* seqs = (Seq*)malloc(sizeof(Seq) * (BLOCK_MAX / 3 + 16));
-  u8* lits = (u8*)malloc(BLOCK_MAX + 64);
-  u8* scratch = (u8*)malloc(BLOCK_MAX + (BLOCK_MAX >> 2) + 1024);
-  if (!seqs || !lits || !scratch) {
-    free(buf); free(seqs); free(lits); free(scratch); mf.release();
-    return ERR_CORRUPT;
-  }
+  {
+    size_t pos = pref;
+    bool first = true;
+    while (pos < total || first) {
+      first = false;
+      size_t bstart = pos;
+      size_t blockEnd = pos + BLOCK_MAX < total ? pos + BLOCK_MAX : total;
+      size_t nseq = 0, nlit = 0;
+      u32 run = 0;
+      u32 repSnap[3] = {rep[0], rep[1], rep[2]};
 
-  size_t pos = pref;
-  i64 result = ERR_CORRUPT;
-  bool first = true;
-  while (pos < total || first) {
-    first = false;
-    size_t blockEnd = pos + BLOCK_MAX < total ? pos + BLOCK_MAX : total;
-    size_t nseq = 0, nlit = 0;
-    size_t bstart = pos;
-
-    while (pos < blockEnd) {
-      if (pos + 4 > total) {
-        lits[nlit++] = base[pos++];
-        continue;
-      }
-      // rep0 probe (cheap, big wins on structured data)
-      const u8* limit = base + (blockEnd - pos > 65535 + 3
-                                ? pos + 65535 + 3 : blockEnd);
-      int repLen = 0;
-      if (pos >= (size_t)rep[0] && rep[0] <= lp.window) {
-        repLen = zmatch_len(base + pos, base + pos - rep[0], limit);
-        if (repLen < 3) repLen = 0;
-      }
-      u32 nd = 0;
-      int nl = mf.find(base, pos, (size_t)(limit - base), lp.depth, lp.nice,
+      auto evaluate = [&](size_t p, bool insert) -> EvalResult {
+        const u8* limit = base + (blockEnd - p > 65538
+                                  ? p + 65538 : blockEnd);
+        int repLen = 0;
+        if ((size_t)rep[0] <= p && rep[0] <= lp.window && p + 3 <= total)
+          repLen = zmatch_len(base + p, base + p - rep[0], limit);
+        u32 nd = 0;
+        int nl = 0;
+        if (p + 4 <= total) {
+          nl = mf.find(base, p, (size_t)(limit - base), lp.depth, lp.nice,
                        &nd);
-      mf.insert(base, pos);
-      if (nl < 4 && nl < repLen + 2) nl = 0;  // short far matches rarely pay
-      if (nl < 3) nl = 0;
-
-      int len;
-      u32 ofv;
-      if (repLen >= nl - 1 && repLen >= 3) {
-        len = repLen;
-        ofv = nlit == 0 && nseq && false ? 1 : 1;  // rep0 => ofv 1 (ll!=0)
-        // NOTE: ofv semantics: with ll==0, ofv 1 means rep[1]! Encode
-        // rep0 as ofv==1 only when ll>0; when ll==0 rep0 needs... the
-        // mapping below handles it.
-        if (nlit == 0) {
-          // ll==0: repcode table shifts; rep0 is unreachable via ofv=1
-          // (that would be rep1). Use ofv=... rep0 with ll==0 is ofv= 1?
-          // RFC: ll==0 -> ofv1=rep1, ofv2=rep2, ofv3=rep0-1. Safest:
-          // emit as a normal match (ofv = rep0+3).
-          ofv = rep[0] + 3;
-          rep[2] = rep[1];
-          rep[1] = rep[0];
-          // rep[0] unchanged numerically
-        } else {
-          ofv = 1;  // rep0, no history rotation
+          if (insert) mf.insert(base, p);
         }
-      } else if (nl >= 3) {
-        len = nl;
-        ofv = nd + 3;
-        rep[2] = rep[1];
-        rep[1] = rep[0];
-        rep[0] = nd;
-      } else {
-        lits[nlit++] = base[pos++];
-        continue;
-      }
-      // lazy: if the next position has a longer match, emit a literal
-      if (lp.lazy && pos + 1 + 4 <= total && len < lp.nice) {
-        u32 nd2;
-        int nl2 = mf.find(base, pos + 1, (size_t)(limit - base), lp.depth,
-                          lp.nice, &nd2);
-        if (nl2 > len + 1) {
-          // undo rep bookkeeping for the skipped match
-          if (ofv >= 4 || (nlit == 0 && ofv >= 4)) {
-            rep[0] = rep[1];
-            rep[1] = rep[2];
-          }
-          if (ofv >= 4) { rep[0] = rep[1]; }  // handled above; keep simple
+        if (nl < 4) nl = 0;  // 3-byte far matches rarely pay
+        if (repLen >= 3 && repLen + 1 >= nl) return {repLen, rep[0]};
+        if (nl >= 4) return {nl, nd};
+        if (repLen >= 3) return {repLen, rep[0]};
+        return {0, 0};
+      };
+
+      while (pos < blockEnd) {
+        EvalResult ev = evaluate(pos, true);
+        if (ev.len < 3) {
           lits[nlit++] = base[pos++];
+          run++;
           continue;
         }
+        if (lp.lazy && ev.len < lp.nice && pos + 1 < blockEnd) {
+          EvalResult ev2 = evaluate(pos + 1, false);
+          if (ev2.len > ev.len + (lp.lazy >= 2 ? 0 : 1)) {
+            lits[nlit++] = base[pos++];
+            run++;
+            continue;
+          }
+        }
+        u32 ofv;
+        if (ev.dist == rep[0] && run > 0) {
+          ofv = 1;  // rep0; no history update
+        } else {
+          ofv = ev.dist + 3;
+          rep[2] = rep[1];
+          rep[1] = rep[0];
+          rep[0] = ev.dist;
+        }
+        seqs[nseq].ll = run;
+        seqs[nseq].ml = (u32)ev.len;
+        seqs[nseq].ofv = ofv;
+        nseq++;
+        run = 0;
+        size_t endp = pos + (size_t)ev.len;
+        for (size_t q = pos + 1; q + 4 <= total && q < endp; q++)
+          mf.insert(base, q);
+        pos = endp;
       }
-      seqs[nseq].ll = (u32)nlit;
-      seqs[nseq].ml = (u32)len;
-      seqs[nseq].ofv = ofv;
-      nseq++;
-      // flush literal run bookkeeping: literals were accumulated already
-      size_t endp = pos + (size_t)len;
-      for (size_t q = pos + 1; q + 4 <= total && q < endp; q++)
-        mf.insert(base, q);
-      pos = endp;
-      // literals consumed by this sequence
-      nlit = 0;
-      (void)bstart;
-      // record literal bytes: we stored them in lits[] as we went; but
-      // ll per sequence needs the count SINCE the last sequence — the
-      // lits[] buffer accumulates across the block; ll was set above.
+
+      // ---- write the block ----
+      size_t blockRaw = blockEnd - bstart;
+      i64 litSz = write_literals(lits, nlit, scratch,
+                                 BLOCK_MAX + (BLOCK_MAX >> 2) + 2048);
+      bool ok = litSz >= 0;
+      i64 seqSz = 0;
+      if (ok) {
+        seqSz = write_sequences(seqs, nseq, scratch + litSz,
+                                (size_t)(BLOCK_MAX + (BLOCK_MAX >> 2)
+                                         + 4096 - litSz));
+        ok = seqSz >= 0;
+      }
+      int last = blockEnd == total ? 1 : 0;
+      size_t content = ok ? (size_t)(litSz + seqSz) : (size_t)-1;
+      if (ok && content < blockRaw && nseq > 0) {
+        if (op + 3 + content > dstCap) { result = ERR_DST_SMALL; goto done; }
+        u32 bh = ((u32)content << 3) | (2u << 1) | (u32)last;
+        dst[op++] = (u8)bh;
+        dst[op++] = (u8)(bh >> 8);
+        dst[op++] = (u8)(bh >> 16);
+        memcpy(dst + op, scratch, content);
+        op += content;
+      } else {
+        // raw (or RLE) block; restore rep history — the decoder never
+        // sees the sequences we discarded
+        rep[0] = repSnap[0];
+        rep[1] = repSnap[1];
+        rep[2] = repSnap[2];
+        bool allSame = blockRaw > 0;
+        for (size_t i = 1; i < blockRaw && allSame; i++)
+          allSame = base[bstart + i] == base[bstart];
+        if (allSame && blockRaw >= 2) {
+          if (op + 4 > dstCap) { result = ERR_DST_SMALL; goto done; }
+          u32 bh = ((u32)blockRaw << 3) | (1u << 1) | (u32)last;
+          dst[op++] = (u8)bh;
+          dst[op++] = (u8)(bh >> 8);
+          dst[op++] = (u8)(bh >> 16);
+          dst[op++] = base[bstart];
+        } else {
+          if (op + 3 + blockRaw > dstCap) {
+            result = ERR_DST_SMALL;
+            goto done;
+          }
+          u32 bh = ((u32)blockRaw << 3) | (0u << 1) | (u32)last;
+          dst[op++] = (u8)bh;
+          dst[op++] = (u8)(bh >> 8);
+          dst[op++] = (u8)(bh >> 16);
+          memcpy(dst + op, base + bstart, blockRaw);
+          op += blockRaw;
+        }
+      }
+      if (last) break;
     }
-    // NOTE: lits[] currently holds only the trailing literal run — fix:
-    // we must accumulate ALL literal bytes of the block in order. The
-    // loop above resets nlit after each sequence but keeps writing into
-    // lits[nlit] — that overwrites earlier runs. Corrected accumulation
-    // happens in the second pass below.
-    (void)nlit;
-    result = ERR_CORRUPT;
-    goto done;  // replaced by atpu_zstd_compress2 (see below)
+    result = (i64)op;
   }
 done:
   free(buf);
@@ -1042,4 +1062,8 @@ done:
   free(scratch);
   mf.release();
   return result;
+}
+
+ATPU_EXPORT i64 atpu_zstd_compress_bound(i64 n) {
+  return n + (n >> 8) + 3 * (n / BLOCK_MAX + 1) + 64;
 }

@@ -1,0 +1,114 @@
+"""Own C++ zstd encoder (csrc/zstd_encode.cpp) — stock zstd as the oracle.
+
+The zstandard pip package appears only here (cross-check); every
+production compress path is our own code. Reference parity:
+algos/zstd/lib/compress/zstd_compress.c level ladder.
+"""
+
+import random
+
+import pytest
+import zstandard
+
+import aocl_compression_tpu as actpu
+from aocl_compression_tpu.runtime import native
+
+
+def _payloads():
+    random.seed(23)
+    base = open("/root/reference/algos/zstd/lib/compress/zstd_compress.c",
+                "rb").read()
+    return {
+        "text": base[:300000],
+        "empty": b"",
+        "one": b"A",
+        "rle": b"z" * 150000,
+        "rand": bytes(random.randrange(256) for _ in range(50000)),
+        "period": b"abcdefg" * 20000,
+        "big": (base * 4)[:1_000_000],
+    }
+
+
+@pytest.mark.parametrize("level", [1, 3, 9, 19, 22])
+def test_own_compress_stock_decode(level):
+    d = zstandard.ZstdDecompressor()
+    for name, p in _payloads().items():
+        c = native.zstd_compress(p, level)
+        assert d.decompress(c, max_output_size=max(len(p), 1)) == p, \
+            (level, name)
+
+
+@pytest.mark.parametrize("level", [1, 3, 9])
+def test_own_compress_own_decode(level):
+    for name, p in _payloads().items():
+        c = native.zstd_compress(p, level)
+        assert native.zstd_decompress(c, len(p)) == p, (level, name)
+
+
+def test_ratio_beats_or_matches_stock_fast_levels():
+    p = _payloads()["text"]
+    for level in (1, 3):
+        own = len(native.zstd_compress(p, level))
+        stock = len(zstandard.ZstdCompressor(level=level).compress(p))
+        assert own <= stock * 1.01, (level, own, stock)
+
+
+def test_ratio_reasonable_high_levels():
+    p = _payloads()["text"]
+    own = len(native.zstd_compress(p, 19))
+    stock = len(zstandard.ZstdCompressor(level=19).compress(p))
+    assert own <= stock * 1.15, (own, stock)
+
+
+def test_structured_dict_compress_stock_decodes():
+    base = _payloads()["text"]
+    samples = [base[i:i + 1200] for i in range(0, 150000, 1200)]
+    zd = zstandard.train_dictionary(8192, samples)
+    p = base[7000:12000]
+    c = native.zstd_compress(p, 3, zd.as_bytes())
+    got = zstandard.ZstdDecompressor(dict_data=zd).decompress(
+        c, max_output_size=len(p))
+    assert got == p
+    assert native.zstd_decompress(c, len(p), zd.as_bytes()) == p
+    # dict must actually help on matching content
+    assert len(c) < len(native.zstd_compress(p, 3))
+
+
+def test_own_trainer_raw_dict_roundtrip():
+    from aocl_compression_tpu.codecs.zstd import train_dictionary
+    base = _payloads()["text"]
+    samples = [base[i:i + 1000] for i in range(0, 120000, 1000)]
+    d = train_dictionary(samples, 8192)
+    assert 0 < len(d) <= 8192
+    p = base[5000:9000]
+    c = native.zstd_compress(p, 3, d)
+    assert native.zstd_decompress(c, len(p), d) == p
+    # stock interop in raw-content mode
+    dd = zstandard.ZstdCompressionDict(
+        d, dict_type=zstandard.DICT_TYPE_RAWCONTENT)
+    got = zstandard.ZstdDecompressor(dict_data=dd).decompress(
+        c, max_output_size=len(p))
+    assert got == p
+    # trained dict should improve the ratio on matching content
+    assert len(c) < len(native.zstd_compress(p, 3))
+
+
+def test_unified_api_zstd_all_own():
+    """No third-party zstd anywhere: compress + decompress through the
+    unified API at several levels, RAP and not."""
+    p = _payloads()["big"]
+    for level in (1, 3, 12):
+        h = actpu.setup("zstd", level=level)
+        try:
+            c = actpu.compress(h, p)
+            assert actpu.decompress(h, c, len(p)) == p
+            # stock zstd reads our streams (skippable RAP frame + frames)
+            out, buf = [], memoryview(bytes(c))
+            dctx = zstandard.ZstdDecompressor()
+            while len(buf):
+                o = dctx.decompressobj()
+                out.append(o.decompress(bytes(buf)))
+                buf = memoryview(o.unused_data) if o.unused_data else buf[:0]
+            assert b"".join(out) == p
+        finally:
+            actpu.destroy(h)
