@@ -385,8 +385,8 @@ struct HufEnc {
         }
       }
     }
-    // direct nibbles (headerByte = 127 + nw requires nw <= 128)
-    if (nw > 128) return -1;
+    // direct nibbles (headerByte = 127 + nw requires 0 < nw <= 128)
+    if (nw <= 0 || nw > 128) return -1;
     size_t need = 1 + (size_t)((nw + 1) / 2);
     if (need > cap) return -1;
     out[0] = (u8)(127 + nw);
@@ -791,10 +791,11 @@ static i64 write_sequences(const Seq* seqs, size_t nseq, u8* out,
 
   FSEEnc ell, eof_, eml;
   auto setup = [&](TableChoice& tc, FSEEnc& e, const short* def, int defLog,
-                   int nsym, int maxOfSyms) -> bool {
-    (void)maxOfSyms;
+                   int nsym, int defSyms) -> bool {
+    // defSyms = entry count of the predefined table (OF_DEF has 29, not
+    // nsym=32 — reading def[29..31] is out of bounds)
     if (tc.mode == 0) {
-      e.build(def, nsym, defLog);
+      e.build(def, defSyms, defLog);
     } else if (tc.mode == 1) {
       if (len + 1 > cap) return false;
       out[len++] = tc.rleSym;
@@ -817,7 +818,7 @@ static i64 write_sequences(const Seq* seqs, size_t nseq, u8* out,
     return true;
   };
   if (!setup(tcll, ell, LL_DEF, LL_DEFLOG, 36, 36) ||
-      !setup(tcof, eof_, OF_DEF, OF_DEFLOG, 32, 32) ||
+      !setup(tcof, eof_, OF_DEF, OF_DEFLOG, 32, 29) ||
       !setup(tcml, eml, ML_DEF, ML_DEFLOG, 53, 53)) {
     free(llc);
     return ERR_DST_SMALL;
