@@ -59,8 +59,20 @@ class ZlibCodec(Codec):
         return (n + (n >> 8) + 64
                 + native.rap_frame_bound(n, cfg.default_block_size))
 
-    def _block_size(self, handle: Handle) -> int:
-        return handle.block_size or get_config().default_block_size
+    def _block_size(self, handle: Handle, level: Optional[int] = None) -> int:
+        if handle.block_size:
+            return handle.block_size
+        cfg = get_config()
+        lvl = level if level is not None else \
+            self.clamp_level(handle.level or self.default_level)
+        if lvl <= 1 and (handle.max_tier is None
+                         or handle.max_tier >= TIER_XLA):
+            # device static-Huffman tier: blocks within the 16-bit limit
+            return min(cfg.default_block_size, 1 << 16)
+        # reference partition rule: chunk = search window x WINDOW_FACTOR
+        # (threads/threads.c:57; 32K deflate window x 4) — smaller chunks
+        # truncate back-references and cost ratio on the host tiers
+        return max(cfg.default_block_size, 4 * 32768)
 
     def _adapter(self, handle: Handle,
                  level: int) -> container.BlockCodecAdapter:
@@ -81,8 +93,9 @@ class ZlibCodec(Codec):
         rap = (handle.enable_rap if handle.enable_rap is not None
                else get_config().enable_rap)
         if rap:
-            out = container.compress_rapped(data, self._block_size(handle),
-                                            self._adapter(handle, level))
+            out = container.compress_rapped(
+                data, self._block_size(handle, level),
+                self._adapter(handle, level))
             if out is not None:
                 trailer = _ZLIB_FINAL + struct.pack(
                     ">I", zlib.adler32(data) & 0xFFFFFFFF)
