@@ -42,6 +42,50 @@ def _corpus(total: int, seed: int = 42) -> bytes:
     return b"".join(parts)[:total]
 
 
+def _host_metrics(data: bytes) -> dict:
+    """Host-tier C++ codec throughputs on the bench corpus (best-of-3).
+
+    These are the DEFAULT decode routes (device decode is gated off —
+    utils/config.py device_decode_enabled), so regressions here are
+    regressions users would see. No jit compiles: cheap to run every
+    round."""
+    from aocl_compression_tpu.runtime import native
+
+    mb = len(data) / 1e6
+    out = {}
+
+    def best(fn, iters=3):
+        ts = []
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            r = fn()
+            ts.append(time.perf_counter() - t0)
+        return r, mb / min(ts)
+
+    c, out["lz4_host_encode_MBps"] = best(
+        lambda: native.lz4_compress(data, 1))
+    _, out["lz4_host_decode_MBps"] = best(
+        lambda: native.lz4_decompress(c, len(data)))
+    out["lz4_host_ratio"] = round(len(data) / len(c), 3)
+    c, out["snappy_host_encode_MBps"] = best(
+        lambda: native.snappy_compress(data))
+    _, out["snappy_host_decode_MBps"] = best(
+        lambda: native.snappy_uncompress(c))
+    c, out["zstd_host_encode_l3_MBps"] = best(
+        lambda: native.zstd_compress(data, 3))
+    _, out["zstd_host_decode_MBps"] = best(
+        lambda: native.zstd_decompress(c, len(data)))
+    out["zstd_host_ratio_l3"] = round(len(data) / len(c), 3)
+    c, out["deflate_host_encode_l6_MBps"] = best(
+        lambda: native.deflate(data, 6, native.DEFLATE_ZLIB))
+    _, out["inflate_host_decode_MBps"] = best(
+        lambda: native.inflate(c, len(data)))
+    for k, v in out.items():
+        if k.endswith("MBps"):
+            out[k] = round(v, 1)
+    return out
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -80,11 +124,20 @@ def main():
 
     mb = len(data) / 1e6
     value = mb / dt
+
+    # device ratio from the run just timed (sizes of the final iteration)
+    sizes_np = np.asarray(sizes)
+    ratio = round(len(data) / float(sizes_np.sum() + 8.0 * N), 3)
+
+    extra = {"lz4_device_ratio": ratio, "corpus_MB": round(mb, 1)}
+    extra.update(_host_metrics(data))
+
     print(json.dumps({
         "metric": "lz4_l1_device_encode_throughput",
         "value": round(value, 2),
         "unit": "MB/s",
         "vs_baseline": round(value / 740.0, 4),
+        "extra": extra,
     }))
 
 
