@@ -398,11 +398,13 @@ def _emit(data_u8, pos, ml, off, nseq, n, B: int, OUTCAP: int, MAXSEQ: int):
     return out, body, tail
 
 
-def _grid_select(mlen, moff, valid, B: int, G: int):
+def _grid_select(mlen, moff, valid, B: int, G: int, subm: int = 128):
     """Tile-anchor election + MXU chain marking, un-compacted: returns
     (sel, cpos, cml, coff) on the M = B//G tile domain. Factored out of
     _grid_parse so the sort-emit path can consume tile-domain fields
-    directly (no MAXSEQ compaction)."""
+    directly (no MAXSEQ compaction). subm = chain-marking subblock width
+    (matches clamp at subm*G byte boundaries; smaller = cheaper marking,
+    slightly more sequence splits on long runs)."""
     M = B // G
     shift = int(np.log2(G))
     aidx = jnp.arange(M, dtype=jnp.int32)
@@ -425,7 +427,7 @@ def _grid_select(mlen, moff, valid, B: int, G: int):
     cml = sml[::G]
     coff = soff[::G]
 
-    SUBM = min(M, 128)
+    SUBM = min(M, subm)
     S = M // SUBM
     sub_end_pos = ((aidx // SUBM) + 1) * (SUBM * G)
     cml = jnp.minimum(cml, sub_end_pos - cpos)
@@ -596,10 +598,11 @@ def _emit_sorted(data_u8, n, sel, cpos, cml, coff, B: int, G: int):
 
 
 def _encode_block_v2(data_u8, n, B: int, G: int, depth: int = 2,
-                     nw: int = NW, small_offsets: tuple = SMALL_OFFSETS):
+                     nw: int = NW, small_offsets: tuple = SMALL_OFFSETS,
+                     subm: int = 128):
     mlen, moff, valid = _find_matches(data_u8, n, B, depth=depth, nw=nw,
                                       small_offsets=small_offsets)
-    sel, cpos, cml, coff = _grid_select(mlen, moff, valid, B, G)
+    sel, cpos, cml, coff = _grid_select(mlen, moff, valid, B, G, subm=subm)
     return _emit_sorted(data_u8, n, sel, cpos, cml, coff, B, G)
 
 

@@ -178,7 +178,9 @@ def stream_cap(block_size: int) -> int:
 
 
 def seq_cap(maxseq: int) -> int:
-    n = maxseq * 9 + 16
+    # worst case per sequence: states 9+8+9 (custom logs) + extras
+    # llx<=16, mlx<=16, ofx<=16 bits = 74 bits -> 10 bytes covers it
+    n = maxseq * 10 + 16
     return -(-n // 512) * 512
 
 
@@ -189,8 +191,136 @@ def _floor_log2(m, top: int):
     return e
 
 
+# --- per-block FSE sequence tables (VERDICT item: ratio vs predefined) ---------
+#
+# Built fully on device. The trick making the spread vectorizable: with no
+# low-probability (-1) entries, FSE_spread's visit order is INDEPENDENT of
+# the data — pos_k = k*step mod size — so `table[V[k]] = symbol_of_rank(k)`
+# is one searchsorted + one scatter, and the encoder's next-state table is
+# one small sort (reference construction: FSE_buildCTable,
+# lib/common/fse.h; normalization: FSE_normalizeCount).
+
+_NSYM_PAD = 64  # padded symbol axis (LL 36, ML 53, OF 32 all fit)
+
+
+@functools.lru_cache(maxsize=8)
+def _visit_order(tablelog: int):
+    size = 1 << tablelog
+    step = (size >> 1) + (size >> 3) + 3
+    return tuple(int(x) for x in (np.arange(size) * step) % size)
+
+
+def _pad_nxt(nxt, width: int):
+    a = np.zeros(width, np.int32)
+    a[:len(nxt)] = nxt
+    return jnp.asarray(a)
+
+
+def _pad_tt(tt):
+    dnb = np.zeros(_NSYM_PAD, np.int32)
+    dfs = np.zeros(_NSYM_PAD, np.int32)
+    for s, (a, b) in enumerate(tt):
+        dnb[s], dfs[s] = a, b
+    return jnp.asarray(dnb), jnp.asarray(dfs)
+
+
+def _cost_table(dist, tablelog):
+    """bits/occurrence per symbol under a static FSE distribution (f32)."""
+    c = np.full(_NSYM_PAD, 0.0, np.float32)
+    for s, p in enumerate(dist):
+        c[s] = tablelog - np.log2(max(abs(p), 0.5))
+    return jnp.asarray(c)
+
+
+_CUSTOM_LOG = {"ll": 9, "of": 8, "ml": 9}
+LLN_P = _pad_nxt(_LL_NXT, 512)
+MLN_P = _pad_nxt(_ML_NXT, 512)
+OFN_P = _pad_nxt(_OF_NXT, 512)
+LLDNB_P, LLDFS_P = _pad_tt(_LL_TT)
+MLDNB_P, MLDFS_P = _pad_tt(_ML_TT)
+OFDNB_P, OFDFS_P = _pad_tt(_OF_TT)
+LL_COST = _cost_table(ZF.LL_DEFAULT, ZF.LL_LOG)
+ML_COST = _cost_table(ZF.ML_DEFAULT, ZF.ML_LOG)
+OF_COST = _cost_table(ZF.OF_DEFAULT, ZF.OF_LOG)
+
+
+def _normalize_counts(counts, L: int):
+    """counts i32[_NSYM_PAD] -> (norm, ok). Norm sums to 2^L, every present
+    symbol >= 1, no -1 lowprob entries (keeps the spread order static)."""
+    size = 1 << L
+    total = jnp.maximum(counts.sum(), 1)
+    base = counts * size // total
+    norm0 = jnp.where(counts > 0, jnp.maximum(base, 1), 0)
+    delta = size - norm0.sum()
+    # delta > 0: +1 to the `delta` symbols with the largest remainders
+    rem = counts * size - base * total
+    key = jnp.where(counts > 0, -rem, jnp.int32(1 << 30))
+    order = jnp.argsort(key)
+    rank = jnp.zeros(_NSYM_PAD, jnp.int32).at[order].set(
+        jnp.arange(_NSYM_PAD, dtype=jnp.int32))
+    norm1 = jnp.where(delta > 0,
+                      norm0 + ((rank < delta) & (counts > 0)), norm0)
+    # remaining negative delta: steal from the largest symbol
+    d2 = size - norm1.sum()
+    am = jnp.argmax(norm1)
+    norm = jnp.where(d2 != 0, norm1.at[am].add(d2), norm1)
+    present = counts > 0
+    ok = ((norm.sum() == size)
+          & (present.sum() >= 2)
+          & jnp.all(jnp.where(present, norm >= 1, norm == 0)))
+    return norm, ok
+
+
+def _fse_encode_tables(norm, L: int):
+    """norm i32[_NSYM_PAD] summing to 2^L -> (nxt i32[512], dnb, dfs)."""
+    size = 1 << L
+    cumul = jnp.cumsum(norm) - norm            # exclusive
+    inc = jnp.cumsum(norm)
+    k = jnp.arange(size, dtype=jnp.int32)
+    sym = jnp.searchsorted(inc, k, side="right").astype(jnp.int32)
+    V = jnp.asarray(_visit_order(L), jnp.int32)
+    table = jnp.zeros(size, jnp.int32).at[V].set(sym)
+    # nxt[cumul[s] + rank_of(st within s)] = size + st  ==  sort by
+    # (symbol, st): key values are unique and already in target order
+    skey = jnp.sort(table * size + k)
+    nxt = size + (skey & (size - 1))
+    if size < 512:
+        nxt = jnp.concatenate([nxt, jnp.zeros(512 - size, jnp.int32)])
+    f = norm
+    mbo = L - _floor_log2(jnp.maximum(f - 1, 1), L + 1)
+    dnb = jnp.where(f == 1, (L << 16) - (1 << L),
+                    jnp.where(f > 1, (mbo << 16) - (f << mbo), 0))
+    dfs = jnp.where(f == 1, cumul - 1, jnp.where(f > 1, cumul - f, 0))
+    return nxt, dnb, dfs
+
+
+def _choose_seq_table(codes, real, nseq, L: int, cost_predef, nsym: int):
+    """Histogram + normalize + cost comparison for one field.
+
+    Returns (use_custom, norm, nxt, dnb, dfs) — nxt/dnb/dfs only valid
+    when use_custom (caller selects against the predefined arrays)."""
+    counts = jnp.zeros(_NSYM_PAD, jnp.int32).at[
+        jnp.where(real, codes, _NSYM_PAD)].add(1, mode="drop")
+    norm, ok = _normalize_counts(counts, L)
+    nxt, dnb, dfs = _fse_encode_tables(norm, L)
+    cf = counts.astype(jnp.float32)
+    bits_custom = jnp.sum(
+        cf * (L - jnp.log2(jnp.maximum(norm.astype(jnp.float32), 0.5))))
+    maxs = jnp.max(jnp.where(counts > 0, jnp.arange(_NSYM_PAD), 0))
+    hdr_bits = 16.0 + 6.0 * (maxs.astype(jnp.float32) + 1.0)
+    bits_predef = jnp.sum(cf * cost_predef)
+    # predefined tables only cover nsym symbols; codes beyond FORCE custom
+    overflow = jnp.any(counts[nsym:] > 0)
+    use = ok & ((nseq >= 32) & (bits_custom + hdr_bits < bits_predef)
+                | overflow)
+    return use, norm, nxt, dnb, dfs
+
+
 def _encode_block(data_u8, n, B, MAXSEQ, G, SCAP, QCAP):
-    mlen, moff, valid = lz._find_matches(data_u8, n, B)
+    # depth-8 chain walk: zstd spends its budget on ratio (chip-measured
+    # text ratio 6.39 vs 5.57 at depth 2; each extra depth is one more
+    # shifted compare — fused elementwise work, no extra sorts)
+    mlen, moff, valid = lz._find_matches(data_u8, n, B, depth=8)
     if G:
         pos, ml, off, nseq = lz._grid_parse(mlen, moff, valid, B, G, MAXSEQ)
     else:
@@ -272,9 +402,38 @@ def _encode_block(data_u8, n, B, MAXSEQ, G, SCAP, QCAP):
     mlc = jnp.searchsorted(MLBASE, mlv, side="right").astype(jnp.int32) - 1
     mlx = mlv - MLBASE[mlc]
     mlb = MLBITS[mlc]
-    ov = off + 3
+    # repeat-offset 1: a sequence whose offset equals the previous
+    # sequence's actual offset (or the initial rep[0] = 1 for the first)
+    # codes as Offset_Value 1 -> offset code 0, ZERO extra bits — huge on
+    # RLE/periodic runs (reference: ZSTD_storeSeq rep handling,
+    # zstd_compress_internal.h; valid only when litLength > 0, else the
+    # rep indices shift per RFC 8878 §3.1.1.5)
+    prev_off = jnp.concatenate([jnp.ones(1, jnp.int32), off[:-1]])
+    use_rep1 = (ll > 0) & (off == prev_off)
+    ov = jnp.where(use_rep1, 1, off + 3)
     ofc = _floor_log2(jnp.maximum(ov, 1), 18)
     ofx = ov - (1 << ofc)
+
+    # --- per-block FSE tables (fall back to predefined when not cheaper) ----
+    sreal = sid < nseq
+    use_ll, norm_ll, lln_c, lldnb_c, lldfs_c = _choose_seq_table(
+        llc, sreal, nseq, _CUSTOM_LOG["ll"], LL_COST, 36)
+    use_ml, norm_ml, mln_c, mldnb_c, mldfs_c = _choose_seq_table(
+        mlc, sreal, nseq, _CUSTOM_LOG["ml"], ML_COST, 53)
+    use_of, norm_of, ofn_c, ofdnb_c, ofdfs_c = _choose_seq_table(
+        ofc, sreal, nseq, _CUSTOM_LOG["of"], OF_COST, 29)
+    lln_u = jnp.where(use_ll, lln_c, LLN_P)
+    lldnb_u = jnp.where(use_ll, lldnb_c, LLDNB_P)
+    lldfs_u = jnp.where(use_ll, lldfs_c, LLDFS_P)
+    mln_u = jnp.where(use_ml, mln_c, MLN_P)
+    mldnb_u = jnp.where(use_ml, mldnb_c, MLDNB_P)
+    mldfs_u = jnp.where(use_ml, mldfs_c, MLDFS_P)
+    ofn_u = jnp.where(use_of, ofn_c, OFN_P)
+    ofdnb_u = jnp.where(use_of, ofdnb_c, OFDNB_P)
+    ofdfs_u = jnp.where(use_of, ofdfs_c, OFDFS_P)
+    log_ll = jnp.where(use_ll, _CUSTOM_LOG["ll"], ZF.LL_LOG)
+    log_ml = jnp.where(use_ml, _CUSTOM_LOG["ml"], ZF.ML_LOG)
+    log_of = jnp.where(use_of, _CUSTOM_LOG["of"], ZF.OF_LOG)
 
     # --- align sequences so the LAST real one sits at row MAXSEQ-1 ----------
     shift = MAXSEQ - nseq
@@ -314,13 +473,13 @@ def _encode_block(data_u8, n, B, MAXSEQ, G, SCAP, QCAP):
             return nxt_tab[(((nbout << 16) - dnb) >> nbout) + dfs_tab[c]]
 
         # encode path (not init): order of_state, ml_state, ll_state
-        st_of2, v_of, n_of = enc(stof, OFN, OFDNB, OFDFS, c_of)
-        st_ml2, v_ml, n_ml = enc(stml, MLN, MLDNB, MLDFS, c_ml)
-        st_ll2, v_ll, n_ll = enc(stll, LLN, LLDNB, LLDFS, c_ll)
+        st_of2, v_of, n_of = enc(stof, ofn_u, ofdnb_u, ofdfs_u, c_of)
+        st_ml2, v_ml, n_ml = enc(stml, mln_u, mldnb_u, mldfs_u, c_ml)
+        st_ll2, v_ll, n_ll = enc(stll, lln_u, lldnb_u, lldfs_u, c_ll)
         # init path
-        st_of0 = init(OFN, OFDNB, OFDFS, c_of)
-        st_ml0 = init(MLN, MLDNB, MLDFS, c_ml)
-        st_ll0 = init(LLN, LLDNB, LLDFS, c_ll)
+        st_of0 = init(ofn_u, ofdnb_u, ofdfs_u, c_of)
+        st_ml0 = init(mln_u, mldnb_u, mldfs_u, c_ml)
+        st_ll0 = init(lln_u, lldnb_u, lldfs_u, c_ll)
 
         use_init = is_init & is_real
         use_enc = is_real & ~is_init
@@ -359,10 +518,9 @@ def _encode_block(data_u8, n, B, MAXSEQ, G, SCAP, QCAP):
     pn = pn.reshape(-1, 6)[:MAXSEQ]
     # pv/pn: (MAXSEQ, 6) in processing order (last seq first)
 
-    flush_v = jnp.stack([fml - (1 << ZF.ML_LOG), fof - (1 << ZF.OF_LOG),
-                         fll - (1 << ZF.LL_LOG)])
-    flush_n = jnp.where(nseq > 0, jnp.asarray(
-        [ZF.ML_LOG, ZF.OF_LOG, ZF.LL_LOG], jnp.int32), 0)
+    flush_v = jnp.stack([fml - (1 << log_ml), fof - (1 << log_of),
+                         fll - (1 << log_ll)])
+    flush_n = jnp.where(nseq > 0, jnp.stack([log_ml, log_of, log_ll]), 0)
 
     allv = jnp.concatenate([pv.reshape(-1), flush_v])
     alln = jnp.concatenate([pn.reshape(-1), flush_n])
@@ -384,7 +542,9 @@ def _encode_block(data_u8, n, B, MAXSEQ, G, SCAP, QCAP):
     return (litbuf.astype(jnp.uint8), lit_sizes, nlits,
             lits32.astype(jnp.uint8),
             seqbuf.astype(jnp.uint8), seq_size, nseq,
-            wbuf, wsize, tab_ok)
+            wbuf, wsize, tab_ok,
+            jnp.stack([use_ll, use_of, use_ml]),
+            jnp.stack([norm_ll, norm_of, norm_ml]).astype(jnp.int32))
 
 
 @functools.lru_cache(maxsize=16)
@@ -408,8 +568,27 @@ def make_encoder(block_size: int, G: int = 0):
 
 # --- host assembly --------------------------------------------------------------
 
+def _seq_table_headers(use_flags, norms) -> bytes:
+    """Symbol_Compression_Modes byte + NCount headers for the custom
+    (FSE_Compressed, mode 2) fields; predefined fields contribute no
+    header (RFC 8878 §3.1.1.3.2.1; table order LL, OF, ML)."""
+    use_ll, use_of, use_ml = (bool(x) for x in use_flags)
+    modes = ((2 if use_ll else 0) << 6) | ((2 if use_of else 0) << 4) \
+        | ((2 if use_ml else 0) << 2)
+    out = bytearray([modes])
+    for use, norm, log in ((use_ll, norms[0], _CUSTOM_LOG["ll"]),
+                           (use_of, norms[1], _CUSTOM_LOG["of"]),
+                           (use_ml, norms[2], _CUSTOM_LOG["ml"])):
+        if not use:
+            continue
+        maxs = max(i for i, v in enumerate(norm) if v > 0)
+        out += ZF.write_ncount([int(v) for v in norm[:maxs + 1]], log)
+    return bytes(out)
+
+
 def _assemble_frame(block: bytes, nlits: int, lits, streams, nseq: int,
-                    seqsec_body: bytes, tree=None) -> bytes:
+                    seqsec_body: bytes, tree=None,
+                    seq_headers: bytes = b"\x00") -> bytes:
     """Build one frame from device pieces; falls back to raw when bigger.
     `lits` is a zero-arg callable fetching the compacted literal bytes
     (only fallback blocks pay for it); `tree` is the per-block Huffman
@@ -448,7 +627,7 @@ def _assemble_frame(block: bytes, nlits: int, lits, streams, nseq: int,
             head = bytes([(nseq >> 8) + 0x80, nseq & 0xFF])
         else:
             head = b"\xff" + struct.pack("<H", nseq - 0x7F00)
-        seq_sec = head + b"\x00" + seqsec_body
+        seq_sec = head + seq_headers + seqsec_body
 
     blk = lit_sec + seq_sec
     out = bytearray(struct.pack("<I", ZF.MAGIC))
@@ -484,7 +663,7 @@ def encode_blocks(blocks: Sequence[bytes], level: int = 1):
         G = 0
     enc = make_encoder(B, G)
     (litbuf, lit_sizes, nlits, lits, seqbuf, seq_size, nseq,
-     wbuf, wsize, tab_ok) = jax.block_until_ready(
+     wbuf, wsize, tab_ok, fse_use, fse_norms) = jax.block_until_ready(
         enc(jnp.asarray(arr), jnp.asarray(lens)))
     from . import compact
     SCAP = stream_cap(B)
@@ -501,6 +680,8 @@ def encode_blocks(blocks: Sequence[bytes], level: int = 1):
     wbuf_np = np.asarray(wbuf)
     wsize_np = np.asarray(wsize)
     tab_ok_np = np.asarray(tab_ok)
+    fse_use_np = np.asarray(fse_use)
+    fse_norms_np = np.asarray(fse_norms)
 
     def lazy_lits(i):
         return np.asarray(lits[i, :nlits[i]]).tobytes()
@@ -514,7 +695,10 @@ def encode_blocks(blocks: Sequence[bytes], level: int = 1):
             blob = bytes(ZF.WEIGHT_DESC) + wbuf_np[i, :wsize_np[i]].tobytes()
             if 1 < len(blob) < 128:
                 tree = bytes([len(blob)]) + blob
+        hdrs = (_seq_table_headers(fse_use_np[i], fse_norms_np[i])
+                if int(nseq[i]) > 0 else b"\x00")
         frames.append(_assemble_frame(
             b, int(nlits[i]), lambda i=i: lazy_lits(i), streams,
-            int(nseq[i]), seq_chunks[i][:seq_size[i]], tree))
+            int(nseq[i]), seq_chunks[i][:seq_size[i]], tree,
+            seq_headers=hdrs))
     return frames, [len(b) for b in blocks]

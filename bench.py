@@ -92,7 +92,7 @@ def main():
     from aocl_compression_tpu.ops import lz4_device
 
     B = 65536
-    N = 256  # 16 MiB per iteration
+    N = 128  # 8 MiB per iteration (measured sweet spot for HBM residency)
     G = 4   # tile-anchor parse (accel 2): 29 MB/s at -3.3% ratio vs
             # serial greedy; the exact accel-1 mode (20 MB/s, ratio 2.916 >
             # oracle 2.868) compiles ~2x longer over the axon relay, so the
@@ -108,15 +108,16 @@ def main():
     out, sizes, tails, flags = enc(ja, jl)
     _ = np.asarray(sizes)
 
-    # steady-state streaming rate: keep two batches in flight so dispatch
-    # and the size fetch overlap compute (how a production stream runs)
-    iters = 6
+    # steady-state streaming rate: keep three batches in flight so the
+    # ~25 ms axon dispatch round-trip and the size fetch overlap compute
+    # (how a production stream runs; measured dispatch floor in CLAUDE.md)
+    iters = 8
     t0 = time.perf_counter()
     pending = []
     for _ in range(iters):
         out, sizes, tails, flags = enc(ja, jl)
         pending.append(sizes)
-        if len(pending) > 1:
+        if len(pending) > 3:
             _ = np.asarray(pending.pop(0))
     for sizes in pending:
         _ = np.asarray(sizes)
