@@ -607,8 +607,15 @@ def _encode_block_v2(data_u8, n, B: int, G: int, depth: int = 2,
 
 
 def _encode_block(data_u8, n, B: int, OUTCAP: int, MAXSEQ: int, G: int = 0,
-                  depth: int = 2):
-    mlen, moff, valid = _find_matches(data_u8, n, B, depth=depth)
+                  depth: int = 2, nw: int = NW, lazy: int = 0):
+    mlen, moff, valid = _find_matches(data_u8, n, B, depth=depth, nw=nw)
+    for _ in range(lazy):
+        # one-step lazy demotion (HC tier): drop a match when the next
+        # position holds a strictly-longer one (reference analog: the
+        # lazy evaluation of LZ4HC_compress_hashChain, lz4hc.c)
+        nx_len = jnp.concatenate([mlen[1:], jnp.zeros(1, jnp.int32)])
+        nx_val = jnp.concatenate([valid[1:], jnp.zeros(1, bool)])
+        valid = valid & ~(nx_val & (nx_len > mlen + 1))
     if G:
         pos, ml, off, nseq = _grid_parse(mlen, moff, valid, B, G, MAXSEQ)
     else:
@@ -619,7 +626,7 @@ def _encode_block(data_u8, n, B: int, OUTCAP: int, MAXSEQ: int, G: int = 0,
 
 
 def encoder_block_fn(B: int, G: int, depth: int = 2, nw: int = NW,
-                     small_offsets: tuple = SMALL_OFFSETS):
+                     small_offsets: tuple = SMALL_OFFSETS, lazy: int = 0):
     """Per-block encode fn + output row width, with the measured default
     config for the sort-emit path. Shared by make_encoder and the
     sharded/distributed wrappers so every tier produces identical streams.
@@ -633,7 +640,8 @@ def encoder_block_fn(B: int, G: int, depth: int = 2, nw: int = NW,
     OUTCAP = out_capacity(B)
     MAXSEQ = (B // max(G, MIN_MATCH)) + 2
     fn0 = functools.partial(_encode_block, B=B, OUTCAP=OUTCAP,
-                            MAXSEQ=MAXSEQ, G=G, depth=depth)
+                            MAXSEQ=MAXSEQ, G=G, depth=depth, nw=nw,
+                            lazy=lazy)
 
     def fn(data_u8, n):
         out, body, tail = fn0(data_u8, n)
@@ -644,7 +652,8 @@ def encoder_block_fn(B: int, G: int, depth: int = 2, nw: int = NW,
 
 @functools.lru_cache(maxsize=32)
 def make_encoder(block_size: int, G: int = 0, depth: int = 2,
-                 nw: int = NW, small_offsets: tuple = SMALL_OFFSETS):
+                 nw: int = NW, small_offsets: tuple = SMALL_OFFSETS,
+                 lazy: int = 0):
     """Build the jitted batched encoder for a given block size / parse grid.
 
     Signature: (blocks u8[N, B], lens i32[N]) ->
@@ -654,7 +663,7 @@ def make_encoder(block_size: int, G: int = 0, depth: int = 2,
     blocks the sort-emit could not serialize (see _emit_sorted) — callers
     re-encode those on the host tier; always all-False for the G==0 path.
     """
-    fn, _ = encoder_block_fn(block_size, G, depth, nw, small_offsets)
+    fn, _ = encoder_block_fn(block_size, G, depth, nw, small_offsets, lazy)
 
     @jax.jit
     def encode(blocks, lens):
@@ -849,10 +858,12 @@ def check_block_sizes(blocks, what: str = "encode"):
             f"host tier or block_size <= {MAX_DEVICE_BLOCK}")
 
 
-def encode_blocks(blocks, accel: int = 1, depth: int = 2):
+def encode_blocks(blocks, accel: int = 1, depth: int = 2, nw: int = NW,
+                  lazy: int = 0):
     """Compress a list of blocks on device; returns (bodies, tails) where
     bodies exclude the final literal-only sequence (stitcher input).
-    depth > 2 = HC-grade candidate search (lz4hc device tier)."""
+    depth > 2 = HC-grade candidate search (lz4hc device tier); nw sets the
+    match-length cap (4 + 4*nw) for the exact path."""
     check_block_sizes(blocks)
     B = _bucket(max(len(b) for b in blocks))
     N = len(blocks)
@@ -867,7 +878,7 @@ def encode_blocks(blocks, accel: int = 1, depth: int = 2):
     # G>=2 + depth 2 resolves to the chip-measured sweet spot inside
     # encoder_block_fn: nw=8 payloads, depth-4 candidate search
     # (88 MB/s at ratio 2.843 vs 67 MB/s at 2.78 with (16, 2))
-    enc = make_encoder(B, G, depth)
+    enc = make_encoder(B, G, depth, nw, lazy=lazy)
     out, sizes, tails, flags = jax.block_until_ready(
         enc(jnp.asarray(arr), jnp.asarray(lens)))
     from . import compact

@@ -70,6 +70,48 @@ def geomean(xs):
     return math.exp(sum(math.log(x) for x in xs) / len(xs)) if xs else 0.0
 
 
+def bench_stock(method: str, level: int, data: bytes, iters: int):
+    """Head-to-head vs the stock CPU implementations baked into this image
+    (CPython zlib/bz2/lzma, the zstandard package) — the analog of the
+    reference's IPP comparison bench (test/ipp_codec_bench.c, dlopen'd
+    third-party libs). lz4/lz4hc/snappy have no stock library here."""
+    import bz2 as _bz2
+    import lzma as _lzma
+    import zlib as _zlib
+
+    if method == "zlib":
+        comp = lambda: _zlib.compress(data, level)
+        dec = lambda c: _zlib.decompress(c)
+    elif method == "bzip2":
+        comp = lambda: _bz2.compress(data, max(1, min(level, 9)))
+        dec = lambda c: _bz2.decompress(c)
+    elif method == "lzma":
+        comp = lambda: _lzma.compress(data, format=_lzma.FORMAT_ALONE,
+                                      preset=min(level, 9))
+        dec = lambda c: _lzma.decompress(c, format=_lzma.FORMAT_ALONE)
+    elif method == "zstd":
+        import zstandard
+        comp = lambda: zstandard.ZstdCompressor(level=level).compress(data)
+        dec = lambda c: zstandard.ZstdDecompressor().decompress(
+            c, max_output_size=2 * len(data) + 64)
+    else:
+        return None
+    best_c = best_d = float("inf")
+    c = b""
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        c = comp()
+        best_c = min(best_c, time.perf_counter() - t0)
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = dec(c)
+        best_d = min(best_d, time.perf_counter() - t0)
+    assert out == data
+    return {"c_mbps": len(data) / best_c / 1e6,
+            "d_mbps": len(data) / best_d / 1e6,
+            "ratio": len(data) / max(1, len(c))}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("dataset")
@@ -77,6 +119,9 @@ def main() -> int:
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--methods", default=",".join(CODEC_ORDER))
     ap.add_argument("--max-mb", type=int, default=16)
+    ap.add_argument("--vs-stock", action="store_true",
+                    help="also benchmark the stock CPU libraries "
+                         "(zlib/bz2/lzma/zstandard) as a third mode")
     args = ap.parse_args()
 
     files = sorted(
@@ -92,9 +137,17 @@ def main() -> int:
         with open(path, "rb") as f:
             data = f.read(args.max_mb << 20)
         for m in methods:
-            for mode in ("optimized", "vanilla"):
-                r = bench_file(m, LEVELS.get(m, 0), data, args.iters,
-                               vanilla=(mode == "vanilla"))
+            modes = ["optimized", "vanilla"] + (
+                ["stock"] if args.vs_stock else [])
+            for mode in modes:
+                if mode == "stock":
+                    r = bench_stock(m, LEVELS.get(m, 0) or 6, data,
+                                    args.iters)
+                    if r is None:
+                        continue
+                else:
+                    r = bench_file(m, LEVELS.get(m, 0), data, args.iters,
+                                   vanilla=(mode == "vanilla"))
                 rows.append({"file": os.path.basename(path), "method": m,
                              "mode": mode,
                              **{k: round(v, 3) for k, v in r.items()}})
