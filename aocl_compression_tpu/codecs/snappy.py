@@ -18,7 +18,7 @@ from ..api.handle import Handle
 from ..parallel import container
 from ..runtime import native
 from ..utils import dispatch
-from ..utils.config import TIER_HOST, TIER_XLA, get_config
+from ..utils.config import TIER_HOST, TIER_MESH, TIER_XLA, get_config
 from .base import Codec
 
 
@@ -57,10 +57,18 @@ class SnappyCodec(Codec):
 
     def _adapter(self, handle: Handle) -> container.BlockCodecAdapter:
         accel = max(1, handle.opt_var)
-        # device tier = throughput mode, engaged via opt_var (acceleration)
-        cap = handle.max_tier if accel >= 2 else TIER_HOST
-        cb = dispatch.resolve(self.name, "compress_blocks", cap,
-                              handle.opt_off)
+        # device tier = throughput mode, engaged via opt_var (acceleration);
+        # num_shards > 1 requests the mesh tier (reference: snappy MT behind
+        # RawCompress, snappy.cc:2512)
+        cap = handle.max_tier if accel >= 2 or handle.num_shards > 1 \
+            else TIER_HOST
+        cb, ctier = dispatch.resolve_with_tier(
+            self.name, "compress_blocks", cap, handle.opt_off)
+        if ctier == TIER_MESH:
+            shards = handle.num_shards * max(1, handle.num_hosts)
+            _cb = cb
+            cb = lambda blocks, accel: _cb(blocks, accel,
+                                           num_shards=shards or None)
         from ..utils.config import device_decode_enabled
         dcap = handle.max_tier if device_decode_enabled() else TIER_HOST
         db = dispatch.resolve(self.name, "decompress_blocks", dcap,
@@ -140,3 +148,22 @@ def _decompress_blocks_xla(chunks: Sequence[bytes], dlens: Sequence[int],
     if max(dlens, default=0) > MAX_DEVICE_BLOCK:
         return _decompress_blocks_host(chunks, dlens, block_size)
     return snappy_device.decode_blocks(chunks, dlens, block_size)
+
+
+@dispatch.register("snappy", "compress_blocks", TIER_MESH,
+                   "snappy_compress_blocks_mesh")
+def _compress_blocks_mesh(blocks: Sequence[bytes], accel: int = 1,
+                          num_shards=None):
+    """Mesh-tier snappy encode: the XLA pipeline sharded over the block
+    axis (reference analog: snappy MT RawCompress fan-out)."""
+    from ..ops import snappy_device
+    from ..ops.lz4_device import MAX_DEVICE_BLOCK
+    from ..parallel import sharded
+    if max(len(b) for b in blocks) > MAX_DEVICE_BLOCK:
+        return _compress_blocks_host(blocks, accel)
+    frags = sharded.sharded_block_call(
+        blocks,
+        lambda padded, sh: snappy_device.encode_blocks(
+            padded, accel, shardings=sh)[0],
+        num_shards)
+    return frags, [len(b) for b in blocks]

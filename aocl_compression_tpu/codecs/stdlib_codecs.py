@@ -27,7 +27,7 @@ from typing import Optional
 from ..api.handle import Handle
 from ..parallel import container
 from ..utils import dispatch
-from ..utils.config import TIER_HOST, TIER_XLA, get_config
+from ..utils.config import TIER_HOST, TIER_MESH, TIER_XLA, get_config
 from .base import Codec
 
 
@@ -77,10 +77,17 @@ class ZlibCodec(Codec):
     def _adapter(self, handle: Handle,
                  level: int) -> container.BlockCodecAdapter:
         # device tier only for the quick (level<=1) strategy, like the
-        # reference's deflate_quick; higher levels keep host ratio semantics
+        # reference's deflate_quick; higher levels keep host ratio
+        # semantics. num_shards > 1 requests the mesh tier (reference:
+        # zlib MT inside compress2, algos/zlib/compress.c:211-340).
         max_tier = handle.max_tier if level <= 1 else TIER_HOST
-        cb = dispatch.resolve("zlib", "compress_blocks", max_tier,
-                              handle.opt_off)
+        cb, ctier = dispatch.resolve_with_tier(
+            "zlib", "compress_blocks", max_tier, handle.opt_off)
+        if ctier == TIER_MESH:
+            shards = handle.num_shards * max(1, handle.num_hosts)
+            _cb = cb
+            cb = lambda blocks, lvl: _cb(blocks, lvl,
+                                         num_shards=shards or None)
         db = dispatch.resolve("zlib", "decompress_blocks", handle.max_tier,
                               handle.opt_off)
         return container.BlockCodecAdapter(
@@ -173,6 +180,24 @@ def _zlib_compress_xla(data: bytes, level: int) -> bytes:
     chunks, _ = deflate_device.encode_blocks(blocks, accel=2)
     return (_ZLIB_HEADER + b"".join(chunks) + _ZLIB_FINAL
             + struct.pack(">I", zlib.adler32(data) & 0xFFFFFFFF))
+
+
+@dispatch.register("zlib", "compress_blocks", TIER_MESH,
+                   "zlib_compress_blocks_mesh")
+def _zlib_compress_blocks_mesh(blocks, level: int, num_shards=None):
+    """Mesh-tier zlib encode: the device static-Huffman pipeline sharded
+    over the block axis (reference analog: the OpenMP fan-out inside
+    compress2, algos/zlib/compress.c:211-340)."""
+    from ..ops import deflate_device
+    from ..ops.lz4_device import MAX_DEVICE_BLOCK
+    from ..parallel import sharded
+    if max(len(b) for b in blocks) > MAX_DEVICE_BLOCK:
+        return _zlib_compress_blocks_host(blocks, level)
+    return sharded.sharded_block_call(
+        blocks,
+        lambda padded, sh: deflate_device.encode_blocks(
+            padded, accel=2, shardings=sh),
+        num_shards)
 
 
 class Bzip2Codec(Codec):

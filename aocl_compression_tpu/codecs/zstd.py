@@ -28,7 +28,7 @@ from ..api.handle import Handle
 from ..parallel import container
 from ..runtime import native
 from ..utils import dispatch
-from ..utils.config import TIER_HOST, TIER_XLA, get_config
+from ..utils.config import TIER_HOST, TIER_MESH, TIER_XLA, get_config
 from .base import Codec
 
 _SKIPPABLE_MAGIC = 0x184D2A50
@@ -53,12 +53,28 @@ class ZstdCodec(Codec):
         return handle.block_size or get_config().default_block_size
 
     def _tier_cap(self, handle: Handle, level: int):
-        # the device pipeline is the level-1 fast strategy with fixed
+        # the device pipeline is the level-1 fast strategy with per-block
         # entropy tables (deflate_quick spirit); quality levels and
-        # dictionary compression keep the host ratio semantics
+        # dictionary compression keep the host ratio semantics.
+        # num_shards > 1 requests the mesh tier (reference: zstd MT inside
+        # ZSTD_compress_advanced, zstd_compress.c:5417).
         if level > 1 or handle.dictionary is not None:
             return TIER_HOST
         return handle.max_tier
+
+    def _resolve_cb(self, handle: Handle, level: int):
+        cap = self._tier_cap(handle, level)
+        if handle.num_shards > 1 and level <= 1 \
+                and handle.dictionary is None:
+            cap = handle.max_tier
+        cb, tier = dispatch.resolve_with_tier(
+            self.name, "compress_blocks", cap, handle.opt_off)
+        if tier == TIER_MESH:
+            shards = handle.num_shards * max(1, handle.num_hosts)
+            _cb = cb
+            return lambda blocks, lvl, d: _cb(blocks, lvl, d,
+                                              num_shards=shards or None)
+        return cb
 
     def compress(self, handle: Handle, data: bytes) -> bytes:
         level = self.clamp_level(handle.level or self.default_level)
@@ -74,8 +90,7 @@ class ZstdCodec(Codec):
     def _compress_rapped(self, handle: Handle, data: bytes, level: int,
                          bs: int) -> bytes:
         blocks = container.split_blocks(data, bs)
-        cb = dispatch.resolve(self.name, "compress_blocks",
-                              self._tier_cap(handle, level), handle.opt_off)
+        cb = self._resolve_cb(handle, level)
         chunks, dlens = cb(blocks, level, handle.dictionary)
         n = len(blocks)
         frame_len = native.rap_frame_len(n)
@@ -209,3 +224,24 @@ def _compress_xla(data: bytes, level: int, dictionary=None) -> bytes:
     frames, _ = zstd_device.encode_blocks(
         container.split_blocks(data, bs), level)
     return b"".join(frames)  # concatenated frames are a valid zstd stream
+
+
+@dispatch.register("zstd", "compress_blocks", TIER_MESH,
+                   "zstd_compress_blocks_mesh")
+def _compress_blocks_mesh(blocks: Sequence[bytes], level: int,
+                          dictionary=None, num_shards=None):
+    """Mesh-tier zstd encode: the device pipeline sharded over the block
+    axis (reference analog: the OpenMP fan-out of ZSTD_compress_advanced,
+    zstd_compress.c:5417-5460)."""
+    from ..ops import zstd_device
+    from ..ops.lz4_device import MAX_DEVICE_BLOCK
+    from ..parallel import sharded
+    if (max(len(b) for b in blocks) > MAX_DEVICE_BLOCK
+            or dictionary is not None):
+        return _compress_blocks_host(blocks, level, dictionary)
+    frames = sharded.sharded_block_call(
+        blocks,
+        lambda padded, sh: zstd_device.encode_blocks(
+            padded, level, shardings=sh)[0],
+        num_shards)
+    return frames, [len(b) for b in blocks]

@@ -220,7 +220,7 @@ def make_encoder(block_size: int, G: int = 0):
     return encode
 
 
-def encode_blocks(blocks, accel: int = 1):
+def encode_blocks(blocks, accel: int = 1, shardings=None):
     """Compress blocks on device into sync-flushed raw-deflate chunks.
 
     Each chunk is a complete static block + empty stored block, so chunks
@@ -239,8 +239,11 @@ def encode_blocks(blocks, accel: int = 1):
     if G and G * 4 > B:
         G = 0
     enc = make_encoder(B, G)
-    out, sizes = jax.block_until_ready(
-        enc(jnp.asarray(arr), jnp.asarray(lens)))
+    ja, jl = jnp.asarray(arr), jnp.asarray(lens)
+    if shardings is not None:
+        ja = jax.device_put(ja, shardings[0])
+        jl = jax.device_put(jl, shardings[1])
+    out, sizes = jax.block_until_ready(enc(ja, jl))
     from . import compact
     chunks = compact.fetch_chunks(out, sizes)
     return chunks, [len(b) for b in blocks]

@@ -202,9 +202,10 @@ def literal_element(lits: bytes) -> bytes:
     return bytes([61 << 2, (n - 1) & 0xFF, (n - 1) >> 8]) + lits
 
 
-def encode_blocks(blocks, accel: int = 1):
+def encode_blocks(blocks, accel: int = 1, shardings=None):
     """Compress blocks on device into self-contained headerless element
-    streams; returns (fragments, dlens) ready for container assembly."""
+    streams; returns (fragments, dlens) ready for container assembly.
+    shardings = optional (rows, lens) NamedSharding pair (mesh tier)."""
     lz.check_block_sizes(blocks)
     B = _bucket(max(len(b) for b in blocks))
     N = len(blocks)
@@ -217,8 +218,11 @@ def encode_blocks(blocks, accel: int = 1):
     if G and G * 4 > B:
         G = 0
     enc = make_encoder(B, G)
-    out, sizes, _tails = jax.block_until_ready(
-        enc(jnp.asarray(arr), jnp.asarray(lens)))
+    ja, jl = jnp.asarray(arr), jnp.asarray(lens)
+    if shardings is not None:
+        ja = jax.device_put(ja, shardings[0])
+        jl = jax.device_put(jl, shardings[1])
+    out, sizes, _tails = jax.block_until_ready(enc(ja, jl))
     from . import compact
     frags = compact.fetch_chunks(out, sizes)
     return frags, [len(b) for b in blocks]

@@ -644,7 +644,8 @@ def _assemble_frame(block: bytes, nlits: int, lits, streams, nseq: int,
     return bytes(out)
 
 
-def encode_blocks(blocks: Sequence[bytes], level: int = 1):
+def encode_blocks(blocks: Sequence[bytes], level: int = 1,
+                  shardings=None):
     """Compress blocks into independent zstd frames on device.
 
     level <= 2 -> tile-anchor parse (G=8); level >= 3 -> exact parse.
@@ -662,9 +663,13 @@ def encode_blocks(blocks: Sequence[bytes], level: int = 1):
     if G and G * 4 > B:
         G = 0
     enc = make_encoder(B, G)
+    ja, jl = jnp.asarray(arr), jnp.asarray(lens)
+    if shardings is not None:
+        ja = jax.device_put(ja, shardings[0])
+        jl = jax.device_put(jl, shardings[1])
     (litbuf, lit_sizes, nlits, lits, seqbuf, seq_size, nseq,
      wbuf, wsize, tab_ok, fse_use, fse_norms) = jax.block_until_ready(
-        enc(jnp.asarray(arr), jnp.asarray(lens)))
+        enc(ja, jl))
     from . import compact
     SCAP = stream_cap(B)
     # fetch only the used bytes: streams and seq sections via the device

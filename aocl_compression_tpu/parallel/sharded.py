@@ -195,6 +195,35 @@ def compress_blocks_mesh(blocks, accel: int = 1,
     return out, tails_out
 
 
+def sharded_block_call(blocks, encode_fn, num_shards: Optional[int] = None,
+                       axis_name: str = "blocks"):
+    """Generic mesh-tier wrapper for any ops-level `encode_blocks`-style
+    function: pads the block list to a multiple of the shard count and
+    hands `encode_fn` the padded list plus a (rows, lens) sharding pair
+    to `jax.device_put` its batch arrays with — XLA's GSPMD then
+    partitions the jitted vmapped encoder over the mesh (the reference's
+    MT fan-out for zlib/zstd/snappy behind the same entry points,
+    threads/threads.c:46).
+
+    encode_fn(padded_blocks, shardings) must return per-block results for
+    the padded list; the first len(blocks) entries are returned.
+    """
+    ndev = len(jax.devices())
+    shards = min(num_shards or ndev, ndev, max(1, len(blocks)))
+    if shards <= 1:
+        return encode_fn(list(blocks), None)
+    mesh = make_mesh(shards)
+    shard2 = NamedSharding(mesh, P(axis_name, None))
+    shard1 = NamedSharding(mesh, P(axis_name))
+    n = len(blocks)
+    n_pad = -(-n // shards) * shards
+    padded = list(blocks) + [blocks[-1]] * (n_pad - n)
+    results = encode_fn(padded, (shard2, shard1))
+    if isinstance(results, tuple):
+        return tuple(r[:n] for r in results)
+    return results[:n]
+
+
 def decompress_blocks_mesh(chunks, dlens, block_size: int,
                            num_shards: Optional[int] = None):
     """Mesh-tier RAP decode fan-out: chunk regions sharded over devices."""

@@ -96,3 +96,52 @@ def test_pallas_tier_cap_on_fetch(monkeypatch):
         assert "fetch_chunks_pallas" not in hits
     finally:
         dispatch.enable_audit(False)
+
+
+@pytest.mark.parametrize("codec,kw,variant", [
+    ("snappy", dict(num_shards=4, block_size=1 << 14),
+     "snappy_compress_blocks_mesh"),
+    ("zlib", dict(num_shards=4, level=1, block_size=1 << 14),
+     "zlib_compress_blocks_mesh"),
+    ("zstd", dict(num_shards=4, level=1, block_size=1 << 14),
+     "zstd_compress_blocks_mesh"),
+])
+def test_mesh_tier_other_codecs(codec, kw, variant, monkeypatch):
+    """Reference parity: MT compress behind the same public entry points
+    for zlib/zstd/snappy too (compress2, ZSTD_compress_advanced,
+    RawCompress MT paths). num_shards must visibly route to the mesh
+    variant and the stream must round-trip."""
+    monkeypatch.delenv("AOCL_ENABLE_INSTRUCTIONS", raising=False)
+    data = _payload(96 * 1024)
+    h = actpu.setup(codec, **kw)
+    dispatch.enable_audit(True)
+    try:
+        c = actpu.compress(h, data)
+        hits = dispatch.audit_hits()
+    finally:
+        dispatch.enable_audit(False)
+    try:
+        assert actpu.decompress(h, c, len(data)) == data
+        assert variant in hits, hits
+    finally:
+        actpu.destroy(h)
+
+
+@pytest.mark.parametrize("codec,kw", [
+    ("snappy", dict(num_shards=4, opt_var=2, block_size=1 << 14)),
+    ("zstd", dict(num_shards=4, level=1, block_size=1 << 14)),
+])
+def test_mesh_tier_streams_match_xla(codec, kw, monkeypatch):
+    """Sharding must not change the bytes: mesh output == XLA-tier output
+    (same kernels, same block split)."""
+    monkeypatch.delenv("AOCL_ENABLE_INSTRUCTIONS", raising=False)
+    data = _payload(96 * 1024, seed=7)
+    h1 = actpu.setup(codec, **kw)
+    kw2 = {k: v for k, v in kw.items() if k != "num_shards"}
+    kw2["opt_var"] = 2
+    h2 = actpu.setup(codec, **kw2)
+    try:
+        assert actpu.compress(h1, data) == actpu.compress(h2, data)
+    finally:
+        actpu.destroy(h1)
+        actpu.destroy(h2)
