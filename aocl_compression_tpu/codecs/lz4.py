@@ -114,17 +114,16 @@ class Lz4Codec(Codec):
 
 
 def _oneshot_decompress(data: bytes, expected_size: Optional[int]) -> bytes:
-    """Serial-safe decode; grows the guess when the size is unknown (the
-    reference bench always knows dst size; library callers may not)."""
+    """Serial-safe decode. The block format has no size header; when the
+    caller does not know the size, a structural token scan (C++, no byte
+    movement) computes it exactly so the buffer is allocated once — no
+    geometric retry loop."""
     if expected_size is not None:
         return native.lz4_decompress(data, expected_size)
-    guess = max(64, len(data) * 4)
-    while guess <= _MAX_ONESHOT_GROW:
-        try:
-            return native.lz4_decompress(data, guess)
-        except ValueError:
-            guess *= 4
-    raise ValueError("lz4 decompress: cannot size output")
+    size = native.lz4_decompressed_size(data)
+    if size < 0 or size > _MAX_ONESHOT_GROW:
+        raise ValueError("lz4 decompress: corrupt stream or oversized")
+    return native.lz4_decompress(data, size)
 
 
 def _block_groups(blocks, mem_limit):

@@ -218,7 +218,40 @@ def _greedy_parse(mlen: jnp.ndarray, valid: jnp.ndarray, B: int):
     return _chain_marks(nxt, _i32(B), B)
 
 
-def _grid_parse(mlen, moff, valid, B: int, G: int, MAXSEQ: int):
+
+def _floor_chain_nxt(cpos, cml, cvalid, aidx, shift, M, G, match_cap=0):
+    """Next-tile function of the greedy tile chain: jump to the tile
+    containing the match end (t0) when that tile's elected anchor starts
+    at or after the end, else t0+1.
+
+    With a match cap, the floor test cpos[t0] >= end is evaluated WITHOUT
+    a gather: cpos[t0] >= end <=> r[t0] >= end & (G-1) with r = anchor
+    offset within its tile, and hash-match jumps are bounded by
+    cap//G + 2, so a K-deep shifted-select ladder covers them (the random
+    gather was the measured ~12 ms/4 MB wall of the select stage).
+    Longer jumps (uncapped small-offset runs) take t0+1, losing at most
+    G-1 bytes of a >=cap-byte match — ~0.1% ratio.
+    """
+    end = cpos + cml
+    t0 = jax.lax.shift_right_logical(end, shift)
+    K = (match_cap // G) + 2 if match_cap else 0
+    if 0 < K <= 24:
+        r = cpos - (aidx << shift)
+        ein = end & (G - 1)
+        jump = t0 - aidx
+        ge = jnp.zeros(M, jnp.bool_)
+        for j in range(1, K + 1):
+            r_j = jnp.concatenate([r[j:], jnp.zeros(j, jnp.int32)])
+            ge = ge | ((jump == j) & (r_j >= ein))
+        use_floor = cvalid & (t0 > aidx) & (t0 < M) & ge
+    else:
+        t0c = jnp.clip(t0, 0, M - 1)
+        use_floor = cvalid & (t0 > aidx) & (t0 < M) & (cpos[t0c] >= end)
+    return jnp.where(cvalid, jnp.where(use_floor, t0, t0 + 1), aidx + 1)
+
+
+def _grid_parse(mlen, moff, valid, B: int, G: int, MAXSEQ: int,
+                match_cap: int = 0):
     """Tile-anchor parse: one sequence may start per G-byte tile.
 
     Each tile elects its best candidate (max net coverage = matchlen minus
@@ -267,11 +300,8 @@ def _grid_parse(mlen, moff, valid, B: int, G: int, MAXSEQ: int):
 
     # next tile: the one the match end lands in, if its elected candidate
     # starts at or after the end (and is a later tile); else the tile after
-    end = cpos + cml
-    t0 = jax.lax.shift_right_logical(end, shift)
-    t0c = jnp.clip(t0, 0, M - 1)
-    use_floor = cvalid & (t0 > aidx) & (t0 < M) & (cpos[t0c] >= end)
-    nxt = jnp.where(cvalid, jnp.where(use_floor, t0, t0 + 1), aidx + 1)
+    nxt = _floor_chain_nxt(cpos, cml, cvalid, aidx, shift, M, G,
+                            match_cap=match_cap)
 
     jloc = (nxt - (aidx // SUBM) * SUBM).reshape(S, SUBM)
     cols = jnp.arange(SUBM, dtype=jnp.int32)
@@ -398,7 +428,8 @@ def _emit(data_u8, pos, ml, off, nseq, n, B: int, OUTCAP: int, MAXSEQ: int):
     return out, body, tail
 
 
-def _grid_select(mlen, moff, valid, B: int, G: int, subm: int = 128):
+def _grid_select(mlen, moff, valid, B: int, G: int, subm: int = 128,
+                 match_cap: int = 0):
     """Tile-anchor election + MXU chain marking, un-compacted: returns
     (sel, cpos, cml, coff) on the M = B//G tile domain. Factored out of
     _grid_parse so the sort-emit path can consume tile-domain fields
@@ -433,11 +464,8 @@ def _grid_select(mlen, moff, valid, B: int, G: int, subm: int = 128):
     cml = jnp.minimum(cml, sub_end_pos - cpos)
     cvalid = cvalid & (cml >= MIN_MATCH)
 
-    end = cpos + cml
-    t0 = jax.lax.shift_right_logical(end, shift)
-    t0c = jnp.clip(t0, 0, M - 1)
-    use_floor = cvalid & (t0 > aidx) & (t0 < M) & (cpos[t0c] >= end)
-    nxt = jnp.where(cvalid, jnp.where(use_floor, t0, t0 + 1), aidx + 1)
+    nxt = _floor_chain_nxt(cpos, cml, cvalid, aidx, shift, M, G,
+                            match_cap=match_cap)
 
     jloc = (nxt - (aidx // SUBM) * SUBM).reshape(S, SUBM)
     cols = jnp.arange(SUBM, dtype=jnp.int32)
@@ -602,7 +630,8 @@ def _encode_block_v2(data_u8, n, B: int, G: int, depth: int = 2,
                      subm: int = 128):
     mlen, moff, valid = _find_matches(data_u8, n, B, depth=depth, nw=nw,
                                       small_offsets=small_offsets)
-    sel, cpos, cml, coff = _grid_select(mlen, moff, valid, B, G, subm=subm)
+    sel, cpos, cml, coff = _grid_select(mlen, moff, valid, B, G, subm=subm,
+                                        match_cap=4 + 4 * nw)
     return _emit_sorted(data_u8, n, sel, cpos, cml, coff, B, G)
 
 

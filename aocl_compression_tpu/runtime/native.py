@@ -53,6 +53,7 @@ def get_lib() -> ctypes.CDLL:
             ("atpu_lz4_compress_tail", _i64,
              [_u8p, _i64, _u8p, _i64, _i32, ctypes.POINTER(_i64)]),
             ("atpu_lz4_decompress", _i64, [_u8p, _i64, _u8p, _i64]),
+            ("atpu_lz4_decompressed_size", _i64, [_u8p, _i64]),
             ("atpu_lz4hc_compress", _i64, [_u8p, _i64, _u8p, _i64, _i32]),
             ("atpu_lz4hc_compress_tail", _i64,
              [_u8p, _i64, _u8p, _i64, _i32, ctypes.POINTER(_i64)]),
@@ -171,6 +172,14 @@ def lz4_decompress(data: bytes, expected_size: int) -> bytes:
     if n < 0:
         raise ValueError("lz4 host decompress failed (corrupt stream?)")
     return dst[:n].tobytes()
+
+
+def lz4_decompressed_size(data: bytes) -> int:
+    """Exact decompressed size from a structural token scan (no byte
+    movement); -1 if the stream structure is malformed."""
+    lib = get_lib()
+    src = _tobuf(data)
+    return int(lib.atpu_lz4_decompressed_size(_as_u8p(src), len(data)))
 
 
 def lz4hc_compress(data: bytes, level: int = 9) -> bytes:

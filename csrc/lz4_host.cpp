@@ -196,6 +196,49 @@ int64_t atpu_lz4_decompress(const uint8_t* src, int64_t srcLen,
     return op - dst;
 }
 
+// Structural size scan: walk tokens/lengths without copying bytes and
+// return the exact decompressed size (or -1 on malformed structure).
+// Lets unknown-size one-shot decode allocate exactly instead of retrying
+// with geometric growth (two passes, zero restarts). Offsets are checked
+// against the running output position like the real decoder.
+int64_t atpu_lz4_decompressed_size(const uint8_t* src, int64_t srcLen) {
+    const uint8_t* ip = src;
+    const uint8_t* iend = src + srcLen;
+    int64_t out = 0;
+    if (srcLen <= 0) return srcLen == 0 ? 0 : -1;
+    while (ip < iend) {
+        uint32_t token = *ip++;
+        int64_t litLen = token >> 4;
+        if (litLen == 15) {
+            uint8_t b;
+            do {
+                if (ip >= iend) return -1;
+                b = *ip++;
+                litLen += b;
+            } while (b == 255);
+        }
+        if (litLen > iend - ip) return -1;
+        ip += litLen;
+        out += litLen;
+        if (ip >= iend) break;  // literal-only final sequence
+        if (iend - ip < 2) return -1;
+        int64_t offset = (int64_t)ip[0] | ((int64_t)ip[1] << 8);
+        ip += 2;
+        if (offset == 0 || offset > out) return -1;
+        int64_t mlen = (int64_t)(token & 15) + kMinMatch;
+        if ((token & 15) == 15) {
+            uint8_t b;
+            do {
+                if (ip >= iend) return -1;
+                b = *ip++;
+                mlen += b;
+            } while (b == 255);
+        }
+        out += mlen;
+    }
+    return out;
+}
+
 // ---------------------------------------------------------------------------
 // HC compressor: hash-chain match finder with level-controlled search depth
 // (reference capability: algos/lz4/lz4hc.c levels 1-12; own design).
