@@ -1,27 +1,25 @@
-"""zlib / bzip2 / lzma adapters backed by CPython's battle-tested codecs.
+"""zlib / bzip2 / lzma codec adapters — OWN implementations end to end.
 
-These are the *host-tier* (tier 0) compatibility paths for the three formats
-whose reference implementations are vendored upstream codebases
-(/root/reference/algos/zlib, /root/reference/algos/bzip2,
-/root/reference/algos/lzma). They guarantee format-exact streams from day one;
-the TPU device pipelines (deflate/BWT/range-coder kernels) register at higher
-tiers as they land and are cross-checked against these.
+Host tier: own C++ (csrc/deflate.cpp levels 1-9 + inflate; csrc/bzip2.cpp
+RLE1/BWT/MTF/RLE2/multi-table Huffman; csrc/lzma.cpp range coder +
+hash-chain matcher, FORMAT_ALONE layout). XLA tier: the static-Huffman
+deflate pipeline (level 1) and the device-BWT bzip2 block sort. The
+CPython `zlib`/`bz2`/`lzma` modules appear below ONLY for checksums
+(zlib.adler32) and as documented format constants; production
+compress/decompress never calls them.
 
+Reference analogs: /root/reference/algos/{zlib,bzip2,lzma}.
 Adapter quirks mirrored from the reference:
-  - lzma: the reference adapter splices the 5-byte props header before the
-    stream (/root/reference/api/codec.cpp:206-243). Python's lzma with
-    FORMAT_ALONE produces exactly props+size+stream; we use FORMAT_ALONE for
-    on-disk parity with the reference's lzma mode.
-  - zlib: levels 1-9, default 6 (reference compress2, algos/zlib/compress.c:153).
-  - bzip2: level = blockSize100k 1-9 (reference BZ2_bzBuffToBuffCompress).
+  - lzma: the 5-byte props header is spliced before the stream
+    (api/codec.cpp:206-243); FORMAT_ALONE = props+size+stream.
+  - zlib: levels 1-9, default 6 (compress2, algos/zlib/compress.c:153).
+  - bzip2: level = blockSize100k 1-9 (BZ2_bzBuffToBuffCompress).
 """
 
 from __future__ import annotations
 
-import bz2
-import lzma
 import struct
-import zlib
+import zlib  # adler32 checksum only — codecs are own C++
 from typing import Optional
 
 from ..api.handle import Handle
@@ -173,8 +171,9 @@ def _zlib_compress_blocks_xla(blocks, level: int):
 def _zlib_compress_xla(data: bytes, level: int) -> bytes:
     """Single-shot zlib stream through the device static-Huffman pipeline."""
     from ..ops import deflate_device
-    if len(data) < 1024:
-        return zlib.compress(data, level)
+    from ..runtime import native
+    if len(data) < 1024:  # dispatch overhead dwarfs tiny inputs: own C++
+        return native.deflate(data, level, native.DEFLATE_ZLIB)
     bs = get_config().default_block_size
     blocks = container.split_blocks(data, bs)
     chunks, _ = deflate_device.encode_blocks(blocks, accel=2)
@@ -202,7 +201,7 @@ def _zlib_compress_blocks_mesh(blocks, level: int, num_shards=None):
 
 class Bzip2Codec(Codec):
     name = "bzip2"
-    version = "1.0.8-stdlib"
+    version = "1.0.8-tpu"
     min_level, max_level, default_level = 1, 9, 9
 
     def compress_bound(self, n: int) -> int:
@@ -259,7 +258,7 @@ def _bzip2_compress_xla(data: bytes, level: int) -> bytes:
 
 class LzmaCodec(Codec):
     name = "lzma"
-    version = "22.01-stdlib"
+    version = "22.01-tpu"
     min_level, max_level, default_level = 0, 9, 6
 
     def compress_bound(self, n: int) -> int:
