@@ -497,7 +497,7 @@ static i64 decode_block(DCtx* ctx, const u8* src, size_t srcSize, u8* dst,
   size_t regen = 0, csize = 0, lhSize = 0;
   const u8* lit = nullptr;
   u8 rleByte = 0;
-  bool huffman = false, treeless = false;
+  bool treeless = false;
 
   if (type == 0 || type == 1) {  // raw / RLE
     if (sizeFmt == 0 || sizeFmt == 2) { lhSize = 1; regen = src[0] >> 3; }
@@ -519,7 +519,6 @@ static i64 decode_block(DCtx* ctx, const u8* src, size_t srcSize, u8* dst,
       csize = 1;
     }
   } else {  // Huffman compressed (2) / treeless (3)
-    huffman = true;
     treeless = (type == 3);
     u32 h;
     if (sizeFmt == 0 || sizeFmt == 1) {

@@ -38,6 +38,7 @@ def load(path):
         ("atpu_lz4_decompress", _i64, [_u8p, _i64, _u8p, _i64]),
         ("atpu_lz4_decompress_dict", _i64,
          [_u8p, _i64, _u8p, _i64, _u8p, _i64]),
+        ("atpu_lz4_decompressed_size", _i64, [_u8p, _i64]),
         ("atpu_snappy_max_compressed_length", _i64, [_i64]),
         ("atpu_snappy_compress", _i64, [_u8p, _i64, _u8p, _i64]),
         ("atpu_snappy_uncompressed_length", _i64, [_u8p, _i64]),
@@ -127,6 +128,10 @@ def run(lib, runs, seed):
         r = lib.atpu_lz4_compress(p(src), n, p(dst), cap, 1)
         if r > 0:
             streams["lz4"].append(dst[:r].tobytes())
+        for lvl in (1, 6, 12):  # HC levels drive the hash-chain matcher
+            r = lib.atpu_lz4hc_compress(p(src), n, p(dst), cap, lvl)
+            if r > 0:
+                streams["lz4"].append(dst[:r].tobytes())
         cap = max(64, int(lib.atpu_snappy_max_compressed_length(n)))
         dst = np.zeros(cap, dtype=np.uint8)
         r = lib.atpu_snappy_compress(p(src), n, p(dst), cap)
@@ -182,6 +187,7 @@ def run(lib, runs, seed):
         cap = [DCAP, 1024, 7, 0][int(rng.integers(0, 4))]
         if kind == "lz4":
             lib.atpu_lz4_decompress(p(a), ln, p(dout), cap)
+            lib.atpu_lz4_decompressed_size(p(a), ln)
             lib.atpu_lz4_decompress_dict(p(a), ln, p(dout), cap,
                                          p(dict_buf), len(dict_buf))
         elif kind == "snappy":
