@@ -41,10 +41,11 @@ class ZlibCodec(Codec):
     deflate chunk]xN[empty final block][adler32]. Skipping the RAP frame
     yields a bit-valid zlib stream for stock decoders.
 
-    Level 1 maps to the static-Huffman device pipeline when the XLA tier is
-    allowed — the reference's deflate_quick level-1 strategy
-    (algos/zlib/deflate_quick.c, ZLIB_DEFLATE_FAST_MODE); levels 2-9 use the
-    host deflate.
+    Level 1 maps to the static-Huffman device pipeline when the XLA tier
+    is allowed — the reference's deflate_quick level-1 strategy
+    (algos/zlib/deflate_quick.c, ZLIB_DEFLATE_FAST_MODE); level 2 to the
+    dynamic-Huffman device pipeline (deflate_medium's dynamic blocks,
+    algos/zlib/deflate_medium.c); levels 3-9 use the host deflate.
     """
 
     name = "zlib"
@@ -63,7 +64,7 @@ class ZlibCodec(Codec):
         cfg = get_config()
         lvl = level if level is not None else \
             self.clamp_level(handle.level or self.default_level)
-        if lvl <= 1 and (handle.max_tier is None
+        if lvl <= 2 and (handle.max_tier is None
                          or handle.max_tier >= TIER_XLA):
             # device static-Huffman tier: blocks within the 16-bit limit
             return min(cfg.default_block_size, 1 << 16)
@@ -74,11 +75,11 @@ class ZlibCodec(Codec):
 
     def _adapter(self, handle: Handle,
                  level: int) -> container.BlockCodecAdapter:
-        # device tier only for the quick (level<=1) strategy, like the
-        # reference's deflate_quick; higher levels keep host ratio
+        # device tier for the quick (level 1, static) and medium
+        # (level 2, dynamic) strategies; higher levels keep host ratio
         # semantics. num_shards > 1 requests the mesh tier (reference:
         # zlib MT inside compress2, algos/zlib/compress.c:211-340).
-        max_tier = handle.max_tier if level <= 1 else TIER_HOST
+        max_tier = handle.max_tier if level <= 2 else TIER_HOST
         cb, ctier = dispatch.resolve_with_tier(
             "zlib", "compress_blocks", max_tier, handle.opt_off)
         if ctier == TIER_MESH:
@@ -106,7 +107,7 @@ class ZlibCodec(Codec):
                     ">I", zlib.adler32(data) & 0xFFFFFFFF)
                 return out + trailer
         fn = dispatch.resolve("zlib", "compress",
-                              handle.max_tier if level <= 1 else TIER_HOST,
+                              handle.max_tier if level <= 2 else TIER_HOST,
                               handle.opt_off)
         return fn(data, level)
 
@@ -164,6 +165,8 @@ def _zlib_compress_blocks_xla(blocks, level: int):
     from ..ops.lz4_device import MAX_DEVICE_BLOCK
     if max(len(b) for b in blocks) > MAX_DEVICE_BLOCK:
         return _zlib_compress_blocks_host(blocks, level)
+    if level >= 2:  # dynamic-Huffman blocks (deflate_medium analog)
+        return deflate_device.encode_blocks_dyn(blocks, accel=2)
     return deflate_device.encode_blocks(blocks, accel=2)
 
 
@@ -174,9 +177,11 @@ def _zlib_compress_xla(data: bytes, level: int) -> bytes:
     from ..runtime import native
     if len(data) < 1024:  # dispatch overhead dwarfs tiny inputs: own C++
         return native.deflate(data, level, native.DEFLATE_ZLIB)
-    bs = get_config().default_block_size
+    bs = min(get_config().default_block_size, 1 << 16)
     blocks = container.split_blocks(data, bs)
-    chunks, _ = deflate_device.encode_blocks(blocks, accel=2)
+    enc = (deflate_device.encode_blocks_dyn if level >= 2
+           else deflate_device.encode_blocks)
+    chunks, _ = enc(blocks, accel=2)
     return (_ZLIB_HEADER + b"".join(chunks) + _ZLIB_FINAL
             + struct.pack(">I", zlib.adler32(data) & 0xFFFFFFFF))
 
@@ -192,10 +197,11 @@ def _zlib_compress_blocks_mesh(blocks, level: int, num_shards=None):
     from ..parallel import sharded
     if max(len(b) for b in blocks) > MAX_DEVICE_BLOCK:
         return _zlib_compress_blocks_host(blocks, level)
+    enc = (deflate_device.encode_blocks_dyn if level >= 2
+           else deflate_device.encode_blocks)
     return sharded.sharded_block_call(
         blocks,
-        lambda padded, sh: deflate_device.encode_blocks(
-            padded, accel=2, shardings=sh),
+        lambda padded, sh: enc(padded, accel=2, shardings=sh),
         num_shards)
 
 

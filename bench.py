@@ -133,6 +133,45 @@ def main():
     ratio = round(len(data) / float(sizes_np.sum() + 8.0 * N), 3)
 
     extra = {"lz4_device_ratio": ratio, "corpus_MB": round(mb, 1)}
+
+    # real-file corpus point (same compiled shapes — no extra compile):
+    # big C sources + an ELF from this box, the Silesia stand-in with
+    # actual data instead of synthetic text
+    real = bytearray()
+    import glob
+    paths = (sorted(glob.glob("/root/reference/algos/*/*.c*"))
+             + sorted(glob.glob("/root/reference/algos/*/*.h"))
+             + sorted(glob.glob("/root/reference/algos/zstd/lib/*/*.c"))
+             + sorted(glob.glob("/usr/lib/x86_64-linux-gnu/lib[cm]*.so*"))
+             + sorted(glob.glob("/root/reference/gtest/*/*.cpp")))
+    for path in paths:
+        if len(real) >= B * N:
+            break
+        try:
+            with open(path, "rb") as f:
+                real += f.read(4 << 20)
+        except OSError:
+            pass
+    if len(real) >= B * N:
+        ra = np.frombuffer(bytes(real[:B * N]), dtype=np.uint8).reshape(N, B)
+        jr = jnp.asarray(ra)
+        out, sizes, tails, flags = enc(jr, jl)
+        _ = np.asarray(sizes)
+        t0 = time.perf_counter()
+        pending = []
+        for _ in range(4):
+            out, sizes, tails, flags = enc(jr, jl)
+            pending.append(sizes)
+            if len(pending) > 3:
+                _ = np.asarray(pending.pop(0))
+        for sizes in pending:
+            _ = np.asarray(sizes)
+        rdt = (time.perf_counter() - t0) / 4
+        rsz = np.asarray(sizes)
+        extra["lz4_device_realfile_MBps"] = round(mb / rdt, 2)
+        extra["lz4_device_realfile_ratio"] = round(
+            (B * N) / float(rsz.sum() + 8.0 * N), 3)
+
     extra.update(_host_metrics(data))
 
     print(json.dumps({
