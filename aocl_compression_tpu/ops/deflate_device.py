@@ -396,7 +396,8 @@ def _emit_deflate_dyn(data_u8, pos, ml, off, nseq, n, B: int, OUTCAP: int,
 def _encode_block(data_u8, n, B, OUTCAP, MAXSEQ, MAXPIECE, G):
     mlen, moff, valid = lz._find_matches(data_u8, n, B, max_off=MAX_DIST)
     if G:
-        pos, ml, off, nseq = lz._grid_parse(mlen, moff, valid, B, G, MAXSEQ)
+        pos, ml, off, nseq = lz._grid_parse(mlen, moff, valid, B, G,
+                                            MAXSEQ, match_cap=68)
     else:
         mark = lz._greedy_parse(mlen, valid, B)
         pos, ml, off, nseq = lz._select_sequences(mark, valid, mlen, moff,
@@ -424,7 +425,8 @@ def make_encoder(block_size: int, G: int = 0):
 def _encode_block_dyn(data_u8, n, B, OUTCAP, MAXSEQ, MAXPIECE, G):
     mlen, moff, valid = lz._find_matches(data_u8, n, B, max_off=MAX_DIST)
     if G:
-        pos, ml, off, nseq = lz._grid_parse(mlen, moff, valid, B, G, MAXSEQ)
+        pos, ml, off, nseq = lz._grid_parse(mlen, moff, valid, B, G,
+                                            MAXSEQ, match_cap=68)
     else:
         mark = lz._greedy_parse(mlen, valid, B)
         pos, ml, off, nseq = lz._select_sequences(mark, valid, mlen, moff,

@@ -646,7 +646,8 @@ def _encode_block(data_u8, n, B: int, OUTCAP: int, MAXSEQ: int, G: int = 0,
         nx_val = jnp.concatenate([valid[1:], jnp.zeros(1, bool)])
         valid = valid & ~(nx_val & (nx_len > mlen + 1))
     if G:
-        pos, ml, off, nseq = _grid_parse(mlen, moff, valid, B, G, MAXSEQ)
+        pos, ml, off, nseq = _grid_parse(mlen, moff, valid, B, G, MAXSEQ,
+                                         match_cap=4 + 4 * nw)
     else:
         mark = _greedy_parse(mlen, valid, B)
         pos, ml, off, nseq = _select_sequences(mark, valid, mlen, moff,

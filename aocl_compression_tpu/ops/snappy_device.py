@@ -167,7 +167,8 @@ def _emit_snappy(data_u8, pos, ml, off, nseq, n, B: int, OUTCAP: int,
 def _encode_block(data_u8, n, B: int, OUTCAP: int, MAXSEQ: int, G: int = 0):
     mlen, moff, valid = lz._find_matches(data_u8, n, B)
     if G:
-        pos, ml, off, nseq = lz._grid_parse(mlen, moff, valid, B, G, MAXSEQ)
+        pos, ml, off, nseq = lz._grid_parse(mlen, moff, valid, B, G,
+                                            MAXSEQ, match_cap=68)
     else:
         mark = lz._greedy_parse(mlen, valid, B)
         pos, ml, off, nseq = lz._select_sequences(mark, valid, mlen, moff,

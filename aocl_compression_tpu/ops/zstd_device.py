@@ -322,7 +322,8 @@ def _encode_block(data_u8, n, B, MAXSEQ, G, SCAP, QCAP):
     # shifted compare — fused elementwise work, no extra sorts)
     mlen, moff, valid = lz._find_matches(data_u8, n, B, depth=8)
     if G:
-        pos, ml, off, nseq = lz._grid_parse(mlen, moff, valid, B, G, MAXSEQ)
+        pos, ml, off, nseq = lz._grid_parse(mlen, moff, valid, B, G,
+                                            MAXSEQ, match_cap=68)
     else:
         mark = lz._greedy_parse(mlen, valid, B)
         pos, ml, off, nseq = lz._select_sequences(mark, valid, mlen, moff,
