@@ -381,18 +381,30 @@ def _encode_block(data_u8, n, B, MAXSEQ, G, SCAP, QCAP):
     starts = jnp.concatenate([jnp.zeros(1, jnp.int32), bounds[:3]])
     Lbits = S[jnp.clip(starts, 0, B)] - S_at_bound
 
-    litbuf = jnp.zeros(4 * SCAP, jnp.int32)
-    valb = code << (bitpos & 7)                  # <= 11 + 7 = 18 bits
-    bb = jnp.where((j < nlits), t * SCAP + (bitpos >> 3), 4 * SCAP)
-    litbuf = litbuf.at[bb].add(valb & 0xFF, mode="drop")
-    litbuf = litbuf.at[jnp.minimum(bb + 1, 4 * SCAP)].add(
-        (valb >> 8) & 0xFF, mode="drop")
-    litbuf = litbuf.at[jnp.minimum(bb + 2, 4 * SCAP)].add(
-        (valb >> 16) & 0xFF, mode="drop")
+    # WORD-granular packing: an 11-bit code shifted by <32 spans at most
+    # two 32-bit words, so TWO scatter-adds replace the three byte-domain
+    # ones (scatter elements are the measured wall of this stage); the
+    # byte view is reconstructed with cheap elementwise shifts.
+    SW = SCAP >> 2
+    litw = jnp.zeros(4 * SW, jnp.uint32)
+    code_u = code.astype(jnp.uint32)
+    shw = (bitpos & 31).astype(jnp.uint32)
+    lo = code_u << shw
+    hi = jnp.where(shw == 0, jnp.uint32(0),
+                   jax.lax.shift_right_logical(code_u,
+                                               jnp.uint32(32) - shw))
+    wb = jnp.where(j < nlits, t * SW + (bitpos >> 5), 4 * SW)
+    litw = litw.at[wb].add(lo, mode="drop")
+    litw = litw.at[jnp.where(j < nlits, wb + 1, 4 * SW)].add(hi,
+                                                             mode="drop")
     # end-of-stream markers
     tm = jnp.arange(4, dtype=jnp.int32)
-    mpos = tm * SCAP + (Lbits >> 3)
-    litbuf = litbuf.at[mpos].add(1 << (Lbits & 7), mode="drop")
+    mw = tm * SW + (Lbits >> 5)
+    litw = litw.at[mw].add(
+        jnp.uint32(1) << (Lbits & 31).astype(jnp.uint32), mode="drop")
+    litbuf = jnp.stack(
+        [litw & 0xFF, (litw >> 8) & 0xFF, (litw >> 16) & 0xFF,
+         (litw >> 24) & 0xFF], axis=1).reshape(-1).astype(jnp.int32)
     lit_sizes = (Lbits + 1 + 7) >> 3
 
     # --- sequence codes ------------------------------------------------------
@@ -454,7 +466,9 @@ def _encode_block(data_u8, n, B, MAXSEQ, G, SCAP, QCAP):
     areal = sid >= shift
 
     # --- FSE scan (reverse order; 3 states; masked no-op steps). Each scan
-    # step handles UNROLL sequences to amortize per-step loop overhead. ----
+    # step handles UNROLL sequences to amortize per-step loop overhead
+    # (chip-measured: 32 is NOT faster than 8 — the stage cost is the
+    # scatter traffic, not scan-step overhead — so 8 keeps compiles small)
     UNROLL = 8
 
     def _one(carry, xs1):
@@ -528,16 +542,22 @@ def _encode_block(data_u8, n, B, MAXSEQ, G, SCAP, QCAP):
     bpos = jnp.cumsum(alln) - alln
     total_bits = jnp.sum(alln)
 
-    seqbuf = jnp.zeros(QCAP, jnp.int32)
-    vals = (allv & ((1 << alln) - 1)) << (bpos & 7)
-    qb = jnp.where(alln > 0, bpos >> 3, QCAP)
-    seqbuf = seqbuf.at[qb].add(vals & 0xFF, mode="drop")
-    seqbuf = seqbuf.at[jnp.minimum(qb + 1, QCAP)].add((vals >> 8) & 0xFF,
-                                                      mode="drop")
-    seqbuf = seqbuf.at[jnp.minimum(qb + 2, QCAP)].add((vals >> 16) & 0xFF,
-                                                      mode="drop")
-    seqbuf = seqbuf.at[jnp.where(nseq > 0, total_bits >> 3, QCAP)].add(
-        1 << (total_bits & 7), mode="drop")
+    # word-granular sequence bitstream (2 scatters; see literal streams)
+    QW = QCAP >> 2
+    seqw = jnp.zeros(QW, jnp.uint32)
+    v_u = (allv & ((1 << alln) - 1)).astype(jnp.uint32)
+    shq = (bpos & 31).astype(jnp.uint32)
+    lo_q = v_u << shq
+    hi_q = jnp.where(shq == 0, jnp.uint32(0),
+                     jax.lax.shift_right_logical(v_u, jnp.uint32(32) - shq))
+    qw = jnp.where(alln > 0, bpos >> 5, QW)
+    seqw = seqw.at[qw].add(lo_q, mode="drop")
+    seqw = seqw.at[jnp.where(alln > 0, qw + 1, QW)].add(hi_q, mode="drop")
+    seqw = seqw.at[jnp.where(nseq > 0, total_bits >> 5, QW)].add(
+        jnp.uint32(1) << (total_bits & 31).astype(jnp.uint32), mode="drop")
+    seqbuf = jnp.stack(
+        [seqw & 0xFF, (seqw >> 8) & 0xFF, (seqw >> 16) & 0xFF,
+         (seqw >> 24) & 0xFF], axis=1).reshape(-1).astype(jnp.int32)
     seq_size = jnp.where(nseq > 0, (total_bits + 1 + 7) >> 3, 0)
 
     return (litbuf.astype(jnp.uint8), lit_sizes, nlits,
