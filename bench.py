@@ -174,6 +174,12 @@ def main():
 
     extra.update(_host_metrics(data))
 
+    # the BASELINE.md north star is 2 GB/s aggregate on v5e-16; blocks
+    # are embarrassingly parallel over chips (mesh streams are
+    # byte-identical, tested), so the per-chip number projects linearly —
+    # labeled as a projection, not a measurement (one chip here)
+    extra["projected_v5e16_aggregate_GBps"] = round(value * 16 / 1000, 2)
+
     print(json.dumps({
         "metric": "lz4_l1_device_encode_throughput",
         "value": round(value, 2),
