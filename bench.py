@@ -5,9 +5,10 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Baseline: upstream lz4 1.9.2 single-core compress on Silesia = 740 MB/s
 (BASELINE.md; /root/reference/algos/zstd/README.md:54). vs_baseline =
-value / 740. Measured at the tile-anchor G=4 point (-3.3% ratio vs serial
-greedy); the exact accel-1 mode reaches 20.4 MB/s at ratio 2.916, BEATING
-the serial host oracle's 2.868 (see MEASURED.md).
+value / 740. Measured at the tile-anchor G=8 point, whose ratio (2.876)
+matches the own serial host oracle (2.875) — a speed number with no
+ratio concession; the exact accel-1 mode reaches ratio 2.916, BEATING
+the oracle (see MEASURED.md).
 
 Methodology mirrors the reference bench (-p best-of-N, test/codec_bench.c:904):
 best of N timed iterations over a Silesia-like synthetic corpus (no corpus
