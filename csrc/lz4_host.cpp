@@ -38,6 +38,20 @@ inline uint32_t hash4(uint32_t v) {
 
 // Emit one sequence: [token][litlen ext][literals][offset][matchlen ext].
 // matchLen < kMinMatch means "final literal-only sequence" (no offset field).
+// exact output size of one sequence (token + lit ext + literals + offset
+// + match ext) — lets the compressors honor TIGHT dst buffers like
+// upstream LZ4's limitedOutput mode instead of demanding the full bound
+inline int64_t seq_out_size(int64_t litLen, int64_t matchLen) {
+    int64_t n = 1 + litLen;
+    if (litLen >= 15) n += 1 + (litLen - 15) / 255;
+    if (matchLen >= kMinMatch) {
+        n += 2;
+        int64_t ml = matchLen - kMinMatch;
+        if (ml >= 15) n += 1 + (ml - 15) / 255;
+    }
+    return n;
+}
+
 inline uint8_t* emit_sequence(uint8_t* op, const uint8_t* lit, int64_t litLen,
                               int64_t offset, int64_t matchLen) {
     uint8_t* token = op++;
@@ -84,9 +98,10 @@ int64_t atpu_lz4_compress_bound(int64_t n) {
 int64_t atpu_lz4_compress_tail(const uint8_t* src, int64_t srcLen,
                                uint8_t* dst, int64_t dstCap, int accel,
                                int64_t* tail_lits) {
-    if (srcLen < 0 || dstCap < atpu_lz4_compress_bound(srcLen)) return -1;
+    if (srcLen < 0 || dstCap < 0) return -1;
     if (accel < 1) accel = 1;
     uint8_t* op = dst;
+    const uint8_t* oend = dst + dstCap;
     const uint8_t* anchor = src;
     const uint8_t* iend = src + srcLen;
 
@@ -128,6 +143,10 @@ int64_t atpu_lz4_compress_tail(const uint8_t* src, int64_t srcLen,
                 const uint8_t* mlimit = iend - kLastLiterals;
                 int64_t mlen = kMinMatch;
                 while (ip + mlen < mlimit && ip[mlen] == match[mlen]) mlen++;
+                if (op + seq_out_size(ip - anchor, mlen) > oend) {
+                    std::free(table);
+                    return -1;
+                }
                 op = emit_sequence(op, anchor, ip - anchor, ip - match, mlen);
                 ip += mlen;
                 anchor = ip;
@@ -142,6 +161,7 @@ int64_t atpu_lz4_compress_tail(const uint8_t* src, int64_t srcLen,
     }
     // final literal-only sequence (may be the only one for tiny inputs)
     if (tail_lits) *tail_lits = iend - anchor;
+    if (op + seq_out_size(iend - anchor, 0) > oend) return -1;
     op = emit_sequence(op, anchor, iend - anchor, 0, 0);
     return op - dst;
 }
@@ -247,7 +267,7 @@ int64_t atpu_lz4_decompressed_size(const uint8_t* src, int64_t srcLen) {
 int64_t atpu_lz4hc_compress_tail(const uint8_t* src, int64_t srcLen,
                                  uint8_t* dst, int64_t dstCap, int level,
                                  int64_t* tail_lits) {
-    if (srcLen < 0 || dstCap < atpu_lz4_compress_bound(srcLen)) return -1;
+    if (srcLen < 0 || dstCap < 0) return -1;
     if (level < 1) level = 9;
     if (level > 12) level = 12;
     // search depth doubles per level: 1<<(level-1), capped
@@ -255,6 +275,7 @@ int64_t atpu_lz4hc_compress_tail(const uint8_t* src, int64_t srcLen,
     if (maxAttempts > 4096) maxAttempts = 4096;
 
     uint8_t* op = dst;
+    const uint8_t* oend = dst + dstCap;
     const uint8_t* anchor = src;
     const uint8_t* iend = src + srcLen;
 
@@ -313,6 +334,11 @@ int64_t atpu_lz4hc_compress_tail(const uint8_t* src, int64_t srcLen,
                     match--;
                     bestLen++;
                 }
+                if (op + seq_out_size(ip - anchor, bestLen) > oend) {
+                    std::free(head);
+                    std::free(prev);
+                    return -1;
+                }
                 op = emit_sequence(op, anchor, ip - anchor, bestOff, bestLen);
                 ip += bestLen;
                 anchor = ip;
@@ -326,6 +352,7 @@ int64_t atpu_lz4hc_compress_tail(const uint8_t* src, int64_t srcLen,
         std::free(prev);
     }
     if (tail_lits) *tail_lits = iend - anchor;
+    if (op + seq_out_size(iend - anchor, 0) > oend) return -1;
     op = emit_sequence(op, anchor, iend - anchor, 0, 0);
     return op - dst;
 }
