@@ -971,6 +971,18 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
         if (ev.len < 3) {
           lits[nlit++] = base[pos++];
           run++;
+          // miss-skip acceleration for the fast levels: widen the probe
+          // stride on long literal runs (the reference's dynamic-step
+          // idea, algos/lz4/lz4.c:1447-1580; stock zstd dfast does the
+          // same via step increments)
+          if (!lp.lazy && run > 64) {
+            size_t skip = (size_t)((run - 64) >> 5);
+            if (skip > 16) skip = 16;
+            while (skip-- > 0 && pos < blockEnd) {
+              lits[nlit++] = base[pos++];
+              run++;
+            }
+          }
           continue;
         }
         if (lp.lazy && ev.len < lp.nice && pos + 1 < blockEnd) {
@@ -996,8 +1008,16 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
         nseq++;
         run = 0;
         size_t endp = pos + (size_t)ev.len;
-        for (size_t q = pos + 1; q + 4 <= total && q < endp; q++)
+        // sparse insertion inside matches: every position costs a hash +
+        // two dependent stores, and interior positions are rarely useful
+        // anchors; fast levels keep every 3rd (+ the two positions just
+        // before the match end for chain continuity, like LZ4's
+        // table[hash(ip-2)] refresh)
+        size_t istep = lp.lazy ? 1 : (lp.depth <= 6 ? 3 : 2);
+        for (size_t q = pos + 1; q + 4 <= total && q < endp; q += istep)
           mf.insert(base, q);
+        if (istep > 1 && endp >= 2 && endp - 2 > pos && endp + 2 <= total)
+          mf.insert(base, endp - 2);
         pos = endp;
       }
 
