@@ -682,12 +682,25 @@ static i64 deflate_raw(const u8* src, size_t n, u8* dst, size_t dstCap,
     blockStart = pos;
   };
 
+  size_t missRun = 0;
   while (pos < n) {
     if (ntok >= TOKCAP - 2) flush(false);
     if (pos + MIN_MATCH > n) {
       toks[ntok++] = {(u16)src[pos], 0};
       pos++;
       continue;
+    }
+    // miss-skip acceleration (fast levels): during long literal runs,
+    // probe only every 2nd (or 4th) position — the reference's
+    // deflate_quick/dfast dynamic-step idea
+    if (!lp.lazy && missRun > 64) {
+      size_t stride = missRun > 512 ? 4 : 2;
+      if (pos % stride) {
+        toks[ntok++] = {(u16)src[pos], 0};
+        pos++;
+        missRun++;
+        continue;
+      }
     }
     int d1;
     int l1 = m->find(src, pos, n, lp, &d1);
@@ -704,6 +717,7 @@ static i64 deflate_raw(const u8* src, size_t n, u8* dst, size_t dstCap,
       }
     }
     if (l1 >= MIN_MATCH) {
+      missRun = 0;
       toks[ntok++] = {(u16)l1, (u16)d1};
       // insert hash entries over the match span (bounded for speed)
       size_t insEnd = pos + (size_t)l1;
@@ -715,6 +729,7 @@ static i64 deflate_raw(const u8* src, size_t n, u8* dst, size_t dstCap,
     } else {
       toks[ntok++] = {(u16)src[pos], 0};
       pos++;
+      missRun++;
     }
   }
   flush(mode == 1);  // mode 1: final block; mode 2: sync chunk, no final
