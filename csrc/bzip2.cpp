@@ -208,9 +208,204 @@ static int bz_get_sym(MsbReader& br, const DecTable& t) {
 }
 
 // ---------------------------------------------------------------------------
-// cyclic-rotation BWT via prefix doubling + LSD counting sort
+// cyclic-rotation BWT via Larsson-Sadakane doubling (qsufsort family):
+// ternary-split quicksort of UNSORTED groups only, sorted runs are skipped
+// (the reference's central bzip2 investment is its blocksort.c; this is
+// the cache-friendly O(n log n) alternative that needs no quadrant
+// heuristics). Keys are cyclic: key(i) at depth h is V[(i+h) mod n].
 // ---------------------------------------------------------------------------
-static int bwt_forward(const u8* s, int n, u8* L) {
+namespace bwt {
+
+struct LS {
+  int* I;   // SA under construction; negative values = length of a sorted run
+  int* V;   // V[i] = group number of rotation i (index of group END in I)
+  int n, h;
+  bool progressed;  // did any group split this h-pass?
+  i64 work = 0, budget = 0;  // abort -> caller falls back to LSD sort
+
+  inline int key(int p) {
+    int j = I[p] + h;
+    if (j >= n) j -= n;
+    return V[j];
+  }
+
+  // update group numbers for I[lo..hi] (one equal-key group)
+  inline void update_group(int lo, int hi) {
+    int g = hi;
+    for (int i = lo; i <= hi; i++) {
+      if (V[I[i]] != g) progressed = true;
+      V[I[i]] = g;
+    }
+    if (lo == hi) I[lo] = -1;  // singleton: sorted run of length 1
+  }
+
+  void insertion_sort(int lo, int hi) {
+    for (int i = lo + 1; i <= hi; i++) {
+      int v = I[i], kv = key(i);
+      int j = i - 1;
+      while (j >= lo) {
+        int kj = V[(I[j] + h) % n];
+        if (kj <= kv) break;
+        I[j + 1] = I[j];
+        j--;
+      }
+      I[j + 1] = v;
+    }
+    // split into equal-key groups. The keys MUST be a consistent
+    // snapshot: update_group mutates V, and self-referencing keys
+    // (I[i]+h landing inside this group) would otherwise mix pre- and
+    // post-update values (the qsufsort correctness condition).
+    int kbuf[17];
+    for (int i = lo; i <= hi; i++) kbuf[i - lo] = V[(I[i] + h) % n];
+    int i = lo;
+    while (i <= hi) {
+      int j = i;
+      while (j + 1 <= hi && kbuf[j + 1 - lo] == kbuf[i - lo]) j++;
+      update_group(i, j);
+      i = j + 1;
+    }
+  }
+
+  void sort_split(int lo, int hi) {
+    work += hi - lo + 1;
+    while (hi - lo >= 16) {
+      if (work > budget) return;  // budget blown; caller restarts w/ LSD
+      // median-of-three pivot
+      int a = key(lo), b = key(lo + (hi - lo) / 2), c = key(hi);
+      int pivot = a < b ? (b < c ? b : (a < c ? c : a))
+                        : (a < c ? a : (b < c ? c : b));
+      // ternary partition
+      int i = lo, mi = lo, j = hi, mj = hi;
+      for (;;) {
+        int kv;
+        while (i <= j && (kv = key(i)) <= pivot) {
+          if (kv == pivot) { int tv = I[i]; I[i] = I[mi]; I[mi++] = tv; }
+          i++;
+        }
+        while (i <= j && (kv = key(j)) >= pivot) {
+          if (kv == pivot) { int tv = I[j]; I[j] = I[mj]; I[mj--] = tv; }
+          j--;
+        }
+        if (i > j) break;
+        int tv = I[i]; I[i] = I[j]; I[j] = tv;
+      }
+      // move equal-pivot elements to the middle
+      int ls = (mi - lo) < (i - mi) ? (mi - lo) : (i - mi);
+      for (int k = 0; k < ls; k++) {
+        int tv = I[lo + k]; I[lo + k] = I[i - ls + k]; I[i - ls + k] = tv;
+      }
+      int rs = (hi - mj) < (mj - j) ? (hi - mj) : (mj - j);
+      for (int k = 0; k < rs; k++) {
+        int tv = I[j + 1 + k]; I[j + 1 + k] = I[hi - rs + 1 + k];
+        I[hi - rs + 1 + k] = tv;
+      }
+      int eqlo = lo + (i - mi);       // first equal element
+      int eqhi = hi - (mj - j);       // last equal element
+      if (lo < eqlo) sort_split(lo, eqlo - 1);
+      update_group(eqlo, eqhi);
+      lo = eqhi + 1;                  // tail-iterate on the > part
+    }
+    if (lo < hi) {
+      insertion_sort(lo, hi);
+    } else if (lo == hi) {
+      update_group(lo, lo);
+    }
+  }
+};
+
+}  // namespace bwt
+
+static int bwt_forward_ls(const u8* s, int n, u8* L) {
+  if (n == 0) return 0;
+  if (n == 1) { L[0] = s[0]; return 0; }
+  int* I = (int*)malloc(sizeof(int) * (size_t)n);
+  int* V = (int*)malloc(sizeof(int) * (size_t)n);
+  int* cnt = (int*)calloc(257, sizeof(int));
+  if (!I || !V || !cnt) { free(I); free(V); free(cnt); return -1; }
+
+  // initial counting sort by first byte; group number = group END index
+  for (int i = 0; i < n; i++) cnt[s[i] + 1]++;
+  for (int i = 0; i < 256; i++) cnt[i + 1] += cnt[i];
+  int gend[256];
+  for (int b = 0; b < 256; b++) gend[b] = cnt[b + 1] - 1;
+  {
+    int c2[257];
+    memcpy(c2, cnt, sizeof(c2));
+    for (int i = 0; i < n; i++) I[c2[s[i]]++] = i;
+  }
+  for (int i = 0; i < n; i++) V[i] = gend[s[i]];
+  // mark singleton first-byte groups as sorted
+  for (int b = 0; b < 256; b++) {
+    int lo = cnt[b], hi = cnt[b + 1] - 1;
+    if (lo == hi) I[lo] = -1;
+  }
+  free(cnt);
+
+  bwt::LS ls;
+  ls.I = I;
+  ls.V = V;
+  ls.n = n;
+  ls.h = 1;
+  // repetitive inputs make group splitting pathologically slow (the
+  // reason bzip2's blocksort.c pairs mainSort with fallbackSort); cap
+  // the partition work and defer to the LSD doubling sort when blown
+  ls.budget = (i64)24 * n + (1 << 16);
+  while (I[0] != -n && ls.h < 2 * n) {
+    if (ls.work > ls.budget) { free(I); free(V); return -2; }
+    ls.progressed = false;
+    int pos = 0, sl = 0;
+    while (pos < n) {
+      int sv = I[pos];
+      if (sv < 0) {
+        pos += -sv;
+        sl += -sv;
+      } else {
+        if (sl) { I[pos - sl] = -sl; sl = 0; }
+        int ge = V[sv];          // group end index
+        ls.sort_split(pos, ge);
+        pos = ge + 1;
+      }
+    }
+    if (sl) I[pos - sl] = -sl;
+    ls.h <<= 1;
+    // a pass with no group split means every remaining group is a closed
+    // periodicity class (identical rotations): no h will ever split it —
+    // fall through to the stable tie placement instead of thrashing
+    if (!ls.progressed) break;
+  }
+  if (I[0] != -n) {
+    // residual groups at h >= 2n are IDENTICAL rotations (periodic
+    // input): their relative order does not change the BWT column, so
+    // place ties stably by index
+    int* seen = (int*)calloc((size_t)n, sizeof(int));
+    int* size = (int*)calloc((size_t)n, sizeof(int));
+    if (!seen || !size) { free(seen); free(size); free(I); free(V);
+                          return -1; }
+    for (int i = 0; i < n; i++) size[V[i]]++;
+    for (int i = 0; i < n; i++) {
+      int g = V[i];
+      I[g - size[g] + 1 + seen[g]++] = i;
+    }
+    free(seen);
+    free(size);
+  } else {
+    // all groups singleton: reconstruct the full SA from V
+    for (int i = 0; i < n; i++) I[V[i]] = i;
+  }
+  int ret = -1;
+  for (int i = 0; i < n; i++) {
+    int j = I[i];
+    if (j == 0) ret = i;
+    L[i] = s[j == 0 ? n - 1 : j - 1];
+  }
+  free(I);
+  free(V);
+  return ret;
+}
+
+// LSD-counting-sort prefix doubling: immune to repetitive-input
+// pathology (always ~log n passes of O(n)); the fallback of the hybrid.
+static int bwt_forward_lsd(const u8* s, int n, u8* L) {
   if (n == 0) return 0;
   int* rank = (int*)malloc(sizeof(int) * (size_t)n * 4);
   if (!rank) return -1;
@@ -222,7 +417,6 @@ static int bwt_forward(const u8* s, int n, u8* L) {
 
   for (int i = 0; i < n; i++) rank[i] = s[i];
   for (int i = 0; i < n; i++) sa[i] = i;
-  // initial counting sort by first byte
   memset(cnt, 0, sizeof(int) * 257);
   for (int i = 0; i < n; i++) cnt[rank[i] + 1]++;
   for (int i = 0; i < 256; i++) cnt[i + 1] += cnt[i];
@@ -231,22 +425,19 @@ static int bwt_forward(const u8* s, int n, u8* L) {
 
   int maxRank = 255;
   for (int k = 1; k < n; k <<= 1) {
-    // sort sa by (rank[i], rank[i+k mod n]) — LSD: second key then first
     memset(cnt, 0, sizeof(int) * (size_t)(maxRank + 2));
     for (int i = 0; i < n; i++) {
       int j = sa[i] + k;
       if (j >= n) j -= n;
-      tmp[i] = rank[j];  // second key of the element at sorted slot i
+      tmp[i] = rank[j];
     }
     for (int i = 0; i < n; i++) cnt[tmp[i] + 1]++;
     for (int i = 0; i <= maxRank; i++) cnt[i + 1] += cnt[i];
     for (int i = 0; i < n; i++) sa2[cnt[tmp[i]]++] = sa[i];
-    // stable counting sort by first key
     memset(cnt, 0, sizeof(int) * (size_t)(maxRank + 2));
     for (int i = 0; i < n; i++) cnt[rank[sa2[i]] + 1]++;
     for (int i = 0; i <= maxRank; i++) cnt[i + 1] += cnt[i];
     for (int i = 0; i < n; i++) sa[cnt[rank[sa2[i]]]++] = sa2[i];
-    // re-rank
     int r = 0;
     tmp[sa[0]] = 0;
     for (int i = 1; i < n; i++) {
@@ -269,6 +460,42 @@ static int bwt_forward(const u8* s, int n, u8* L) {
   free(cnt);
   free(rank);
   return I;
+}
+
+// cheap repetitiveness probe: in a few contiguous windows, count how
+// often an 8-gram repeats within a small table. Periodic regions (the
+// LS sort's pathology) show >90% duplication; ordinary text shows
+// little. Avoids paying the failed-LS work on blocks that will fall
+// back anyway.
+static bool looks_repetitive(const u8* s, int n) {
+  if (n < (1 << 15)) return false;
+  const int W = 2048;
+  for (int w = 0; w < 3; w++) {
+    size_t start = (size_t)(n - W - 8) * (2 * w + 1) / 6;
+    u32 seen[512];
+    memset(seen, 0, sizeof(seen));
+    int dup = 0;
+    for (int i = 0; i < W; i++) {
+      u64 x;
+      memcpy(&x, s + start + i, 8);
+      u32 h = (u32)((x * 0x9E3779B185EBCA87ull) >> 41) | 1u;
+      u32 slot = h & 511;
+      if (seen[slot] == h) dup++;
+      else seen[slot] = h;
+    }
+    if (dup > W / 2) return true;
+  }
+  return false;
+}
+
+// hybrid dispatcher: Larsson-Sadakane first (fast on ordinary data),
+// LSD doubling for repetitive data (probe or blown work budget) — the
+// mainSort/fallbackSort pairing of the reference blocksort.c.
+static int bwt_forward(const u8* s, int n, u8* L) {
+  if (looks_repetitive(s, n)) return bwt_forward_lsd(s, n, L);
+  int r = bwt_forward_ls(s, n, L);
+  if (r == -2) return bwt_forward_lsd(s, n, L);
+  return r;
 }
 
 // ---------------------------------------------------------------------------
@@ -659,6 +886,11 @@ done:
 // ---------------------------------------------------------------------------
 // C API
 // ---------------------------------------------------------------------------
+
+// test/diagnostic export: run the block sort alone
+ATPU_EXPORT i64 atpu_bwt_forward(const u8* src, i64 n, u8* L) {
+  return bwt_forward(src, (int)n, L);
+}
 
 ATPU_EXPORT i64 atpu_bz2_compress(const u8* src, size_t n, u8* dst,
                                   size_t dstCap, int level) {
