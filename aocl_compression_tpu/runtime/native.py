@@ -76,6 +76,8 @@ def get_lib() -> ctypes.CDLL:
              [_u8p, ctypes.c_size_t, _u8p, ctypes.c_size_t, _u8p,
               ctypes.c_size_t, ctypes.POINTER(ctypes.c_size_t)]),
             ("atpu_zstd_frame_content_size", _i64, [_u8p, ctypes.c_size_t]),
+            ("atpu_zstd_frame_compressed_size", _i64,
+             [_u8p, ctypes.c_size_t]),
             ("atpu_xxh64", ctypes.c_uint64,
              [_u8p, ctypes.c_size_t, ctypes.c_uint64]),
             ("atpu_deflate", _i64,
@@ -378,6 +380,41 @@ def deflate(data: bytes, level: int = 6, mode: int = DEFLATE_ZLIB) -> bytes:
     if n < 0:
         raise ValueError("deflate failed")
     return dst[:n].tobytes()
+
+
+def zstd_decompress_frame(data: bytes):
+    """Decode ONE zstd frame from the head of `data`.
+
+    Returns (decoded_bytes, consumed_src_bytes), or None when `data` does
+    not yet contain a complete frame (streaming: wait for more input).
+    Raises on corruption. Skippable frames decode to b"" and are consumed.
+    """
+    if len(data) < 8:
+        return None
+    lib = get_lib()
+    src = _tobuf(data)
+    fsz = lib.atpu_zstd_frame_compressed_size(_as_u8p(src), len(data))
+    if fsz == -5:  # incomplete frame: wait for more input
+        return None
+    if fsz < 0:
+        raise ValueError("zstd: corrupt frame")
+    probe = lib.atpu_zstd_frame_content_size(_as_u8p(src), len(data))
+    cap = max(64, int(probe) * 2 + 64) if probe > 0 else max(
+        64, 4 * int(fsz))
+    consumed = ctypes.c_size_t(0)
+    while True:
+        dst = np.empty(cap, dtype=np.uint8)
+        n = lib.atpu_zstd_decompress_frame(
+            _as_u8p(src), int(fsz), _as_u8p(dst), dst.size, None, 0,
+            ctypes.byref(consumed))
+        if n >= 0:
+            if consumed.value == 0 or consumed.value > len(data):
+                return None
+            return dst[:n].tobytes(), int(consumed.value)
+        if n == -2 and cap < (1 << 31):
+            cap *= 4
+            continue
+        raise ValueError("zstd: corrupt frame")
 
 
 def inflate(data: bytes, expected_size: Optional[int] = None,

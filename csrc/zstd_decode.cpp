@@ -831,6 +831,57 @@ done:
 // C API
 // ---------------------------------------------------------------------------
 
+// Structural frame size walk (no decoding): returns the frame's total
+// compressed size (header + blocks + checksum) when `src` holds a
+// complete frame, -5 when more input is needed (streaming), <0 corrupt.
+ATPU_EXPORT i64 atpu_zstd_frame_compressed_size(const u8* src,
+                                                size_t srcSize) {
+  const i64 ERR_TRUNCATED = -5;
+  if (srcSize < 4) return ERR_TRUNCATED;
+  u32 magic = rd32le(src);
+  if ((magic & 0xFFFFFFF0u) == 0x184D2A50u) {
+    if (srcSize < 8) return ERR_TRUNCATED;
+    u64 need = 8 + (u64)rd32le(src + 4);
+    return need <= srcSize ? (i64)need : ERR_TRUNCATED;
+  }
+  if (magic != 0xFD2FB528u) return ERR_CORRUPT;
+  size_t p = 4;
+  if (p >= srcSize) return ERR_TRUNCATED;
+  u8 fhd = src[p++];
+  int fcsFlag = fhd >> 6;
+  bool singleSeg = (fhd >> 5) & 1;
+  bool checksum = (fhd >> 2) & 1;
+  int didFlag = fhd & 3;
+  if ((fhd >> 3) & 1) return ERR_CORRUPT;
+  if (!singleSeg) {
+    if (p >= srcSize) return ERR_TRUNCATED;
+    p++;
+  }
+  static const int didSizes[4] = {0, 1, 2, 4};
+  p += didSizes[didFlag];
+  int fcsSizes[4] = {singleSeg ? 1 : 0, 2, 4, 8};
+  p += fcsSizes[fcsFlag];
+  if (p > srcSize) return ERR_TRUNCATED;
+  for (;;) {
+    if (p + 3 > srcSize) return ERR_TRUNCATED;
+    u32 bh = (u32)src[p] | ((u32)src[p + 1] << 8) | ((u32)src[p + 2] << 16);
+    p += 3;
+    int last = bh & 1;
+    int btype = (bh >> 1) & 3;
+    size_t bsize = bh >> 3;
+    if (btype == 3) return ERR_CORRUPT;
+    size_t body = (btype == 1) ? 1 : bsize;  // RLE blocks carry one byte
+    p += body;
+    if (p > srcSize) return ERR_TRUNCATED;
+    if (last) break;
+  }
+  if (checksum) {
+    p += 4;
+    if (p > srcSize) return ERR_TRUNCATED;
+  }
+  return (i64)p;
+}
+
 // Decode one frame (skippable frames consume bytes and write nothing).
 // Returns decompressed size (>=0) or a negative error; *consumed gets the
 // compressed bytes consumed.
