@@ -49,6 +49,7 @@ def load(path):
         ("atpu_rap_skip", _i64, [_u8p, _i64]),
         ("atpu_zstd_decompress", _i64, [_u8p, _sz, _u8p, _sz, _u8p, _sz]),
         ("atpu_zstd_frame_content_size", _i64, [_u8p, _sz]),
+        ("atpu_zstd_frame_compressed_size", _i64, [_u8p, _sz]),
         ("atpu_zstd_compress", _i64, [_u8p, _sz, _u8p, _sz, _i32, _u8p, _sz]),
         ("atpu_zstd_compress_bound", _i64, [_i64]),
         ("atpu_deflate", _i64, [_u8p, _sz, _u8p, _sz, _i32, _i32]),
@@ -195,6 +196,7 @@ def run(lib, runs, seed):
             lib.atpu_snappy_uncompress(p(a), ln, p(dout), cap)
         elif kind == "zstd":
             lib.atpu_zstd_frame_content_size(p(a), ln)
+            lib.atpu_zstd_frame_compressed_size(p(a), ln)
             lib.atpu_zstd_decompress(p(a), ln, p(dout), cap, None, 0)
         elif kind == "inflate":
             lib.atpu_inflate(p(a), ln, p(dout), cap, int(rng.integers(0, 2)))
