@@ -18,6 +18,7 @@ Quick start:
 from .api import (CompressionError, ErrorCode, Handle, Method,  # noqa: F401
                   Stats, compress, compress_bound, decompress, destroy,
                   get_codec, list_codecs, setup, version)
+from .streaming import CompressStream, DecompressStream  # noqa: F401
 from .utils.config import get_config, set_config  # noqa: F401
 
-__version__ = "1.0.0"
+__version__ = "2.0.0"
