@@ -87,6 +87,11 @@ def get_lib() -> ctypes.CDLL:
             ("atpu_deflate_bound", _i64, [_i64]),
             ("atpu_adler32", ctypes.c_uint32,
              [_u8p, ctypes.c_size_t, ctypes.c_uint32]),
+            ("atpu_crc32", ctypes.c_uint32,
+             [_u8p, ctypes.c_size_t, ctypes.c_uint32]),
+            ("atpu_inflate_consumed", _i64,
+             [_u8p, ctypes.c_size_t, _u8p, ctypes.c_size_t,
+              ctypes.POINTER(ctypes.c_size_t)]),
             ("atpu_bz2_compress", _i64,
              [_u8p, ctypes.c_size_t, _u8p, ctypes.c_size_t, _i32]),
             ("atpu_bz2_decompress", _i64,
@@ -367,6 +372,82 @@ def xxh64(data: bytes, seed: int = 0) -> int:
 # --- deflate / zlib (own C++ codec, csrc/deflate.cpp) -------------------------
 
 DEFLATE_ZLIB, DEFLATE_RAW, DEFLATE_SYNC_CHUNK = 0, 1, 2
+
+
+def inflate_consumed(data: bytes):
+    """Raw inflate returning (decoded, src_bytes_consumed) — lets framing
+    layers (gzip members, xz chunks) locate trailers."""
+    lib = get_lib()
+    src = _tobuf(data)
+    cap = max(64, 4 * len(data))
+    consumed = ctypes.c_size_t(0)
+    while True:
+        dst = np.empty(cap, dtype=np.uint8)
+        n = lib.atpu_inflate_consumed(_as_u8p(src), len(data), _as_u8p(dst),
+                                      dst.size, ctypes.byref(consumed))
+        if n >= 0:
+            return dst[:n].tobytes(), int(consumed.value)
+        if n == -2 and cap < (1 << 31):
+            cap *= 4
+            continue
+        raise ValueError("inflate: corrupt stream")
+
+
+def crc32(data: bytes, start: int = 0) -> int:
+    """Own CRC-32 (gzip/xz polynomial)."""
+    lib = get_lib()
+    src = _tobuf(data)
+    return int(lib.atpu_crc32(_as_u8p(src) if len(data) else None,
+                              len(data), start & 0xFFFFFFFF))
+
+
+def gzip_compress(data: bytes, level: int = 6) -> bytes:
+    """gzip member (RFC 1952) over the own raw deflate — the reference's
+    zlib ships the gzip surface (gzwrite/compress with windowBits+16);
+    own header/CRC32/ISIZE assembly, stock-gzip interoperable."""
+    import struct
+    body = deflate(data, level, DEFLATE_RAW)
+    hdr = b"\x1f\x8b\x08\x00" + b"\x00" * 4 + b"\x00\xff"
+    return (hdr + body
+            + struct.pack("<II", crc32(data), len(data) & 0xFFFFFFFF))
+
+
+def gzip_decompress(data: bytes) -> bytes:
+    """Decode one or more concatenated gzip members with own inflate;
+    verifies CRC32 and ISIZE."""
+    import struct
+    out = bytearray()
+    pos = 0
+    while pos < len(data):
+        if len(data) - pos < 18 or data[pos:pos + 2] != b"\x1f\x8b" \
+                or data[pos + 2] != 8:
+            raise ValueError("gzip: bad header")
+        flg = data[pos + 3]
+        p = pos + 10
+        if flg & 4:  # FEXTRA
+            xlen = struct.unpack_from("<H", data, p)[0]
+            p += 2 + xlen
+        if flg & 8:  # FNAME
+            p = data.index(b"\x00", p) + 1
+        if flg & 16:  # FCOMMENT
+            p = data.index(b"\x00", p) + 1
+        if flg & 2:  # FHCRC
+            p += 2
+        # own inflate consumes the whole remaining raw stream up to the
+        # deflate final block; decode then locate the 8-byte trailer by
+        # re-deflating is wasteful — instead inflate returns the decoded
+        # bytes and we find the trailer via the structural consumed size
+        decoded, consumed = inflate_consumed(data[p:])
+        p += consumed
+        want_crc, want_isize = struct.unpack_from("<II", data, p)
+        p += 8
+        if crc32(bytes(decoded)) != want_crc:
+            raise ValueError("gzip: crc32 mismatch")
+        if (len(decoded) & 0xFFFFFFFF) != want_isize:
+            raise ValueError("gzip: length mismatch")
+        out += decoded
+        pos = p
+    return bytes(out)
 
 
 def deflate(data: bytes, level: int = 6, mode: int = DEFLATE_ZLIB) -> bytes:

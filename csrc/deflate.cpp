@@ -796,6 +796,35 @@ ATPU_EXPORT i64 atpu_inflate(const u8* src, size_t n, u8* dst, size_t dstCap,
   return inflate_raw(src, n, dst, dstCap, &consumed);
 }
 
+// raw inflate with consumed-byte reporting (gzip/multi-member framing)
+ATPU_EXPORT i64 atpu_inflate_consumed(const u8* src, size_t n, u8* dst,
+                                      size_t dstCap, size_t* consumed) {
+  *consumed = 0;
+  return inflate_raw(src, n, dst, dstCap, consumed);
+}
+
+// CRC-32 (IEEE 802.3, reflected 0xEDB88320) — the gzip/xz-crc32 checksum
+// (reference: zlib crc32.c capability; own table-based implementation)
+static u32 crc32_table[256];
+static bool crc32_init_done = false;
+static void crc32_init() {
+  for (u32 i = 0; i < 256; i++) {
+    u32 c = i;
+    for (int k = 0; k < 8; k++)
+      c = (c & 1) ? 0xEDB88320u ^ (c >> 1) : c >> 1;
+    crc32_table[i] = c;
+  }
+  crc32_init_done = true;
+}
+
+ATPU_EXPORT u32 atpu_crc32(const u8* p, size_t n, u32 crc) {
+  if (!crc32_init_done) crc32_init();
+  crc = ~crc;
+  for (size_t i = 0; i < n; i++)
+    crc = crc32_table[(crc ^ p[i]) & 0xFF] ^ (crc >> 8);
+  return ~crc;
+}
+
 ATPU_EXPORT i64 atpu_deflate_bound(i64 n) {
   return n + (n >> 8) + 5 * (n / 65535 + 1) + 32;
 }

@@ -154,3 +154,43 @@ def test_deflate_stored_block_path():
     assert len(c) < len(data) + 64  # stored blocks: ~5B overhead per 64K
     import zlib
     assert zlib.decompress(c) == data
+
+
+# --- gzip format (RFC 1952) over own deflate/crc32 ---------------------------
+
+def test_crc32_check_value():
+    assert native.crc32(b"123456789") == 0xCBF43926
+    import zlib
+    for payload in (b"", b"abc", bytes(range(256)) * 10):
+        assert native.crc32(payload) == zlib.crc32(payload)
+
+
+def test_gzip_interop_both_directions():
+    import gzip
+    data = b"the gzip member format over own deflate " * 500
+    c = native.gzip_compress(data, 6)
+    assert gzip.decompress(c) == data
+    assert native.gzip_decompress(c) == data
+    assert native.gzip_decompress(gzip.compress(data)) == data
+
+
+def test_gzip_multi_member_and_corruption():
+    import pytest as _pytest
+    a = native.gzip_compress(b"first", 1)
+    b_ = native.gzip_compress(b"second", 9)
+    assert native.gzip_decompress(a + b_) == b"firstsecond"
+    bad = bytearray(a)
+    bad[len(bad) // 2] ^= 0xFF
+    with _pytest.raises(ValueError):
+        native.gzip_decompress(bytes(bad))
+
+
+def test_gzip_stock_header_variants():
+    """Stock gzip may emit FNAME etc. — our reader must skip them."""
+    import gzip, io, time
+    data = b"named member " * 100
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", filename="x.txt",
+                       mtime=1234) as f:
+        f.write(data)
+    assert native.gzip_decompress(buf.getvalue()) == data
