@@ -1,0 +1,227 @@
+""".xz container (LZMA2) over the own LZMA codec — the reference's
+experimental xz-utils-compatible shim (algos/lzma/xzlzma/XzLzma.h:95,143:
+lzma_easy_buffer_encode / lzma_stream_buffer_decode, gated by
+CMakeLists.txt:163-169).
+
+Own implementation of the .xz stream format (stream header/footer, block
+header, LZMA2 chunk layer, index, CRC32 check) around csrc/lzma.cpp's raw
+streams. Encoding uses independent LZMA2 chunks (dict+state+props reset
+per chunk): every produced stream decodes with stock xz/CPython lzma.
+Decoding accepts stock streams whose chunks carry dictionary resets
+(always true for our own output and for stock single-chunk streams, i.e.
+inputs < 2 MiB with default settings); dependent-dictionary multi-chunk
+stock streams raise a clear unsupported-feature error.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from ..runtime import native
+
+_MAGIC = b"\xfd7zXZ\x00"
+_FOOTER_MAGIC = b"YZ"
+_CHECK_CRC32 = 0x01
+_LZMA2_FILTER_ID = 0x21
+# chunk input size: compressed size field is 16 bits, so keep inputs at
+# 60 KiB and fall back to uncompressed chunks when expansion occurs
+_CHUNK = 60000
+
+
+def _vli(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _read_vli(data: bytes, pos: int):
+    n = 0
+    shift = 0
+    while True:
+        b = data[pos]
+        pos += 1
+        n |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return n, pos
+        shift += 7
+        if shift > 63:
+            raise ValueError("xz: bad VLI")
+
+
+def _lzma2_dict_prop(dict_size: int) -> int:
+    # smallest encodable dict size >= dict_size (spec: 2/3 * 2^k ladder)
+    for p in range(41):
+        base = 2 | (p & 1)
+        sz = base << (p // 2 + 11)
+        if sz >= dict_size:
+            return p
+    return 40
+
+
+def _encode_lzma2(data: bytes, level: int) -> tuple:
+    """LZMA2 chunk stream (ends with 0x00) + the props byte used."""
+    out = bytearray()
+    props = None
+    for off in (range(0, len(data), _CHUNK) if data else []):
+        chunk = data[off:off + _CHUNK]
+        alone = native.lzma_compress(chunk, level)
+        # ALONE layout: 1B props, 4B dictSize, 8B usize, raw stream
+        p = alone[0]
+        raw = alone[13:]
+        if props is None:
+            props = p
+        usize = len(chunk)
+        if len(raw) < len(chunk) and len(raw) <= 65536 and p == props:
+            ctrl = 0x80 | (3 << 5) | ((usize - 1) >> 16)  # reset all+props
+            out.append(ctrl)
+            out += struct.pack(">HH", (usize - 1) & 0xFFFF, len(raw) - 1)
+            out.append(p)
+            out += raw
+        else:  # incompressible (or props drift): uncompressed chunk
+            out.append(0x01)  # dict reset + uncompressed
+            out += struct.pack(">H", usize - 1)
+            out += chunk
+    if not data:
+        pass  # empty block: just the terminator
+    out.append(0x00)
+    return bytes(out), props if props is not None else 0
+
+
+def _decode_lzma2(data: bytes, pos: int, limit: int) -> tuple:
+    """Decode an LZMA2 chunk stream; returns (plain bytes, next pos).
+
+    Our per-chunk LZMA decoder always starts with a fresh dictionary, so
+    every LZMA chunk must carry reset mode 3 (dict + state + props) —
+    true for all streams this module produces, and for stock streams
+    whose blocks hold a single LZMA chunk (inputs < 2 MiB at default
+    settings). Dependent chunks raise a clear unsupported error.
+    """
+    out = bytearray()
+    while True:
+        if pos >= limit:
+            raise ValueError("xz: truncated LZMA2 stream")
+        ctrl = data[pos]
+        pos += 1
+        if ctrl == 0x00:
+            return bytes(out), pos
+        if ctrl in (0x01, 0x02):
+            usize = struct.unpack_from(">H", data, pos)[0] + 1
+            pos += 2
+            out += data[pos:pos + usize]
+            pos += usize
+            continue
+        if ctrl < 0x80:
+            raise ValueError("xz: bad LZMA2 control byte")
+        reset = (ctrl >> 5) & 3
+        usize = (((ctrl & 0x1F) << 16)
+                 | struct.unpack_from(">H", data, pos)[0]) + 1
+        csize = struct.unpack_from(">H", data, pos + 2)[0] + 1
+        pos += 4
+        if reset != 3:
+            raise ValueError(
+                "xz: dependent-dictionary LZMA2 chunks not supported "
+                "(stock multi-chunk stream); re-encode with this library")
+        props = data[pos]
+        pos += 1
+        raw = data[pos:pos + csize]
+        pos += csize
+        alone = (bytes([props]) + struct.pack("<I", 1 << 24)
+                 + struct.pack("<Q", usize) + raw)
+        out += native.lzma_decompress(alone, usize)
+
+
+def xz_compress(data: bytes, level: int = 6) -> bytes:
+    """lzma_easy_buffer_encode parity: one-shot .xz stream (CRC32 check)."""
+    body, props = _encode_lzma2(data, level)
+
+    # block header: flags (1 filter, no size fields), LZMA2 filter entry
+    dict_prop = _lzma2_dict_prop(1 << 24)
+    filt = _vli(_LZMA2_FILTER_ID) + _vli(1) + bytes([dict_prop])
+    hdr_body = b"\x00" + filt
+    real = len(hdr_body) + 1 + 4  # size byte + crc
+    pad = (-real) % 4
+    hdr_body += b"\x00" * pad
+    size_byte = (len(hdr_body) + 1 + 4) // 4 - 1
+    hdr_wo_crc = bytes([size_byte]) + hdr_body
+    block_header = hdr_wo_crc + struct.pack("<I", native.crc32(hdr_wo_crc))
+
+    block = block_header + body
+    block_pad = (-len(body)) % 4
+    block += b"\x00" * block_pad
+    block += struct.pack("<I", native.crc32(data))  # CRC32 check
+
+    # index
+    unpadded = len(block_header) + len(body) + 4  # excl. padding
+    idx_body = b"\x00" + _vli(1) + _vli(unpadded) + _vli(len(data))
+    idx_pad = (-len(idx_body)) % 4
+    idx_body += b"\x00" * idx_pad
+    index = idx_body + struct.pack("<I", native.crc32(idx_body))
+
+    flags = bytes([0x00, _CHECK_CRC32])
+    header = _MAGIC + flags + struct.pack("<I", native.crc32(flags))
+    back_size = len(index) // 4 - 1
+    footer_body = struct.pack("<I", back_size) + flags
+    footer = (struct.pack("<I", native.crc32(footer_body)) + footer_body
+              + _FOOTER_MAGIC)
+    return header + block + index + footer
+
+
+def xz_decompress(data: bytes) -> bytes:
+    """lzma_stream_buffer_decode parity: one-shot .xz decode with CRC32/
+    CRC-none verification (CRC64/SHA256 checks are skipped with the
+    lengths still validated)."""
+    if len(data) < 32 or data[:6] != _MAGIC:
+        raise ValueError("xz: bad stream header")
+    flags = data[6:8]
+    if struct.unpack_from("<I", data, 8)[0] != native.crc32(flags):
+        raise ValueError("xz: stream header crc")
+    check_id = flags[1] & 0x0F
+    check_len = {0: 0, 1: 4, 4: 8, 10: 32}.get(check_id)
+    if check_len is None:
+        raise ValueError("xz: unknown check type")
+    if data[-2:] != _FOOTER_MAGIC:
+        raise ValueError("xz: bad footer")
+
+    out = bytearray()
+    pos = 12
+    while True:
+        size_byte = data[pos]
+        if size_byte == 0x00:  # index indicator: blocks done
+            break
+        hdr_len = (size_byte + 1) * 4
+        hdr = data[pos:pos + hdr_len]
+        if struct.unpack_from("<I", hdr, hdr_len - 4)[0] != \
+                native.crc32(hdr[:hdr_len - 4]):
+            raise ValueError("xz: block header crc")
+        bflags = hdr[1]
+        nfilters = (bflags & 3) + 1
+        p = 2
+        if bflags & 0x40:  # compressed size present
+            _, p = _read_vli(hdr, p)
+        if bflags & 0x80:  # uncompressed size present
+            _, p = _read_vli(hdr, p)
+        lzma2 = False
+        for _ in range(nfilters):
+            fid, p = _read_vli(hdr, p)
+            plen, p = _read_vli(hdr, p)
+            p += plen
+            if fid == _LZMA2_FILTER_ID:
+                lzma2 = True
+        if not lzma2:
+            raise ValueError("xz: unsupported filter chain")
+        pos += hdr_len
+        plain, pos = _decode_lzma2(data, pos, len(data))
+        pos += (-(pos - 12)) % 4  # block padding to 4-alignment
+        if check_id == 1:
+            want = struct.unpack_from("<I", data, pos)[0]
+            if native.crc32(plain) != want:
+                raise ValueError("xz: block crc32 mismatch")
+        pos += check_len
+        out += plain
+    return bytes(out)

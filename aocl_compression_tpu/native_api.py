@@ -144,6 +144,20 @@ def ZSTD_decompress(src: bytes,
                               expected_size=dst_capacity)
 
 
+def lzma_easy_buffer_encode(data: bytes, preset: int = 6) -> bytes:
+    """xz-utils-compatible one-shot .xz encode — the reference's
+    experimental shim (algos/lzma/xzlzma/XzLzma.h:95); own container
+    implementation over the own LZMA codec (codecs/xz.py)."""
+    from .codecs import xz
+    return xz.xz_compress(data, preset)
+
+
+def lzma_stream_buffer_decode(data: bytes) -> bytes:
+    """xz-utils-compatible one-shot .xz decode (XzLzma.h:143)."""
+    from .codecs import xz
+    return xz.xz_decompress(data)
+
+
 def ZSTD_getFrameContentSize(src: bytes) -> int:
     from .runtime import native
     n = native.zstd_frame_content_size(bytes(src))

@@ -1,0 +1,66 @@
+"""The .xz container (codecs/xz.py) — the reference's experimental
+xz-utils shim, own implementation: interop with CPython lzma FORMAT_XZ
+in both directions, corruption detection, edge shapes."""
+
+import lzma as stock
+
+import numpy as np
+import pytest
+
+from aocl_compression_tpu import native_api
+from aocl_compression_tpu.codecs import xz
+
+
+PAYLOADS = [
+    b"",
+    b"q",
+    b"the xz container " * 2000,
+    bytes(range(256)) * 300,
+    np.random.default_rng(3).integers(0, 256, 130000,
+                                      dtype=np.uint8).tobytes(),
+]
+
+
+@pytest.mark.parametrize("i", range(len(PAYLOADS)))
+def test_own_encode_stock_decode(i):
+    data = PAYLOADS[i]
+    c = xz.xz_compress(data, 6)
+    assert stock.decompress(c, format=stock.FORMAT_XZ) == data
+
+
+@pytest.mark.parametrize("i", range(len(PAYLOADS)))
+def test_stock_encode_own_decode(i):
+    data = PAYLOADS[i]
+    c = stock.compress(data, format=stock.FORMAT_XZ, preset=3)
+    assert xz.xz_decompress(c) == data
+
+
+@pytest.mark.parametrize("i", range(len(PAYLOADS)))
+def test_own_roundtrip(i):
+    data = PAYLOADS[i]
+    assert xz.xz_decompress(xz.xz_compress(data, 1)) == data
+
+
+def test_native_api_names():
+    data = b"shim names " * 500
+    c = native_api.lzma_easy_buffer_encode(data, 6)
+    assert native_api.lzma_stream_buffer_decode(c) == data
+    assert stock.decompress(c) == data
+
+
+def test_corruption_detected():
+    data = b"corrupt me " * 1000
+    c = bytearray(xz.xz_compress(data, 6))
+    c[40] ^= 0x55  # inside the LZMA2 payload
+    with pytest.raises(ValueError):
+        xz.xz_decompress(bytes(c))
+    c2 = bytearray(xz.xz_compress(data, 6))
+    c2[7] ^= 1  # stream flags
+    with pytest.raises(ValueError):
+        xz.xz_decompress(bytes(c2))
+
+
+def test_check_none_stream_accepted():
+    data = b"no check " * 400
+    c = stock.compress(data, format=stock.FORMAT_XZ, check=stock.CHECK_NONE)
+    assert xz.xz_decompress(c) == data
