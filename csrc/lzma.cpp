@@ -493,6 +493,7 @@ static i64 lzma_encode(const u8* src, size_t n, u8* dst, size_t dstCap,
   int state = 0;
   u32 posMask = (1u << pb) - 1;
   size_t pos = 0;
+  size_t missRun = 0;  // miss-skip acceleration (fast levels)
 
   while (pos < n) {
     int posState = (int)((u32)pos & posMask);
@@ -512,7 +513,14 @@ static i64 lzma_encode(const u8* src, size_t n, u8* dst, size_t dstCap,
     // candidate: new match
     u32 nd = 0;
     int nl = 0;
-    if (pos + 4 <= n) {
+    // miss-skip: on long literal runs at fast levels, probe the chain
+    // only every 2nd/4th position (the zstd/lz4 dynamic-step idea —
+    // rep probes above still run everywhere, so short periodic data
+    // keeps its rep matches)
+    bool probe = true;
+    if (ep.depth <= 12 && missRun > 64)
+      probe = (pos % (missRun > 512 ? 4 : 2)) == 0;
+    if (pos + 4 <= n && probe) {
       nl = mf.find(src, pos, n, ep.depth, &nd);
       mf.insert(src, pos);
     }
@@ -546,9 +554,15 @@ static i64 lzma_encode(const u8* src, size_t n, u8* dst, size_t dstCap,
       }
       enc_len(re, P.repLen, posState, bestRepLen);
       state = state < 7 ? 8 : 11;
-      // insert skipped positions into the match finder
+      // insert skipped positions into the match finder (sparse at fast
+      // levels; the end-2 anchor keeps chains connected)
       size_t endp = pos + (size_t)bestRepLen;
-      for (size_t q = pos + 1; q + 4 <= n && q < endp; q++) mf.insert(src, q);
+      size_t istep = ep.depth <= 12 ? 2 : 1;
+      for (size_t q = pos + 1; q + 4 <= n && q < endp; q += istep)
+        mf.insert(src, q);
+      if (istep > 1 && endp >= 2 && endp - 2 > pos && endp + 2 <= n)
+        mf.insert(src, endp - 2);
+      missRun = 0;
       pos = endp;
       continue;
     }
@@ -565,7 +579,12 @@ static i64 lzma_encode(const u8* src, size_t n, u8* dst, size_t dstCap,
       enc_dist(re, P, len, dist - 1);
       state = state < 7 ? 7 : 10;
       size_t endp = pos + (size_t)len;
-      for (size_t q = pos + 1; q + 4 <= n && q < endp; q++) mf.insert(src, q);
+      size_t istep = ep.depth <= 12 ? 2 : 1;
+      for (size_t q = pos + 1; q + 4 <= n && q < endp; q += istep)
+        mf.insert(src, q);
+      if (istep > 1 && endp >= 2 && endp - 2 > pos && endp + 2 <= n)
+        mf.insert(src, endp - 2);
+      missRun = 0;
       pos = endp;
       continue;
     }
@@ -574,6 +593,7 @@ static i64 lzma_encode(const u8* src, size_t n, u8* dst, size_t dstCap,
     enc_literal(re, P, src, pos, state, rep0, src[pos]);
     state = state_after_lit(state);
     pos++;
+    missRun++;
   }
   re.flush();
   mf.release();
