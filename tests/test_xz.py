@@ -64,3 +64,21 @@ def test_check_none_stream_accepted():
     data = b"no check " * 400
     c = stock.compress(data, format=stock.FORMAT_XZ, check=stock.CHECK_NONE)
     assert xz.xz_decompress(c) == data
+
+
+def test_mutation_never_crashes():
+    """Mutated .xz streams must raise ValueError (or decode to different
+    bytes) — never crash the process."""
+    rng = np.random.default_rng(8)
+    base = xz.xz_compress(b"mutation target " * 500, 6)
+    for _ in range(200):
+        m = bytearray(base)
+        for _ in range(int(rng.integers(1, 6))):
+            m[int(rng.integers(0, len(m)))] = int(rng.integers(0, 256))
+        try:
+            xz.xz_decompress(bytes(m))
+        except (ValueError, IndexError, struct.error):
+            pass
+
+
+import struct  # noqa: E402  (used by the mutation test)
