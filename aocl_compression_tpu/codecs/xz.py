@@ -7,10 +7,9 @@ Own implementation of the .xz stream format (stream header/footer, block
 header, LZMA2 chunk layer, index, CRC32 check) around csrc/lzma.cpp's raw
 streams. Encoding uses independent LZMA2 chunks (dict+state+props reset
 per chunk): every produced stream decodes with stock xz/CPython lzma.
-Decoding accepts stock streams whose chunks carry dictionary resets
-(always true for our own output and for stock single-chunk streams, i.e.
-inputs < 2 MiB with default settings); dependent-dictionary multi-chunk
-stock streams raise a clear unsupported-feature error.
+Decoding carries full LZMA2 state across chunks (dictionary, rep
+distances, probability model — the stateful C context in csrc/lzma.cpp),
+so stock multi-chunk streams of any size decode.
 """
 
 from __future__ import annotations
@@ -93,47 +92,93 @@ def _encode_lzma2(data: bytes, level: int) -> tuple:
     return bytes(out), props if props is not None else 0
 
 
-def _decode_lzma2(data: bytes, pos: int, limit: int) -> tuple:
-    """Decode an LZMA2 chunk stream; returns (plain bytes, next pos).
-
-    Our per-chunk LZMA decoder always starts with a fresh dictionary, so
-    every LZMA chunk must carry reset mode 3 (dict + state + props) —
-    true for all streams this module produces, and for stock streams
-    whose blocks hold a single LZMA chunk (inputs < 2 MiB at default
-    settings). Dependent chunks raise a clear unsupported error.
-    """
-    out = bytearray()
+def _scan_lzma2(data: bytes, pos: int, limit: int) -> tuple:
+    """Structural walk of an LZMA2 chunk stream: (total usize, end pos)."""
+    total = 0
     while True:
         if pos >= limit:
             raise ValueError("xz: truncated LZMA2 stream")
         ctrl = data[pos]
         pos += 1
         if ctrl == 0x00:
-            return bytes(out), pos
+            return total, pos
         if ctrl in (0x01, 0x02):
             usize = struct.unpack_from(">H", data, pos)[0] + 1
-            pos += 2
-            out += data[pos:pos + usize]
-            pos += usize
+            pos += 2 + usize
+            total += usize
             continue
         if ctrl < 0x80:
             raise ValueError("xz: bad LZMA2 control byte")
-        reset = (ctrl >> 5) & 3
         usize = (((ctrl & 0x1F) << 16)
                  | struct.unpack_from(">H", data, pos)[0]) + 1
         csize = struct.unpack_from(">H", data, pos + 2)[0] + 1
         pos += 4
-        if reset != 3:
-            raise ValueError(
-                "xz: dependent-dictionary LZMA2 chunks not supported "
-                "(stock multi-chunk stream); re-encode with this library")
-        props = data[pos]
-        pos += 1
-        raw = data[pos:pos + csize]
+        if ((ctrl >> 5) & 3) >= 2:
+            pos += 1  # props byte
         pos += csize
-        alone = (bytes([props]) + struct.pack("<I", 1 << 24)
-                 + struct.pack("<Q", usize) + raw)
-        out += native.lzma_decompress(alone, usize)
+        total += usize
+
+
+def _decode_lzma2(data: bytes, pos: int, limit: int) -> tuple:
+    """Decode an LZMA2 chunk stream with FULL state continuation: chunks
+    without dict/state reset keep the probability model, rep distances,
+    and dictionary of the previous chunks (the stateful C context
+    atpu_lzma2_*), so stock multi-chunk streams of any size decode."""
+    import numpy as np
+
+    total, _end = _scan_lzma2(data, pos, limit)
+    out = np.empty(total, dtype=np.uint8)
+    lib = native.get_lib()
+    import ctypes
+    ctx = lib.atpu_lzma2_ctx_new()
+    if not ctx:
+        raise MemoryError("lzma2 ctx")
+    try:
+        op = 0
+        dict_base = 0
+        src_all = np.frombuffer(data, dtype=np.uint8)
+        outp = out.ctypes.data_as(native._u8p)
+        while True:
+            ctrl = data[pos]
+            pos += 1
+            if ctrl == 0x00:
+                return out[:op].tobytes(), pos
+            if ctrl in (0x01, 0x02):
+                if ctrl == 0x01:
+                    dict_base = op
+                usize = struct.unpack_from(">H", data, pos)[0] + 1
+                pos += 2
+                out[op:op + usize] = src_all[pos:pos + usize]
+                pos += usize
+                op += usize
+                lib.atpu_lzma2_mark_uncompressed(ctx)
+                continue
+            if ctrl < 0x80:
+                raise ValueError("xz: bad LZMA2 control byte")
+            reset = (ctrl >> 5) & 3
+            usize = (((ctrl & 0x1F) << 16)
+                     | struct.unpack_from(">H", data, pos)[0]) + 1
+            csize = struct.unpack_from(">H", data, pos + 2)[0] + 1
+            pos += 4
+            props = -1
+            if reset >= 2:
+                props = data[pos]
+                pos += 1
+            if reset == 3:
+                dict_base = op
+            chunk = src_all[pos:pos + csize]
+            if len(chunk) < csize:
+                raise ValueError("xz: truncated LZMA2 chunk")
+            pos += csize
+            r = lib.atpu_lzma2_decode_chunk(
+                ctx, chunk.ctypes.data_as(native._u8p) if csize else None,
+                csize, outp, total, op, usize, props,
+                1 if reset >= 1 else 0, dict_base)
+            if r != usize:
+                raise ValueError("xz: corrupt LZMA2 chunk")
+            op += usize
+    finally:
+        lib.atpu_lzma2_ctx_free(ctx)
 
 
 def xz_compress(data: bytes, level: int = 6) -> bytes:

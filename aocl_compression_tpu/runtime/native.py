@@ -107,6 +107,13 @@ def get_lib() -> ctypes.CDLL:
             ("atpu_lzma_decompress", _i64,
              [_u8p, ctypes.c_size_t, _u8p, ctypes.c_size_t]),
             ("atpu_lzma_unpacked_size", _i64, [_u8p, ctypes.c_size_t]),
+            ("atpu_lzma2_ctx_new", ctypes.c_void_p, []),
+            ("atpu_lzma2_ctx_free", None, [ctypes.c_void_p]),
+            ("atpu_lzma2_decode_chunk", _i64,
+             [ctypes.c_void_p, _u8p, ctypes.c_size_t, _u8p,
+              ctypes.c_size_t, ctypes.c_size_t, ctypes.c_uint64, _i32,
+              _i32, ctypes.c_size_t]),
+            ("atpu_lzma2_mark_uncompressed", None, [ctypes.c_void_p]),
             ("atpu_zstd_compress", _i64,
              [_u8p, ctypes.c_size_t, _u8p, ctypes.c_size_t, _i32, _u8p,
               ctypes.c_size_t]),

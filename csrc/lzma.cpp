@@ -63,6 +63,14 @@ struct Probs {
     return true;
   }
   void release() { free(lit); lit = nullptr; }
+
+  void reset() {  // re-init all probabilities, keep lc/lp/pb + allocation
+    u16* base = (u16*)this;
+    size_t nhdr = (offsetof(Probs, lit)) / sizeof(u16);
+    for (size_t i = 0; i < nhdr; i++) base[i] = PROB_INIT;
+    size_t nlit = ((size_t)0x300) << (lc + lp);
+    for (size_t i = 0; i < nlit; i++) lit[i] = PROB_INIT;
+  }
 };
 
 static inline int state_after_lit(int s) {
@@ -231,27 +239,31 @@ static void enc_len(REnc& re, LenProbs& lp2, int posState, int len) {
 // ---------------------------------------------------------------------------
 // decoder
 // ---------------------------------------------------------------------------
-static i64 lzma_decode_raw(Probs& P, RDec& rd, u8* dst, size_t dstCap,
-                           u64 unpackSize, bool sizeKnown) {
-  size_t op = 0;
-  u32 rep0 = 1, rep1 = 1, rep2 = 1, rep3 = 1;
-  int state = 0;
+static i64 lzma_decode_raw_state(Probs& P, RDec& rd, u8* dst,
+                                 size_t dstCap, u64 unpackEnd,
+                                 bool sizeKnown, size_t op0, u32 reps[4],
+                                 int* statep, size_t base = 0) {
+  // `base` = dictionary start (last LZMA2 dict reset): position contexts,
+  // literal-prev and distance bounds are relative to it
+  size_t op = op0;
+  u32 rep0 = reps[0], rep1 = reps[1], rep2 = reps[2], rep3 = reps[3];
+  int state = *statep;
   u32 posMask = (1u << P.pb) - 1;
   u32 litPosMask = (1u << P.lp) - 1;
 
-  while (!sizeKnown || op < unpackSize) {
+  while (!sizeKnown || op < unpackEnd) {
     if (rd.fail) return ERR_CORRUPT;
     if (!sizeKnown && op >= dstCap) return ERR_DST_SMALL;
-    int posState = (int)((u32)op & posMask);
+    int posState = (int)((u32)(op - base) & posMask);
     if (!rd.bit(&P.isMatch[state][posState])) {
       // literal
       if (op >= dstCap) return ERR_DST_SMALL;
-      u8 prev = op ? dst[op - 1] : 0;
-      u16* probs = P.lit + 0x300 * ((((u32)op & litPosMask) << P.lc)
-                                    + (prev >> (8 - P.lc)));
+      u8 prev = op > base ? dst[op - 1] : 0;
+      u16* probs = P.lit + 0x300 * ((((u32)(op - base) & litPosMask)
+                                     << P.lc) + (prev >> (8 - P.lc)));
       u32 symbol = 1;
       if (state >= 7) {
-        if (rep0 > op) return ERR_CORRUPT;
+        if (rep0 > op - base) return ERR_CORRUPT;
         u8 matchByte = dst[op - rep0];
         do {
           u32 matchBit = (matchByte >> 7) & 1;
@@ -320,19 +332,32 @@ static i64 lzma_decode_raw(Probs& P, RDec& rd, u8* dst, size_t dstCap,
       if (rep0 == 0xFFFFFFFFu) {
         // end marker
         if (sizeKnown) return ERR_CORRUPT;
+        reps[0] = rep0; reps[1] = rep1; reps[2] = rep2; reps[3] = rep3;
+        *statep = state;
         return (i64)op;
       }
       rep0++;
       state = state < 7 ? 7 : 10;
     }
-    if (rep0 > op) return ERR_CORRUPT;
+    if (rep0 > op - base) return ERR_CORRUPT;
     if (op + (size_t)len > dstCap) return ERR_DST_SMALL;
     const u8* q = dst + op - rep0;
     u8* o = dst + op;
     for (int i = 0; i < len; i++) o[i] = q[i];
     op += (size_t)len;
   }
+  reps[0] = rep0; reps[1] = rep1; reps[2] = rep2; reps[3] = rep3;
+  *statep = state;
   return (i64)op;
+}
+
+// compatibility wrapper: fresh state, start at offset 0
+static i64 lzma_decode_raw(Probs& P, RDec& rd, u8* dst, size_t dstCap,
+                           u64 unpackSize, bool sizeKnown) {
+  u32 reps[4] = {1, 1, 1, 1};
+  int state = 0;
+  return lzma_decode_raw_state(P, rd, dst, dstCap, unpackSize, sizeKnown,
+                               0, reps, &state);
 }
 
 // ---------------------------------------------------------------------------
@@ -647,4 +672,75 @@ ATPU_EXPORT i64 atpu_lzma_unpacked_size(const u8* src, size_t n) {
   if (unpack == 0xFFFFFFFFFFFFFFFFULL) return -1;
   if (unpack > (1ULL << 62)) return -10;
   return (i64)unpack;
+}
+
+// ---------------------------------------------------------------------------
+// LZMA2 chunk decoding with carried state (full stock-xz continuation:
+// chunks without dict/state reset reference the prior output and keep the
+// probability model; reference capability: liblzma's lzma2_decoder)
+// ---------------------------------------------------------------------------
+namespace {
+struct Lzma2Ctx {
+  Probs P;
+  u32 reps[4];
+  int state;
+  bool alive;  // P allocated
+};
+}  // namespace
+
+ATPU_EXPORT void* atpu_lzma2_ctx_new() {
+  Lzma2Ctx* c = (Lzma2Ctx*)calloc(1, sizeof(Lzma2Ctx));
+  return c;
+}
+
+ATPU_EXPORT void atpu_lzma2_ctx_free(void* p) {
+  Lzma2Ctx* c = (Lzma2Ctx*)p;
+  if (!c) return;
+  if (c->alive) c->P.release();
+  free(c);
+}
+
+// Decode one LZMA2 LZMA chunk. dst holds ALL prior block output; op0 is
+// where this chunk's bytes begin (dictionary = dst[0..op0)). props: the
+// packed lc/lp/pb byte, or -1 to keep the current ones. reset_state != 0
+// reinitializes reps/state/probability model. Returns bytes produced.
+ATPU_EXPORT i64 atpu_lzma2_decode_chunk(void* pctx, const u8* src, size_t n,
+                                        u8* dst, size_t dstCap, size_t op0,
+                                        u64 usize, int props,
+                                        int reset_state, size_t dict_base) {
+  Lzma2Ctx* c = (Lzma2Ctx*)pctx;
+  if (!c || op0 + usize > dstCap) return ERR_CORRUPT;
+  if (props >= 0) {
+    if (props >= 9 * 5 * 5) return ERR_CORRUPT;
+    if (c->alive) c->P.release();
+    c->alive = false;
+    int lc = props % 9;
+    int rem = props / 9;
+    if (!c->P.alloc(lc, rem % 5, rem / 5)) return ERR_CORRUPT;
+    c->alive = true;
+    reset_state = 1;  // new props imply a state reset
+  }
+  if (!c->alive) return ERR_CORRUPT;  // chunk before any props
+  if (reset_state) {
+    c->P.reset();
+    c->reps[0] = c->reps[1] = c->reps[2] = c->reps[3] = 1;
+    c->state = 0;
+  }
+  RDec rd;
+  if (!rd.init(src, src + n)) return ERR_CORRUPT;
+  i64 r = lzma_decode_raw_state(c->P, rd, dst, dstCap, op0 + usize, true,
+                                op0, c->reps, &c->state, dict_base);
+  if (r < 0) return r;
+  return r - (i64)op0;
+}
+
+// An uncompressed LZMA2 chunk resets the LZMA state (spec) — the caller
+// copies the bytes itself and calls this to mark the reset.
+ATPU_EXPORT void atpu_lzma2_mark_uncompressed(void* pctx) {
+  Lzma2Ctx* c = (Lzma2Ctx*)pctx;
+  if (c && c->alive) {
+    c->P.reset();
+    c->reps[0] = c->reps[1] = c->reps[2] = c->reps[3] = 1;
+    c->state = 0;
+  }
 }

@@ -82,3 +82,20 @@ def test_mutation_never_crashes():
 
 
 import struct  # noqa: E402  (used by the mutation test)
+
+
+def test_stock_multichunk_dependent_dictionary():
+    """Stock xz of > 2 MiB input produces LZMA2 continuation chunks with
+    dependent dictionary + carried probability state — the stateful C
+    context must decode them."""
+    rng = np.random.default_rng(21)
+    words = [b"dependent ", b"dictionary ", b"chunks ", b"stream "]
+    parts = []
+    tot = 0
+    while tot < (5 << 20):
+        w = words[int(rng.integers(0, len(words)))]
+        parts.append(w)
+        tot += len(w)
+    data = b"".join(parts)[: 5 << 20]
+    c = stock.compress(data, format=stock.FORMAT_XZ, preset=1)
+    assert xz.xz_decompress(c) == data
