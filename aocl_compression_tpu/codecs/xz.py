@@ -181,31 +181,45 @@ def _decode_lzma2(data: bytes, pos: int, limit: int) -> tuple:
         lib.atpu_lzma2_ctx_free(ctx)
 
 
-def xz_compress(data: bytes, level: int = 6) -> bytes:
-    """lzma_easy_buffer_encode parity: one-shot .xz stream (CRC32 check)."""
-    body, props = _encode_lzma2(data, level)
-
-    # block header: flags (1 filter, no size fields), LZMA2 filter entry
+def _one_block(data: bytes, level: int) -> tuple:
+    """(block bytes incl. padding+check, unpadded_size, usize)."""
+    body, _props = _encode_lzma2(data, level)
     dict_prop = _lzma2_dict_prop(1 << 24)
     filt = _vli(_LZMA2_FILTER_ID) + _vli(1) + bytes([dict_prop])
     hdr_body = b"\x00" + filt
-    real = len(hdr_body) + 1 + 4  # size byte + crc
+    real = len(hdr_body) + 1 + 4
     pad = (-real) % 4
     hdr_body += b"\x00" * pad
     size_byte = (len(hdr_body) + 1 + 4) // 4 - 1
     hdr_wo_crc = bytes([size_byte]) + hdr_body
     block_header = hdr_wo_crc + struct.pack("<I", native.crc32(hdr_wo_crc))
-
     block = block_header + body
-    block_pad = (-len(body)) % 4
-    block += b"\x00" * block_pad
-    block += struct.pack("<I", native.crc32(data))  # CRC32 check
+    block += b"\x00" * ((-len(body)) % 4)
+    block += struct.pack("<I", native.crc32(data))
+    unpadded = len(block_header) + len(body) + 4
+    return block, unpadded, len(data)
 
-    # index
-    unpadded = len(block_header) + len(body) + 4  # excl. padding
-    idx_body = b"\x00" + _vli(1) + _vli(unpadded) + _vli(len(data))
-    idx_pad = (-len(idx_body)) % 4
-    idx_body += b"\x00" * idx_pad
+
+def xz_compress(data: bytes, level: int = 6,
+                block_size: int = 0) -> bytes:
+    """lzma_easy_buffer_encode parity: one-shot .xz stream (CRC32 check).
+
+    block_size > 0 splits the payload into INDEPENDENT xz blocks (the
+    layout `xz -T`/`--block-size` produces): the stream index records
+    every block, enabling random access / parallel decode — the xz
+    analog of the RAP container. Stock xz reads either layout.
+    """
+    if block_size > 0 and data:
+        pieces = [data[i:i + block_size]
+                  for i in range(0, len(data), block_size)]
+    else:
+        pieces = [data]
+    blocks = [_one_block(p, level) for p in pieces]
+
+    idx_body = b"\x00" + _vli(len(blocks))
+    for _, unpadded, usize in blocks:
+        idx_body += _vli(unpadded) + _vli(usize)
+    idx_body += b"\x00" * ((-len(idx_body)) % 4)
     index = idx_body + struct.pack("<I", native.crc32(idx_body))
 
     flags = bytes([0x00, _CHECK_CRC32])
@@ -214,7 +228,42 @@ def xz_compress(data: bytes, level: int = 6) -> bytes:
     footer_body = struct.pack("<I", back_size) + flags
     footer = (struct.pack("<I", native.crc32(footer_body)) + footer_body
               + _FOOTER_MAGIC)
-    return header + block + index + footer
+    return (header + b"".join(b for b, _, _ in blocks) + index + footer)
+
+
+def xz_index(data: bytes):
+    """Parse the stream index from the footer: list of
+    (block_offset, unpadded_size, uncompressed_size) — the random-access
+    map (checkpoint/resume analog of the RAP entries)."""
+    if len(data) < 12 or data[-2:] != _FOOTER_MAGIC:
+        raise ValueError("xz: bad footer")
+    back_size = struct.unpack_from("<I", data, len(data) - 8)[0]
+    idx_len = (back_size + 1) * 4
+    idx_start = len(data) - 12 - idx_len
+    idx = data[idx_start:idx_start + idx_len]
+    if idx[:1] != b"\x00":
+        raise ValueError("xz: bad index")
+    nrec, p = _read_vli(idx, 1)
+    out = []
+    off = 12  # first block offset (after the stream header)
+    for _ in range(nrec):
+        unpadded, p = _read_vli(idx, p)
+        usize, p = _read_vli(idx, p)
+        out.append((off, unpadded, usize))
+        off += unpadded + ((-unpadded) % 4)
+    return out
+
+
+def xz_decompress_block(data: bytes, offset: int) -> bytes:
+    """Random access: decode the single block starting at `offset` (from
+    xz_index) without touching the rest of the stream."""
+    size_byte = data[offset]
+    if size_byte == 0x00:
+        raise ValueError("xz: offset points at the index")
+    hdr_len = (size_byte + 1) * 4
+    pos = offset + hdr_len
+    plain, _pos = _decode_lzma2(data, pos, len(data))
+    return plain
 
 
 def xz_decompress(data: bytes) -> bytes:

@@ -99,3 +99,27 @@ def test_stock_multichunk_dependent_dictionary():
     data = b"".join(parts)[: 5 << 20]
     c = stock.compress(data, format=stock.FORMAT_XZ, preset=1)
     assert xz.xz_decompress(c) == data
+
+
+def test_multiblock_random_access():
+    """block_size splits into independent xz blocks (the `xz -T` layout):
+    stock decodes the whole stream; the index gives RAP-style random
+    access to any single block."""
+    rng = np.random.default_rng(33)
+    data = (b"block parallel xz " * 40000)[: 600000]
+    c = xz.xz_compress(data, 3, block_size=200000)
+    assert stock.decompress(c, format=stock.FORMAT_XZ) == data
+    assert xz.xz_decompress(c) == data
+    idx = xz.xz_index(c)
+    assert len(idx) == 3
+    assert [u for _, _, u in idx] == [200000, 200000, 200000]
+    for k, (off, _, usize) in enumerate(idx):
+        assert xz.xz_decompress_block(c, off) == \
+            data[k * 200000:(k + 1) * 200000]
+
+
+def test_index_on_stock_stream():
+    data = b"stock index " * 5000
+    c = stock.compress(data, format=stock.FORMAT_XZ, preset=2)
+    idx = xz.xz_index(c)
+    assert sum(u for _, _, u in idx) == len(data)
