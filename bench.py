@@ -81,6 +81,16 @@ def _host_metrics(data: bytes) -> dict:
         lambda: native.deflate(data, 6, native.DEFLATE_ZLIB))
     _, out["inflate_host_decode_MBps"] = best(
         lambda: native.inflate(c, len(data)))
+    c, out["gzip_host_encode_MBps"] = best(
+        lambda: native.gzip_compress(data, 6))
+    _, out["gzip_host_decode_MBps"] = best(
+        lambda: native.gzip_decompress(c))
+    from aocl_compression_tpu.codecs import xz as _xz
+    sample = data[: 2 << 20]
+    c, spd = best(lambda: _xz.xz_compress(sample, 6))
+    out["xz_host_encode_MBps"] = spd * len(sample) / len(data)
+    _, spd = best(lambda: _xz.xz_decompress(c))
+    out["xz_host_decode_MBps"] = spd * len(sample) / len(data)
     for k, v in out.items():
         if k.endswith("MBps"):
             out[k] = round(v, 1)

@@ -803,25 +803,41 @@ ATPU_EXPORT i64 atpu_inflate_consumed(const u8* src, size_t n, u8* dst,
   return inflate_raw(src, n, dst, dstCap, consumed);
 }
 
-// CRC-32 (IEEE 802.3, reflected 0xEDB88320) — the gzip/xz-crc32 checksum
-// (reference: zlib crc32.c capability; own table-based implementation)
-static u32 crc32_table[256];
+// CRC-32 (IEEE 802.3, reflected 0xEDB88320) — the gzip/xz-crc32 checksum.
+// Slice-by-8 (reference capability: zlib crc32.c's braided tables):
+// 8 bytes per step, ~8x the byte-at-a-time rate
+static u32 crc32_tab8[8][256];
 static bool crc32_init_done = false;
 static void crc32_init() {
   for (u32 i = 0; i < 256; i++) {
     u32 c = i;
     for (int k = 0; k < 8; k++)
       c = (c & 1) ? 0xEDB88320u ^ (c >> 1) : c >> 1;
-    crc32_table[i] = c;
+    crc32_tab8[0][i] = c;
   }
+  for (int t = 1; t < 8; t++)
+    for (u32 i = 0; i < 256; i++)
+      crc32_tab8[t][i] =
+          crc32_tab8[t - 1][i] >> 8 ^ crc32_tab8[0][crc32_tab8[t - 1][i] & 0xFF];
   crc32_init_done = true;
 }
 
 ATPU_EXPORT u32 atpu_crc32(const u8* p, size_t n, u32 crc) {
   if (!crc32_init_done) crc32_init();
   crc = ~crc;
-  for (size_t i = 0; i < n; i++)
-    crc = crc32_table[(crc ^ p[i]) & 0xFF] ^ (crc >> 8);
+  while (n >= 8) {
+    u32 lo, hi;
+    memcpy(&lo, p, 4);
+    memcpy(&hi, p + 4, 4);
+    lo ^= crc;
+    crc = crc32_tab8[7][lo & 0xFF] ^ crc32_tab8[6][(lo >> 8) & 0xFF]
+        ^ crc32_tab8[5][(lo >> 16) & 0xFF] ^ crc32_tab8[4][lo >> 24]
+        ^ crc32_tab8[3][hi & 0xFF] ^ crc32_tab8[2][(hi >> 8) & 0xFF]
+        ^ crc32_tab8[1][(hi >> 16) & 0xFF] ^ crc32_tab8[0][hi >> 24];
+    p += 8;
+    n -= 8;
+  }
+  while (n--) crc = crc32_tab8[0][(crc ^ *p++) & 0xFF] ^ (crc >> 8);
   return ~crc;
 }
 
