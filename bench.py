@@ -103,7 +103,7 @@ def main():
     from aocl_compression_tpu.ops import lz4_device
 
     B = 65536
-    N = 128  # 8 MiB per iteration (measured sweet spot for HBM residency)
+    N = 96  # 6.3 MiB per iteration (chip-swept: beats 8 MiB batches by ~8%)
     G = 8   # tile-anchor parse (accel 3). With the gather-free floor
             # test this point compresses at ratio 2.876 — parity with the
             # own serial host oracle (2.875) and far above the upstream
@@ -121,16 +121,16 @@ def main():
     out, sizes, tails, flags = enc(ja, jl)
     _ = np.asarray(sizes)
 
-    # steady-state streaming rate: keep three batches in flight so the
+    # steady-state streaming rate: keep four batches in flight so the
     # ~25 ms axon dispatch round-trip and the size fetch overlap compute
     # (how a production stream runs; measured dispatch floor in CLAUDE.md)
-    iters = 8
+    iters = 10
     t0 = time.perf_counter()
     pending = []
     for _ in range(iters):
         out, sizes, tails, flags = enc(ja, jl)
         pending.append(sizes)
-        if len(pending) > 3:
+        if len(pending) > 4:
             _ = np.asarray(pending.pop(0))
     for sizes in pending:
         _ = np.asarray(sizes)
