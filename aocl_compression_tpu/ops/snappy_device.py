@@ -164,6 +164,159 @@ def _emit_snappy(data_u8, pos, ml, off, nseq, n, B: int, OUTCAP: int,
     return out32.astype(jnp.uint8), size, tail
 
 
+
+def _snappy_hdr(lit):
+    """Literal-element header size for a literal run (0 when empty)."""
+    return jnp.where(lit == 0, 0,
+                     jnp.where(lit <= 60, 1, jnp.where(lit <= 256, 2, 3)))
+
+
+def _snappy_copy_fields(ml, off):
+    """(n64, has60, l3, qual, ncopy, fin, copy_bytes) per EmitCopy."""
+    n64 = jnp.maximum(0, (ml - MIN_MATCH) // 64)
+    l2 = ml - 64 * n64
+    has60 = (l2 > 64).astype(jnp.int32)
+    l3 = l2 - 60 * has60
+    qual = (l3 < 12) & (off < 2048) & (l3 >= 4)
+    ncopy = n64 + has60 + 1
+    fin = jnp.where(qual, 2, 3)
+    return n64, has60, l3, qual, ncopy, fin, 3 * (ncopy - 1) + fin
+
+
+def _seq_size_snappy(lit, ml, off):
+    hdr = _snappy_hdr(lit)
+    _, _, _, _, _, _, cb = _snappy_copy_fields(ml, off)
+    return hdr + cb + lit, hdr + cb
+
+
+def _emit_snappy_sorted(data_u8, n, sel, cpos, cml, coff, B: int, G: int):
+    """Gather-free sort-emit serializer for the snappy element format —
+    the port of ops/lz4_device._emit_sorted: literal bytes carry their
+    own input byte, matched "spare" positions carry the element header
+    and copy-op bytes, ONE variadic sort materializes the stream.
+
+    Returns (out u8[B], body, tail_literals, flag); the caller appends
+    the trailing literal element (it owns the raw block bytes) and
+    re-encodes flagged blocks on the host oracle (a sequence whose
+    headers need more bytes than its match has spares).
+    """
+    from .lz4_device import _NEG, _BIGPOS, _DUMMY_POS
+
+    M = B // G
+    end_t = jnp.where(sel, cpos + cml, 0)
+    ce = jax.lax.cummax(end_t)
+    pe = jnp.concatenate([jnp.zeros(1, jnp.int32), ce[:-1]])
+    lit_t = jnp.where(sel, cpos - pe, 0)
+    ml_t = jnp.where(sel, cml, 0)
+    off_t = jnp.where(sel, coff, 1)
+    seq_sz_t, hdr_cost_t = _seq_size_snappy(lit_t, ml_t, off_t)
+    seq_sz = jnp.where(sel, seq_sz_t, 0)
+    incl = jnp.cumsum(seq_sz)
+    body = incl[-1]
+    flag = jnp.any(sel & (hdr_cost_t > ml_t))
+    tail = n - ce[-1]
+
+    # monotone fills of the covering-sequence fields (identical packing
+    # to the LZ4 emit: pos/off and end-1/lit are strictly increasing
+    # over selected tiles)
+    packF1 = ((cpos << 16) | off_t) + _NEG
+    packF2 = (((cpos + cml - 1) << 16) | lit_t) + _NEG
+    f1 = jax.lax.cummax(jnp.where(sel, packF1, _NEG))
+    f2 = jax.lax.cummax(jnp.where(sel, packF2, _NEG))
+    p1 = jax.lax.cummax(jnp.where(
+        sel, jnp.concatenate([jnp.full(1, _NEG), f1[:-1]]), _NEG))
+    p2 = jax.lax.cummax(jnp.where(
+        sel, jnp.concatenate([jnp.full(1, _NEG), f2[:-1]]), _NEG))
+    rn = jax.lax.cummin(jnp.where(sel, cpos, _BIGPOS), reverse=True)
+    rnx = jnp.concatenate([rn[1:], jnp.full(1, _BIGPOS)])
+
+    def bcast(x):
+        return jnp.repeat(x, G, total_repeat_length=B)
+
+    i = jnp.arange(B, dtype=jnp.int32)
+    bf1, bf2, bp1, bp2 = bcast(f1), bcast(f2), bcast(p1), bcast(p2)
+    b_incl, b_posN = bcast(incl), bcast(rnx)
+
+    def unpack(f):
+        u = f - _NEG
+        return jax.lax.shift_right_logical(u, 16), u & 0xFFFF
+
+    posF, offF = unpack(bf1)
+    endF1, litF = unpack(bf2)
+    endF = jnp.where(bf1 == _NEG, 0, endF1 + 1)
+    posP, offP = unpack(bp1)
+    endP1, litP = unpack(bp2)
+
+    covered = (bf1 != _NEG) & (i < endF)
+    useP = covered & (i < posF - litF)
+
+    pos_x = jnp.where(useP, posP, posF)
+    off_x = jnp.where(useP, offP, offF)
+    lit_x = jnp.where(useP, litP, litF)
+    end_x = jnp.where(useP, endP1 + 1, endF)
+    ml_x = end_x - pos_x
+    hdr_x = _snappy_hdr(lit_x)
+    n64_x, _h60, l3_x, qual_x, ncopy_x, fin_x, cb_x = \
+        _snappy_copy_fields(ml_x, off_x)
+    sz_x = hdr_x + cb_x + lit_x
+    szF, _ = _seq_size_snappy(litF, endF - posF, offF)
+    excl_x = jnp.where(useP, b_incl - szF - sz_x, b_incl - sz_x)
+
+    # N branch: literal bytes of the NEXT sequence (or tail -> dummy)
+    litN = b_posN - endF
+    hdrN = _snappy_hdr(litN)
+    opN = b_incl + hdrN + (i - endF)
+
+    # covered: role by spare index k
+    k = i - pos_x
+    is_lit = covered & (k < 0)
+    opL = excl_x + hdr_x + (i - (pos_x - lit_x))
+
+    lm1 = lit_x - 1
+    lit_tag = jnp.where(lit_x <= 60, lm1 << 2,
+                        jnp.where(lit_x <= 256, 60 << 2, 61 << 2))
+    v_hdr = jnp.where(k == 0, lit_tag,
+                      jnp.where(k == 1, lm1 & 0xFF, (lm1 >> 8) & 0xFF))
+
+    k2 = k - hdr_x
+    base_cp = excl_x + hdr_x + lit_x
+    jop = k2 // 3
+    r = k2 - 3 * jop
+    in_mid = k2 < 3 * (ncopy_x - 1)
+    mid_tag = jnp.where(jop < n64_x, 0x02 | (63 << 2), 0x02 | (59 << 2))
+    relf = k2 - 3 * (ncopy_x - 1)
+    fin_tag = jnp.where(
+        qual_x,
+        0x01 | ((l3_x - 4) << 2) | (jax.lax.shift_right_logical(off_x, 8)
+                                    << 5),
+        0x02 | ((l3_x - 1) << 2))
+    v_cp = jnp.where(
+        in_mid,
+        jnp.where(r == 0, mid_tag,
+                  jnp.where(r == 1, off_x & 0xFF,
+                            jax.lax.shift_right_logical(off_x, 8))),
+        jnp.where(relf == 0, fin_tag,
+                  jnp.where(relf == 1, off_x & 0xFF,
+                            jax.lax.shift_right_logical(off_x, 8))))
+    sp_dead = k2 >= cb_x
+    op_sp = jnp.where(k < hdr_x, excl_x + k, base_cp + k2)
+    v_sp = jnp.where(k < hdr_x, v_hdr, v_cp)
+
+    d = data_u8.astype(jnp.int32)
+    op = jnp.where(covered,
+                   jnp.where(is_lit, opL,
+                             jnp.where(sp_dead, _DUMMY_POS, op_sp)),
+                   jnp.where(b_posN >= _BIGPOS, _DUMMY_POS, opN))
+    val = jnp.where(covered & ~is_lit, v_sp, d)
+    op = jnp.where(i < n, op, _DUMMY_POS)
+
+    key = jnp.where(op >= _DUMMY_POS, jnp.int32(1) << 26, (op << 8) | val)
+    (skey,) = jax.lax.sort([key], num_keys=1, is_stable=False)
+    out = (skey & 0xFF).astype(jnp.uint8)
+    out = jnp.where(jnp.arange(B) < body, out, 0).astype(jnp.uint8)
+    return out, body, tail, flag
+
+
 def _encode_block(data_u8, n, B: int, OUTCAP: int, MAXSEQ: int, G: int = 0):
     mlen, moff, valid = lz._find_matches(data_u8, n, B)
     if G:
