@@ -173,7 +173,7 @@ def _snappy_hdr(lit):
 
 def _snappy_copy_fields(ml, off):
     """(n64, has60, l3, qual, ncopy, fin, copy_bytes) per EmitCopy."""
-    n64 = jnp.maximum(0, (ml - MIN_MATCH) // 64)
+    n64 = jax.lax.shift_right_logical(jnp.maximum(ml - MIN_MATCH, 0), 6)
     l2 = ml - 64 * n64
     has60 = (l2 > 64).astype(jnp.int32)
     l3 = l2 - 60 * has60
@@ -280,8 +280,11 @@ def _emit_snappy_sorted(data_u8, n, sel, cpos, cml, coff, B: int, G: int):
 
     k2 = k - hdr_x
     base_cp = excl_x + hdr_x + lit_x
-    jop = k2 // 3
-    r = k2 - 3 * jop
+    # divide-by-3 via magic multiply (clamped domain): signed integer
+    # division by a non-power-of-2 lowers catastrophically on the VPU
+    k2c = jnp.clip(k2, 0, 1023)
+    jop = jax.lax.shift_right_logical(k2c * 43691, 17)
+    r = k2c - 3 * jop
     in_mid = k2 < 3 * (ncopy_x - 1)
     mid_tag = jnp.where(jop < n64_x, 0x02 | (63 << 2), 0x02 | (59 << 2))
     relf = k2 - 3 * (ncopy_x - 1)
