@@ -63,6 +63,11 @@ class Lz4Codec(Codec):
             shards = handle.num_shards * max(1, handle.num_hosts)
             compress = lambda blocks: cb(blocks, accel,
                                          num_shards=shards or None)
+        elif ctier == TIER_HOST:
+            # host tier fans out over a thread pool (reference MT compress,
+            # lz4.c:2655-2930); num_shards is the numThreads analog
+            compress = lambda blocks: cb(blocks, accel,
+                                         workers=handle.num_shards or None)
         else:
             compress = lambda blocks: cb(blocks, accel)
         # device decode is opt-in (measured slower than the host C++ path;
@@ -76,6 +81,9 @@ class Lz4Codec(Codec):
             shards = handle.num_shards * max(1, handle.num_hosts)
             decompress = lambda chunks, dlens: db(
                 chunks, dlens, bs, num_shards=shards or None)
+        elif dtier == TIER_HOST:
+            decompress = lambda chunks, dlens: db(
+                chunks, dlens, bs, workers=handle.num_shards or None)
         else:
             decompress = lambda chunks, dlens: db(chunks, dlens, bs)
         # mem_limit caps the bytes in flight per batched device dispatch
@@ -152,17 +160,25 @@ def _compress_host(data: bytes, accel: int) -> bytes:
 
 @dispatch.register("lz4", "compress_blocks", TIER_HOST,
                    "lz4_compress_blocks_host")
-def _compress_blocks_host(blocks: Sequence[bytes], accel: int):
-    frags = [native.lz4_compress_tail(b, accel) for b in blocks]
+def _compress_blocks_host(blocks: Sequence[bytes], accel: int, workers=None):
+    from ..parallel import host_pool
+    frags = host_pool.parallel_map(
+        lambda b: native.lz4_compress_tail(b, accel), blocks,
+        workers=workers, total_bytes=sum(len(b) for b in blocks))
     return lz4_stitch.stitch(frags, blocks)
 
 
 @dispatch.register("lz4", "decompress_blocks", TIER_HOST,
                    "lz4_decompress_blocks_host")
 def _decompress_blocks_host(chunks: Sequence[bytes], dlens: Sequence[int],
-                            block_size: int) -> List[bytes]:
-    return [native.lz4_decompress(c, d) if d else b""
-            for c, d in zip(chunks, dlens)]
+                            block_size: int, workers=None) -> List[bytes]:
+    # parallel RAP fan-out — the reference's default MT decompress
+    # (threads/threads.c:174-293, lz4.c:4785-4860)
+    from ..parallel import host_pool
+    return host_pool.parallel_map(
+        lambda cd: native.lz4_decompress(cd[0], cd[1]) if cd[1] else b"",
+        list(zip(chunks, dlens)), workers=workers,
+        total_bytes=int(sum(dlens)))
 
 
 # --- device-tier variants (ops/lz4_device.py) --------------------------------

@@ -39,18 +39,27 @@ class Lz4hcCodec(Codec):
         # device tier = throughput mode, engaged via opt_var (like lz4);
         # the default keeps the host hash-chain encoder's ratio semantics
         cap = handle.max_tier if handle.opt_var >= 2 else TIER_HOST
-        cb = dispatch.resolve(self.name, "compress_blocks", cap,
-                              handle.opt_off)
+        cb, ctier = dispatch.resolve_with_tier(
+            self.name, "compress_blocks", cap, handle.opt_off)
+        if ctier == TIER_HOST:
+            _cbh = cb
+            cb = lambda blocks, lvl: _cbh(blocks, lvl,
+                                          workers=handle.num_shards or None)
         # decode is LZ4's, same as the reference's shared decompressor
         from ..utils.config import device_decode_enabled
         dcap = handle.max_tier if device_decode_enabled() else TIER_HOST
-        db = dispatch.resolve("lz4", "decompress_blocks", dcap,
-                              handle.opt_off)
+        db, dtier = dispatch.resolve_with_tier(
+            "lz4", "decompress_blocks", dcap, handle.opt_off)
         level = self.clamp_level(handle.level or self.default_level)
         bs = self._block_size(handle)
+        if dtier == TIER_HOST:
+            decompress = lambda chunks, dlens: db(
+                chunks, dlens, bs, workers=handle.num_shards or None)
+        else:
+            decompress = lambda chunks, dlens: db(chunks, dlens, bs)
         return container.BlockCodecAdapter(
             compress_blocks=lambda blocks: cb(blocks, level),
-            decompress_blocks=lambda chunks, dlens: db(chunks, dlens, bs))
+            decompress_blocks=decompress)
 
     def compress(self, handle: Handle, data: bytes) -> bytes:
         rap = (handle.enable_rap if handle.enable_rap is not None
@@ -79,8 +88,11 @@ def _compress_host(data: bytes, level: int) -> bytes:
 
 @dispatch.register("lz4hc", "compress_blocks", TIER_HOST,
                    "lz4hc_compress_blocks_host")
-def _compress_blocks_host(blocks: Sequence[bytes], level: int):
-    frags = [native.lz4hc_compress_tail(b, level) for b in blocks]
+def _compress_blocks_host(blocks: Sequence[bytes], level: int, workers=None):
+    from ..parallel import host_pool
+    frags = host_pool.parallel_map(
+        lambda b: native.lz4hc_compress_tail(b, level), blocks,
+        workers=workers, total_bytes=sum(len(b) for b in blocks))
     return lz4_stitch.stitch(frags, blocks)
 
 

@@ -69,14 +69,23 @@ class SnappyCodec(Codec):
             _cb = cb
             cb = lambda blocks, accel: _cb(blocks, accel,
                                            num_shards=shards or None)
+        elif ctier == TIER_HOST:
+            _cbh = cb
+            cb = lambda blocks, accel: _cbh(blocks, accel,
+                                            workers=handle.num_shards or None)
         from ..utils.config import device_decode_enabled
         dcap = handle.max_tier if device_decode_enabled() else TIER_HOST
-        db = dispatch.resolve(self.name, "decompress_blocks", dcap,
-                              handle.opt_off)
+        db, dtier = dispatch.resolve_with_tier(
+            self.name, "decompress_blocks", dcap, handle.opt_off)
         bs = self._block_size(handle)
+        if dtier == TIER_HOST:
+            decompress = lambda chunks, dlens: db(
+                chunks, dlens, bs, workers=handle.num_shards or None)
+        else:
+            decompress = lambda chunks, dlens: db(chunks, dlens, bs)
         return container.BlockCodecAdapter(
             compress_blocks=lambda blocks: cb(blocks, accel),
-            decompress_blocks=lambda chunks, dlens: db(chunks, dlens, bs),
+            decompress_blocks=decompress,
             preamble=_varint)
 
     def compress(self, handle: Handle, data: bytes) -> bytes:
@@ -112,19 +121,27 @@ def _compress_host(data: bytes) -> bytes:
 
 @dispatch.register("snappy", "compress_blocks", TIER_HOST,
                    "snappy_compress_blocks_host")
-def _compress_blocks_host(blocks: Sequence[bytes], accel: int = 1):
+def _compress_blocks_host(blocks: Sequence[bytes], accel: int = 1,
+                          workers=None):
     # raw element fragments: compress each block, strip its varint preamble;
     # snappy elements are self-delimiting so no boundary stitch is needed
-    return ([_strip_preamble(native.snappy_compress(b)) for b in blocks],
-            [len(b) for b in blocks])
+    from ..parallel import host_pool
+    frags = host_pool.parallel_map(
+        lambda b: _strip_preamble(native.snappy_compress(b)), blocks,
+        workers=workers, total_bytes=sum(len(b) for b in blocks))
+    return frags, [len(b) for b in blocks]
 
 
 @dispatch.register("snappy", "decompress_blocks", TIER_HOST,
                    "snappy_decompress_blocks_host")
 def _decompress_blocks_host(chunks: Sequence[bytes], dlens: Sequence[int],
-                            block_size: int) -> List[bytes]:
-    return [native.snappy_uncompress(_varint(d) + c)
-            for c, d in zip(chunks, dlens)]
+                            block_size: int, workers=None) -> List[bytes]:
+    # parallel RAP fan-out (reference MT RawUncompress, snappy.cc:2282+)
+    from ..parallel import host_pool
+    return host_pool.parallel_map(
+        lambda cd: native.snappy_uncompress(_varint(cd[1]) + cd[0]),
+        list(zip(chunks, dlens)), workers=workers,
+        total_bytes=int(sum(dlens)))
 
 
 # --- device-tier variants (ops/snappy_device.py) ------------------------------

@@ -94,6 +94,45 @@ def _host_metrics(data: bytes) -> dict:
     for k, v in out.items():
         if k.endswith("MBps"):
             out[k] = round(v, 1)
+    out.update(_rap_decode_metrics(data))
+    return out
+
+
+def _rap_decode_metrics(data: bytes) -> dict:
+    """RAP-parallel decode fan-out (unified API path users get by default):
+    serial (AOCL_HOST_THREADS=1) vs thread-pooled over all cores, on a
+    >=64 MB stream (reference analog: MT decompress, threads/threads.c:
+    174-293). On a single-core box the two numbers coincide — the fan-out
+    infrastructure is exercised either way; host_cores records the truth."""
+    import os
+
+    import aocl_compression_tpu as atpu
+
+    big = data * max(1, (64 << 20) // len(data) + 1)
+    big = big[:64 << 20]
+    mb = len(big) / 1e6
+    h = atpu.setup("lz4")
+    comp = atpu.compress(h, big)
+    out = {"host_cores": os.cpu_count()}
+    saved = os.environ.get("AOCL_HOST_THREADS")
+    try:
+        for label, threads in (("serial", "1"), ("parallel", None)):
+            if threads is None:
+                os.environ.pop("AOCL_HOST_THREADS", None)
+            else:
+                os.environ["AOCL_HOST_THREADS"] = threads
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                dec = atpu.decompress(h, comp, len(big))
+                ts.append(time.perf_counter() - t0)
+            assert dec == big
+            out[f"lz4_rap_decode_{label}_MBps"] = round(mb / min(ts), 1)
+    finally:
+        if saved is None:
+            os.environ.pop("AOCL_HOST_THREADS", None)
+        else:
+            os.environ["AOCL_HOST_THREADS"] = saved
     return out
 
 

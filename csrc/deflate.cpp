@@ -63,17 +63,19 @@ static const u8 DIST_XBITS[30] = {0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5,
 static const u8 CL_ORDER[19] = {16, 17, 18, 0, 8, 7, 9, 6, 10, 5, 11, 4, 12,
   3, 13, 2, 14, 1, 15};
 
-static int len_code_of(int len) {  // len in [3,258]
-  static int lut[259];
-  static bool init = false;
-  if (!init) {
+struct LenCodeLut {  // magic-static init: thread-safe under C++11
+  int lut[259];
+  LenCodeLut() {
     for (int c = 0; c < 29; c++) {
       int hi = (c == 28) ? 258 : LEN_BASE[c + 1] - 1;
       for (int l = LEN_BASE[c]; l <= hi && l <= 258; l++) lut[l] = c;
     }
-    init = true;
   }
-  return lut[len];
+};
+
+static int len_code_of(int len) {  // len in [3,258]
+  static const LenCodeLut lc;
+  return lc.lut[len];
 }
 
 static int dist_code_of(int d) {  // d in [1,32768]
@@ -807,7 +809,6 @@ ATPU_EXPORT i64 atpu_inflate_consumed(const u8* src, size_t n, u8* dst,
 // Slice-by-8 (reference capability: zlib crc32.c's braided tables):
 // 8 bytes per step, ~8x the byte-at-a-time rate
 static u32 crc32_tab8[8][256];
-static bool crc32_init_done = false;
 static void crc32_init() {
   for (u32 i = 0; i < 256; i++) {
     u32 c = i;
@@ -819,11 +820,12 @@ static void crc32_init() {
     for (u32 i = 0; i < 256; i++)
       crc32_tab8[t][i] =
           crc32_tab8[t - 1][i] >> 8 ^ crc32_tab8[0][crc32_tab8[t - 1][i] & 0xFF];
-  crc32_init_done = true;
 }
+// load-time init: callers may race from the host RAP thread pool
+static const bool crc32_tables_ready = (crc32_init(), true);
 
 ATPU_EXPORT u32 atpu_crc32(const u8* p, size_t n, u32 crc) {
-  if (!crc32_init_done) crc32_init();
+  (void)crc32_tables_ready;
   crc = ~crc;
   while (n >= 8) {
     u32 lo, hi;

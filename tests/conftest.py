@@ -60,6 +60,20 @@ def _binary_like(n: int, seed: int = 1) -> bytes:
 
 
 @pytest.fixture(scope="session")
+def corpus_text():
+    """Factory for big text-like payloads (MT fan-out tests need >=1 MiB)."""
+    cache = {}
+
+    def make(n: int) -> bytes:
+        if n not in cache:
+            base = _text_like(min(n, 1 << 20), seed=7)
+            cache[n] = (base * (n // len(base) + 1))[:n]
+        return cache[n]
+
+    return make
+
+
+@pytest.fixture(scope="session")
 def corpus():
     """Dict of named test payloads covering the reference's corpus axes."""
     rng = random.Random(42)
