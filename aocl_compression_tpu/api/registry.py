@@ -36,7 +36,7 @@ _codecs: Dict[str, "object"] = {}
 def _build_registry() -> None:
     if _codecs:
         return
-    from ..codecs.stdlib_codecs import Bzip2Codec, LzmaCodec, ZlibCodec
+    from ..codecs.zlib_bzip2_lzma import Bzip2Codec, LzmaCodec, ZlibCodec
     from ..codecs.lz4 import Lz4Codec
     from ..codecs.lz4hc import Lz4hcCodec
     from ..codecs.snappy import SnappyCodec

@@ -25,8 +25,18 @@ from typing import Optional
 from ..api.handle import Handle
 from ..parallel import container
 from ..utils import dispatch
-from ..utils.config import TIER_HOST, TIER_MESH, TIER_XLA, get_config
+from ..utils.config import (TIER_HOST, TIER_MESH, TIER_XLA,
+                            forced_tier_from_env, get_config)
 from .base import Codec
+
+
+def _device_opt_in(handle: Handle) -> bool:
+    """Explicit device-tier request: opt_var >= 2 (the lz4 accel-gate
+    convention), num_shards > 1 (mesh demand), or AOCL_ENABLE_INSTRUCTIONS
+    naming a device tier. Without one, dispatch routes by measured speed
+    (utils.calibration) — the reference's only-upgrade-when-faster rule."""
+    return (handle.opt_var >= 2 or handle.num_shards > 1
+            or (forced_tier_from_env() or TIER_HOST) > TIER_HOST)
 
 
 _ZLIB_HEADER = b"\x78\x01"
@@ -64,8 +74,8 @@ class ZlibCodec(Codec):
         cfg = get_config()
         lvl = level if level is not None else \
             self.clamp_level(handle.level or self.default_level)
-        if lvl <= 2 and (handle.max_tier is None
-                         or handle.max_tier >= TIER_XLA):
+        if lvl <= 2 and _device_opt_in(handle) and (
+                handle.max_tier is None or handle.max_tier >= TIER_XLA):
             # device static-Huffman tier: blocks within the 16-bit limit
             return min(cfg.default_block_size, 1 << 16)
         # reference partition rule: chunk = search window x WINDOW_FACTOR
@@ -81,14 +91,23 @@ class ZlibCodec(Codec):
         # zlib MT inside compress2, algos/zlib/compress.c:211-340).
         max_tier = handle.max_tier if level <= 2 else TIER_HOST
         cb, ctier = dispatch.resolve_with_tier(
-            "zlib", "compress_blocks", max_tier, handle.opt_off)
+            "zlib", "compress_blocks", max_tier, handle.opt_off,
+            calibrated=not _device_opt_in(handle))
         if ctier == TIER_MESH:
             shards = handle.num_shards * max(1, handle.num_hosts)
             _cb = cb
             cb = lambda blocks, lvl: _cb(blocks, lvl,
                                          num_shards=shards or None)
-        db = dispatch.resolve("zlib", "decompress_blocks", handle.max_tier,
-                              handle.opt_off)
+        elif ctier == TIER_HOST:
+            _cbh = cb
+            cb = lambda blocks, lvl: _cbh(blocks, lvl,
+                                          workers=handle.num_shards or None)
+        db, dtier = dispatch.resolve_with_tier(
+            "zlib", "decompress_blocks", handle.max_tier, handle.opt_off)
+        if dtier == TIER_HOST:
+            _dbh = db
+            db = lambda chunks, dlens: _dbh(
+                chunks, dlens, workers=handle.num_shards or None)
         return container.BlockCodecAdapter(
             compress_blocks=lambda blocks: cb(blocks, level),
             decompress_blocks=db,
@@ -108,7 +127,8 @@ class ZlibCodec(Codec):
                 return out + trailer
         fn = dispatch.resolve("zlib", "compress",
                               handle.max_tier if level <= 2 else TIER_HOST,
-                              handle.opt_off)
+                              handle.opt_off,
+                              calibrated=not _device_opt_in(handle))
         return fn(data, level)
 
     def decompress(self, handle: Handle, data: bytes,
@@ -143,19 +163,28 @@ def _zlib_decompress_host(data: bytes, expected_size=None) -> bytes:
 
 @dispatch.register("zlib", "compress_blocks", TIER_HOST,
                    "zlib_compress_blocks_host")
-def _zlib_compress_blocks_host(blocks, level: int):
-    """Per-block sync-flushed raw deflate (concatenatable chunks)."""
+def _zlib_compress_blocks_host(blocks, level: int, workers=None):
+    """Per-block sync-flushed raw deflate (concatenatable chunks),
+    fanned out over the host pool (reference MT compress2,
+    algos/zlib/compress.c:211-340)."""
+    from ..parallel import host_pool
     from ..runtime import native
-    return ([native.deflate(b, level, native.DEFLATE_SYNC_CHUNK)
-             for b in blocks], [len(b) for b in blocks])
+    frags = host_pool.parallel_map(
+        lambda b: native.deflate(b, level, native.DEFLATE_SYNC_CHUNK),
+        blocks, workers=workers, total_bytes=sum(len(b) for b in blocks))
+    return frags, [len(b) for b in blocks]
 
 
 @dispatch.register("zlib", "decompress_blocks", TIER_HOST,
                    "zlib_decompress_blocks_host")
-def _zlib_decompress_blocks_host(chunks, dlens):
+def _zlib_decompress_blocks_host(chunks, dlens, workers=None):
+    # parallel RAP fan-out (reference MT uncompress, uncompr.c:180-198)
+    from ..parallel import host_pool
     from ..runtime import native
-    return [native.inflate(c, d, raw=True)
-            for c, d in zip(chunks, dlens)]
+    return host_pool.parallel_map(
+        lambda cd: native.inflate(cd[0], cd[1], raw=True),
+        list(zip(chunks, dlens)), workers=workers,
+        total_bytes=int(sum(dlens)))
 
 
 @dispatch.register("zlib", "compress_blocks", TIER_XLA,
@@ -216,7 +245,8 @@ class Bzip2Codec(Codec):
 
     def compress(self, handle: Handle, data: bytes) -> bytes:
         fn = dispatch.resolve("bzip2", "compress", handle.max_tier,
-                              handle.opt_off)
+                              handle.opt_off,
+                              calibrated=not _device_opt_in(handle))
         return fn(data, self.clamp_level(handle.level or self.default_level))
 
     def decompress(self, handle: Handle, data: bytes,

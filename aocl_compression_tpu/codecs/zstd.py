@@ -52,6 +52,14 @@ class ZstdCodec(Codec):
         # (zstd_compress.c:5417-5420); our device blocks set the default.
         return handle.block_size or get_config().default_block_size
 
+    @staticmethod
+    def _device_opt_in(handle: Handle) -> bool:
+        """Explicit device request (see zlib_bzip2_lzma._device_opt_in);
+        without one, dispatch routes by measured speed."""
+        from ..utils.config import forced_tier_from_env
+        return (handle.opt_var >= 2 or handle.num_shards > 1
+                or (forced_tier_from_env() or 0) > 0)
+
     def _tier_cap(self, handle: Handle, level: int):
         # the device pipeline is the level-1 fast strategy with per-block
         # entropy tables (deflate_quick spirit); quality levels and
@@ -68,12 +76,17 @@ class ZstdCodec(Codec):
                 and handle.dictionary is None:
             cap = handle.max_tier
         cb, tier = dispatch.resolve_with_tier(
-            self.name, "compress_blocks", cap, handle.opt_off)
+            self.name, "compress_blocks", cap, handle.opt_off,
+            calibrated=not self._device_opt_in(handle))
         if tier == TIER_MESH:
             shards = handle.num_shards * max(1, handle.num_hosts)
             _cb = cb
             return lambda blocks, lvl, d: _cb(blocks, lvl, d,
                                               num_shards=shards or None)
+        if tier == TIER_HOST:
+            _cbh = cb
+            return lambda blocks, lvl, d: _cbh(
+                blocks, lvl, d, workers=handle.num_shards or None)
         return cb
 
     def compress(self, handle: Handle, data: bytes) -> bytes:
@@ -84,7 +97,8 @@ class ZstdCodec(Codec):
         if rap and len(data) >= 2 * bs:
             return self._compress_rapped(handle, data, level, bs)
         fn = dispatch.resolve(self.name, "compress",
-                              self._tier_cap(handle, level), handle.opt_off)
+                              self._tier_cap(handle, level), handle.opt_off,
+                              calibrated=not self._device_opt_in(handle))
         return fn(data, level, handle.dictionary)
 
     def _compress_rapped(self, handle: Handle, data: bytes, level: int,
@@ -115,10 +129,13 @@ class ZstdCodec(Codec):
                     offsets, lens, dlens = parsed
                     chunks = [bytes(body[o:o + l])
                               for o, l in zip(offsets, lens)]
-                    db = dispatch.resolve(self.name, "decompress_blocks",
-                                          handle.max_tier, handle.opt_off)
+                    db, dtier = dispatch.resolve_with_tier(
+                        self.name, "decompress_blocks", handle.max_tier,
+                        handle.opt_off)
+                    kw = ({"workers": handle.num_shards or None}
+                          if dtier == TIER_HOST else {})
                     return b"".join(db(chunks, [int(d) for d in dlens],
-                                       handle.dictionary))
+                                       handle.dictionary, **kw))
                 # unknown skippable frame: stock zstd skips it; so do we
                 data = data[_SKIPPABLE_HEADER_SIZE + size:]
         fn = dispatch.resolve(self.name, "decompress", handle.max_tier,
@@ -181,9 +198,14 @@ def _compress_host(data: bytes, level: int, dictionary=None) -> bytes:
 @dispatch.register("zstd", "compress_blocks", TIER_HOST,
                    "zstd_compress_blocks_host")
 def _compress_blocks_host(blocks: Sequence[bytes], level: int,
-                          dictionary=None):
-    return ([native.zstd_compress(b, level, dictionary) for b in blocks],
-            [len(b) for b in blocks])
+                          dictionary=None, workers=None):
+    # host-pool fan-out (reference MT ZSTD_compress_advanced,
+    # zstd_compress.c:5417-5460)
+    from ..parallel import host_pool
+    frames = host_pool.parallel_map(
+        lambda b: native.zstd_compress(b, level, dictionary), blocks,
+        workers=workers, total_bytes=sum(len(b) for b in blocks))
+    return frames, [len(b) for b in blocks]
 
 
 @dispatch.register("zstd", "decompress", TIER_HOST, "zstd_decompress_host")
@@ -197,9 +219,14 @@ def _decompress_host(data: bytes, expected_size=None,
 @dispatch.register("zstd", "decompress_blocks", TIER_HOST,
                    "zstd_decompress_blocks_host")
 def _decompress_blocks_host(chunks: Sequence[bytes], dlens: Sequence[int],
-                            dictionary=None) -> List[bytes]:
-    return [native.zstd_decompress(c, d, dictionary)
-            for c, d in zip(chunks, dlens)]
+                            dictionary=None, workers=None) -> List[bytes]:
+    # parallel per-frame fan-out — the reference's MT decode crown
+    # (zstd_decompress.c:1252-1330: skippable-header fan-out to DCtxs)
+    from ..parallel import host_pool
+    return host_pool.parallel_map(
+        lambda cd: native.zstd_decompress(cd[0], cd[1], dictionary),
+        list(zip(chunks, dlens)), workers=workers,
+        total_bytes=int(sum(dlens)))
 
 
 # --- device tier (ops/zstd_device.py): level-1 fixed-table pipeline ----------

@@ -1,0 +1,69 @@
+"""Measured tier-speed calibration table consulted by dispatch.
+
+The reference's dynamic dispatcher only ever selects a *faster* variant of
+the same codec (/root/reference/utils/utils.cpp:148-175: optLevel probes
+upgrade from the scalar baseline). The TPU analog cannot assume "higher
+tier == faster": the single-chip device pipelines are currently slower
+than the host C++ oracles for several codecs (MEASURED.md chip matrix),
+and the axon relay adds a ~27 ms dispatch floor per jitted call.
+
+So the default routing policy is measured, not positional: among the
+tiers eligible under the cap, pick the one with the best measured
+throughput for the (codec, op) class. A tier with no measurement is never
+auto-selected (the reference never runs an unprobed variant either) —
+it stays reachable through the explicit opt-ins (handle.opt_var >= 2,
+num_shards > 1, AOCL_ENABLE_INSTRUCTIONS naming a device tier, or
+AOCL_DEVICE_DECODE for decode paths), which bypass this table.
+
+Numbers are end-to-end MB/s on this box (TPU v5e single chip via axon for
+device tiers; the host C++ oracles for tier 0) — MEASURED.md. They only
+need to be correct in *ordering*; update them when a pipeline's measured
+speed changes enough to flip a comparison.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+from .config import TIER_HOST, TIER_MESH, TIER_XLA
+
+# (codec, op) -> {tier: measured MB/s}. MESH entries are the single-chip
+# measurement (on one chip mesh == XLA plus sharding overhead); on a real
+# pod the mesh tier is engaged explicitly via num_shards, not by this table.
+MEASURED_MBPS: Dict[Tuple[str, str], Dict[int, float]] = {
+    ("lz4", "compress_blocks"): {TIER_HOST: 409.0, TIER_XLA: 141.9,
+                                 TIER_MESH: 141.9},
+    ("lz4", "compress"): {TIER_HOST: 409.0, TIER_XLA: 141.9},
+    ("lz4", "decompress_blocks"): {TIER_HOST: 536.0, TIER_XLA: 45.0,
+                                   TIER_MESH: 45.0},
+    ("lz4hc", "compress_blocks"): {TIER_HOST: 51.0, TIER_XLA: 17.8},
+    ("snappy", "compress_blocks"): {TIER_HOST: 418.0, TIER_XLA: 25.6,
+                                    TIER_MESH: 25.6},
+    ("snappy", "decompress_blocks"): {TIER_HOST: 639.0, TIER_XLA: 40.0},
+    ("zlib", "compress_blocks"): {TIER_HOST: 100.0, TIER_XLA: 15.2,
+                                  TIER_MESH: 15.2},
+    ("zlib", "compress"): {TIER_HOST: 100.0, TIER_XLA: 15.2},
+    ("zstd", "compress_blocks"): {TIER_HOST: 133.0, TIER_XLA: 10.5,
+                                  TIER_MESH: 10.5},
+    ("zstd", "compress"): {TIER_HOST: 133.0, TIER_XLA: 10.5},
+    ("bzip2", "compress"): {TIER_HOST: 8.0, TIER_XLA: 2.0},
+}
+
+
+def best_tier(codec: str, op: str,
+              eligible: Sequence[int]) -> Optional[int]:
+    """Fastest measured tier among ``eligible``; None if nothing measured.
+
+    Unmeasured non-host tiers are skipped (never auto-upgrade to an
+    unprobed variant). Ties go to the higher tier.
+    """
+    table = MEASURED_MBPS.get((codec, op))
+    if not table:
+        return None
+    best = None
+    for t in sorted(eligible):
+        if t == TIER_HOST or t in table:
+            speed = table.get(t, 0.0)
+            if best is None or speed >= best[0]:
+                best = (speed, t)
+    return best[1] if best else None

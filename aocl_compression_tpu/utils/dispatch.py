@@ -20,7 +20,7 @@ import threading
 from collections import Counter
 from typing import Callable, Dict, Optional, Tuple
 
-from .config import TIER_HOST, max_tier_from_env
+from .config import TIER_HOST, forced_tier_from_env, max_tier_from_env
 
 _lock = threading.Lock()
 # (codec, op) -> {tier: (name, fn)}
@@ -40,12 +40,27 @@ def register(codec: str, op: str, tier: int, name: str):
 
 
 def resolve(codec: str, op: str, max_tier: Optional[int] = None,
-            opt_off: bool = False) -> Callable:
+            opt_off: bool = False, calibrated: bool = False) -> Callable:
     """Pick the best registered variant within the allowed tier cap.
 
     opt_off=True forces tier 0, the AOCL_DISABLE_OPT / optOff semantic
     (reference: utils/utils.cpp:207-219; handle field optOff).
+
+    calibrated=True applies the measured-speed policy (utils.calibration):
+    among eligible tiers, pick the fastest *measured* one instead of the
+    highest — the reference dispatcher's only-upgrade-when-faster rule
+    (utils/utils.cpp:148-175). Explicit AOCL_ENABLE_INSTRUCTIONS naming a
+    tier overrides the table (user demand). Codecs pass calibrated=True on
+    their default paths and False when the caller opted a tier in
+    (opt_var >= 2, num_shards > 1, AOCL_DEVICE_DECODE).
     """
+    return resolve_with_tier(codec, op, max_tier, opt_off, calibrated)[0]
+
+
+def resolve_with_tier(codec: str, op: str, max_tier: Optional[int] = None,
+                      opt_off: bool = False, calibrated: bool = False):
+    """Like resolve, but also returns the chosen tier so callers can pass
+    tier-specific context (e.g. handle.num_shards to the mesh tier)."""
     cap = TIER_HOST if opt_off else min(
         max_tier_from_env(), max_tier if max_tier is not None else 99)
     impls = _registry.get((codec, op))
@@ -57,24 +72,11 @@ def resolve(codec: str, op: str, max_tier: Optional[int] = None,
         # minimum provide its host path), mirroring the scalar fallback.
         eligible = [min(impls)]
     tier = max(eligible)
-    name, fn = impls[tier]
-    _record_hit(name, tier)
-    return fn
-
-
-def resolve_with_tier(codec: str, op: str, max_tier: Optional[int] = None,
-                      opt_off: bool = False):
-    """Like resolve, but also returns the chosen tier so callers can pass
-    tier-specific context (e.g. handle.num_shards to the mesh tier)."""
-    cap = TIER_HOST if opt_off else min(
-        max_tier_from_env(), max_tier if max_tier is not None else 99)
-    impls = _registry.get((codec, op))
-    if not impls:
-        raise KeyError(f"no implementation registered for {codec}.{op}")
-    eligible = [t for t in impls if t <= cap]
-    if not eligible:
-        eligible = [min(impls)]
-    tier = max(eligible)
+    if calibrated and tier > TIER_HOST and forced_tier_from_env() is None:
+        from . import calibration
+        best = calibration.best_tier(codec, op, eligible)
+        if best is not None:
+            tier = best
     name, fn = impls[tier]
     _record_hit(name, tier)
     return fn, tier

@@ -119,14 +119,17 @@ def test_dynamic_blocks_own_inflate(corpus):
 
 
 def test_level2_routes_to_dynamic(corpus, monkeypatch):
-    """Unified API level 2 engages the dynamic device pipeline and the
-    stream stays a valid zlib stream for stock decoders."""
+    """Unified API level 2 + device opt-in (opt_var >= 2, the lz4 accel
+    convention) engages the dynamic device pipeline and the stream stays a
+    valid zlib stream for stock decoders. Without the opt-in the measured
+    policy keeps level 2 on the faster host deflate (see
+    test_tier_policy.py)."""
     import zlib as Z
     import aocl_compression_tpu as actpu
     from aocl_compression_tpu.utils import dispatch
     monkeypatch.delenv("AOCL_ENABLE_INSTRUCTIONS", raising=False)
     data = corpus["text_300k"]
-    h = actpu.setup("zlib", level=2)
+    h = actpu.setup("zlib", level=2, opt_var=2)
     dispatch.enable_audit(True)
     try:
         c = actpu.compress(h, data)

@@ -1,0 +1,107 @@
+"""Measured-policy tier routing (VERDICT r2 #2).
+
+The reference's dynamic dispatcher only ever selects a *faster* variant
+(/root/reference/utils/utils.cpp:148-175). Here that means: a default
+`setup(codec)` must never route to a device tier that the calibration
+table (utils/calibration.py) says is slower than the host oracle —
+device tiers engage only via explicit opt-ins (opt_var >= 2,
+num_shards > 1, AOCL_ENABLE_INSTRUCTIONS, AOCL_DEVICE_DECODE).
+"""
+
+import time
+
+import pytest
+
+import aocl_compression_tpu as actpu
+from aocl_compression_tpu.utils import calibration, dispatch
+from aocl_compression_tpu.utils.config import TIER_HOST
+
+ALL = ["lz4", "lz4hc", "snappy", "zlib", "zstd", "bzip2", "lzma"]
+
+
+@pytest.fixture
+def no_env(monkeypatch):
+    monkeypatch.delenv("AOCL_ENABLE_INSTRUCTIONS", raising=False)
+    monkeypatch.delenv("AOCL_DISABLE_OPT", raising=False)
+    monkeypatch.delenv("AOCL_DEVICE_DECODE", raising=False)
+
+
+def _levels(codec):
+    return {"zlib": [1, 2, 6], "zstd": [1, 3], "bzip2": [1, 9],
+            "lzma": [1, 6], "lz4hc": [1, 9]}.get(codec, [0])
+
+
+@pytest.mark.parametrize("codec", ALL)
+def test_default_setup_routes_to_measured_best(codec, no_env, corpus):
+    """With no opt-in, only host-tier variants may run — host is the
+    measured-fastest tier for every codec on this box (MEASURED.md)."""
+    data = corpus["text_300k"]
+    for level in _levels(codec):
+        h = actpu.setup(codec, level=level) if level else actpu.setup(codec)
+        dispatch.enable_audit(True)
+        try:
+            c = actpu.compress(h, data)
+            assert actpu.decompress(h, c, expected_size=len(data)) == data
+            assert dispatch.validate_tier_access(TIER_HOST), \
+                (codec, level, dispatch.audit_hits())
+        finally:
+            dispatch.enable_audit(False)
+            actpu.destroy(h)
+
+
+def test_calibration_table_host_wins_everywhere():
+    """On the current single-chip measurements every entry's host speed
+    dominates; best_tier must therefore return HOST whatever is eligible.
+    (When a device pipeline gets faster than its oracle, update the table
+    and this test together.)"""
+    for (codec, op), speeds in calibration.MEASURED_MBPS.items():
+        host = speeds[TIER_HOST]
+        assert all(host >= v for t, v in speeds.items() if t != TIER_HOST), \
+            (codec, op, speeds)
+        assert calibration.best_tier(codec, op, sorted(speeds)) == TIER_HOST
+
+
+def test_best_tier_never_picks_unmeasured():
+    assert calibration.best_tier("lz4", "compress_blocks",
+                                 [TIER_HOST, 7]) == TIER_HOST
+    assert calibration.best_tier("nosuch", "op", [0, 1]) is None
+
+
+def test_env_force_overrides_calibration(no_env, monkeypatch, corpus):
+    """AOCL_ENABLE_INSTRUCTIONS naming a device tier is a user demand —
+    it bypasses the measured policy (reference env semantic)."""
+    monkeypatch.setenv("AOCL_ENABLE_INSTRUCTIONS", "XLA")
+    data = corpus["text_64k"]
+    h = actpu.setup("zlib", level=1, block_size=8192)
+    dispatch.enable_audit(True)
+    try:
+        c = actpu.compress(h, data)
+        hits = dispatch.audit_hits()
+        assert any("host" not in k and k.startswith("zlib_compress")
+                   for k in hits), hits
+    finally:
+        dispatch.enable_audit(False)
+    assert actpu.decompress(h, c, expected_size=len(data)) == data
+
+
+@pytest.mark.parametrize("codec,level", [("zlib", 1), ("zlib", 2),
+                                         ("zstd", 1), ("bzip2", 9)])
+def test_default_not_slower_than_opt_off(codec, level, no_env, corpus_text):
+    """VERDICT r2 #2 done-criterion: on ~1 MB inputs the default setup is
+    never meaningfully slower than opt_off=True (it routes to the same
+    host-tier class now). Wide margin — CI timing noise, not perf."""
+    data = corpus_text(1 << 20)
+    h_def = actpu.setup(codec, level=level)
+    h_off = actpu.setup(codec, level=level, opt_off=True)
+
+    def best(h):
+        b = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            actpu.compress(h, data)
+            b = min(b, time.perf_counter() - t0)
+        return b
+
+    t_off = best(h_off)
+    t_def = best(h_def)
+    assert t_def <= 2.0 * t_off + 0.05, (codec, level, t_def, t_off)
