@@ -172,19 +172,17 @@ def train_dictionary(samples: Sequence[bytes], dict_size: int = 16384,
     seg_scores = score_pos[:nseg * SEG].reshape(nseg, SEG).sum(axis=1)
     order = np.argsort(seg_scores)  # ascending: best segments last
     need = dict_size // SEG
-    chosen = sorted(order[-need * 2:].tolist())
-    # merge adjacent, dedupe, take up to dict_size from the best
-    parts, seen, total = [], set(), 0
-    for si in reversed(chosen):
-        if si in seen:
-            continue
-        seen.add(si)
-        frag = blob[si * SEG:(si + 1) * SEG]
-        parts.append(frag)
-        total += len(frag)
-        if total >= dict_size:
+    # walk candidates in descending SCORE order (not segment index) so the
+    # kept fragments are genuinely the highest-coverage ones
+    kept, total = [], 0
+    for si in order[::-1].tolist():
+        kept.append(si)
+        total += SEG
+        if total >= dict_size or len(kept) >= need * 2:
             break
-    parts.reverse()  # most frequent at the tail (closest offsets)
+    # lay out ascending by score: the most frequent land at the dictionary
+    # tail where back-reference offsets are shortest
+    parts = [blob[si * SEG:(si + 1) * SEG] for si in reversed(kept)]
     return b"".join(parts)[-dict_size:]
 
 

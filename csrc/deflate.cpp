@@ -274,14 +274,19 @@ static i64 inflate_raw(const u8* src, size_t srcSize, u8* dst, size_t dstCap,
           else if (s == 16) {
             if (i == 0) goto done;
             int r = 3 + (int)br.get(2);
+            // a repeat overrunning hlit+hdist is "invalid bit length
+            // repeat" in stock zlib (inflate.c) — reject, don't truncate
+            if (r > total - i) goto done;
             u8 v = lens[i - 1];
-            while (r-- && i < total) lens[i++] = v;
+            while (r--) lens[i++] = v;
           } else if (s == 17) {
             int r = 3 + (int)br.get(3);
-            while (r-- && i < total) i++;
+            if (r > total - i) goto done;
+            i += r;
           } else {
             int r = 11 + (int)br.get(7);
-            while (r-- && i < total) i++;
+            if (r > total - i) goto done;
+            i += r;
           }
           if (br.fail) goto done;
         }

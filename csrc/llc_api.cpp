@@ -108,6 +108,7 @@ int64_t atpu_llc_compress(atpu_llc_desc* d, atpu_method m) {
   double t0 = d->measure_stats ? now_ns() : 0;
   int64_t r = run_compress(d, m);
   if (r < 0) return ATPU_ERR_COMPRESSION_FAILED;
+  d->out_size = (size_t)r;  // documented contract: bytes written out
   if (d->measure_stats) {
     double dt = now_ns() - t0;
     d->c_time_ns = dt;
@@ -123,6 +124,7 @@ int64_t atpu_llc_decompress(atpu_llc_desc* d, atpu_method m) {
   double t0 = d->measure_stats ? now_ns() : 0;
   int64_t r = run_decompress(d, m);
   if (r < 0) return ATPU_ERR_DECOMPRESSION_FAILED;
+  d->out_size = (size_t)r;  // documented contract: bytes written out
   if (d->measure_stats) {
     double dt = now_ns() - t0;
     d->d_time_ns = dt;

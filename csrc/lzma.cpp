@@ -285,8 +285,9 @@ static i64 lzma_decode_raw_state(Probs& P, RDec& rd, u8* dst,
       if (op == 0) return ERR_CORRUPT;
       if (!rd.bit(&P.isRepG0[state])) {
         if (!rd.bit(&P.isRep0Long[state][posState])) {
-          // short rep: 1 byte
-          if (rep0 > op || op >= dstCap) return ERR_CORRUPT;
+          // short rep: 1 byte — validate against the dict-reset base like
+          // the literal match-byte and main-copy paths (LZMA2 resets)
+          if (rep0 > op - base || op >= dstCap) return ERR_CORRUPT;
           dst[op] = dst[op - rep0];
           op++;
           state = state < 7 ? 9 : 11;
@@ -330,7 +331,10 @@ static i64 lzma_decode_raw_state(Probs& P, RDec& rd, u8* dst,
         }
       }
       if (rep0 == 0xFFFFFFFFu) {
-        // end marker
+        // end marker. With a declared size the loop already exits at
+        // unpackEnd before reading a trailing marker (known-size+marker
+        // streams, legal in LZMA ALONE, decode fine — tested); reaching
+        // one *early* means the stream is short, i.e. corrupt.
         if (sizeKnown) return ERR_CORRUPT;
         reps[0] = rep0; reps[1] = rep1; reps[2] = rep2; reps[3] = rep3;
         *statep = state;

@@ -18,11 +18,14 @@ int main(void) {
     d.measure_stats = 1;
     int64_t cs = atpu_llc_compress(&d, (atpu_method)m);
     if (cs <= 0) { printf("m=%d compress fail\n", m); return 1; }
+    /* documented contract: out_size holds bytes written after the call */
+    if (d.out_size != (size_t)cs) { printf("m=%d out_size\n", m); return 1; }
     d.in = c; d.in_size = (size_t)cs; d.out = d2; d.out_size = n;
     int64_t ds = atpu_llc_decompress(&d, (atpu_method)m);
     if (ds != (int64_t)n || memcmp(in, d2, n)) {
       printf("m=%d roundtrip fail\n", m); return 1;
     }
+    if (d.out_size != (size_t)ds) { printf("m=%d out_size\n", m); return 1; }
     printf("method %d: %lld -> ratio %.2f, %.0f MB/s\n", m,
            (long long)cs, (double)n / cs, d.c_speed_mbps);
     free(c); free(d2);

@@ -93,3 +93,45 @@ def test_corrupt_streams_raise_not_crash():
 def test_own_adler32_matches_zlib():
     p = b"adler vector " * 999
     assert native.adler32(p) == zlib.adler32(p)
+
+
+def test_overrunning_length_repeat_rejected():
+    """A dynamic header whose 17/18 zero-repeat overruns hlit+hdist is
+    "invalid bit length repeat" in stock zlib — ours must reject it too,
+    not silently truncate the run (ADVICE r2)."""
+    class _BW:
+        def __init__(self):
+            self.bits = []
+
+        def put(self, v, n):
+            for i in range(n):
+                self.bits.append((v >> i) & 1)
+
+        def bytes(self):
+            out = bytearray()
+            for i in range(0, len(self.bits), 8):
+                b = 0
+                for j, bit in enumerate(self.bits[i:i + 8]):
+                    b |= bit << j
+                out.append(b)
+            return bytes(out)
+
+    cl_order = [16, 17, 18, 0, 8, 7, 9, 6, 10, 5, 11, 4, 12, 3, 13, 2,
+                14, 1, 15]
+    bw = _BW()
+    bw.put(1, 1)    # BFINAL
+    bw.put(2, 2)    # BTYPE = dynamic
+    bw.put(0, 5)    # HLIT -> 257 codes
+    bw.put(0, 5)    # HDIST -> 1 code
+    bw.put(15, 4)   # HCLEN -> all 19 CL codes present
+    lens = {18: 1, 0: 1}
+    for s in cl_order:
+        bw.put(lens.get(s, 0), 3)
+    for _ in range(2):        # two repeat-zero-138 runs: 276 > 258 total
+        bw.put(1, 1)          # CL symbol 18 (code '1')
+        bw.put(127, 7)        # run length 11+127 = 138
+    raw = bw.bytes()
+    with pytest.raises(zlib.error):
+        zlib.decompress(raw, wbits=-15)
+    with pytest.raises(ValueError):
+        native.inflate(raw, 258, raw=True)

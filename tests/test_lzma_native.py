@@ -99,3 +99,15 @@ def test_unified_api_lzma_own():
     finally:
         dispatch.enable_audit(False)
         actpu.destroy(h)
+
+
+def test_known_size_plus_end_marker_accepted():
+    """LZMA ALONE permits an optional end marker alongside a declared
+    size (liblzma accepts such streams). The decoder exits at the declared
+    size and must not trip over the trailing marker (ADVICE r2)."""
+    import struct
+    p = _payloads()["text"]
+    s = stock.compress(p, format=stock.FORMAT_ALONE)  # unknown size+marker
+    assert s[5:13] == b"\xff" * 8
+    patched = s[:5] + struct.pack("<Q", len(p)) + s[13:]
+    assert native.lzma_decompress(patched, len(p)) == p

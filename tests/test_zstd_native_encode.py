@@ -112,3 +112,20 @@ def test_unified_api_zstd_all_own():
             assert b"".join(out) == p
         finally:
             actpu.destroy(h)
+
+
+def test_train_dictionary_keeps_highest_scoring_fragments():
+    """The trainer must select by k-gram coverage score, and place the
+    hottest fragment at the dictionary tail (shortest offsets) — ADVICE r2
+    found it selecting by segment index instead."""
+    from aocl_compression_tpu.codecs.zstd import train_dictionary
+    hot = bytes(range(64))                       # repeated everywhere
+    import random as _r
+    rng = _r.Random(9)
+    cold = lambda: bytes(rng.randrange(256) for _ in range(64))
+    # hot fragment early in the blob, noise after — index-ordered selection
+    # would favour the late noise segments
+    samples = [hot * 8] + [cold() for _ in range(200)]
+    d = train_dictionary(samples, dict_size=1024)
+    assert len(d) <= 1024
+    assert hot in d[-256:], "hottest fragment must sit near the tail"
