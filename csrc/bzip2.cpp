@@ -462,6 +462,156 @@ static int bwt_forward_lsd(const u8* s, int n, u8* L) {
   return I;
 }
 
+// ---------------------------------------------------------------------------
+// SA-IS (Nong/Zhang/Chan induced sorting) — the main block sort.
+//
+// The bzip2 BWT is over CYCLIC rotations; sorting the suffixes of s·s·$
+// and keeping start positions < n yields a valid rotation order (equal
+// rotations produce identical BWT columns, so their tie order is free).
+// Linear time with no repetitive-input pathology, which is why it replaces
+// the Larsson-Sadakane/LSD hybrid as the default (reference investment
+// point: blocksort.c mainSort/fallbackSort; this is the round-3 answer to
+// "bzip2 host sort below stock libbz2").
+// ---------------------------------------------------------------------------
+namespace sais {
+
+template <typename C>
+static void get_buckets(const C* s, int* bkt, int n, int K, bool end) {
+  memset(bkt, 0, sizeof(int) * (size_t)(K + 1));
+  for (int i = 0; i < n; i++) bkt[s[i]]++;
+  int sum = 0;
+  for (int i = 0; i <= K; i++) {
+    sum += bkt[i];
+    bkt[i] = end ? sum : sum - bkt[i];
+  }
+}
+
+// t[i] — 1 iff suffix i is S-type; LMS = S preceded by L
+static inline bool is_lms(const u8* t, int i) {
+  return i > 0 && t[i] && !t[i - 1];
+}
+
+template <typename C>
+static void induce_l(const u8* t, int* SA, const C* s, int* bkt, int n,
+                     int K) {
+  get_buckets(s, bkt, n, K, false);
+  for (int i = 0; i < n; i++) {
+    int j = SA[i] - 1;
+    if (SA[i] > 0 && !t[j]) SA[bkt[s[j]]++] = j;
+  }
+}
+
+template <typename C>
+static void induce_s(const u8* t, int* SA, const C* s, int* bkt, int n,
+                     int K) {
+  get_buckets(s, bkt, n, K, true);
+  for (int i = n - 1; i >= 0; i--) {
+    int j = SA[i] - 1;
+    if (SA[i] > 0 && t[j]) SA[--bkt[s[j]]] = j;
+  }
+}
+
+// s[n-1] must be a unique sentinel, strictly smaller than every other
+// symbol. SA receives the full suffix array (SA[0] = n-1, the sentinel).
+template <typename C>
+static bool run(const C* s, int* SA, int n, int K) {
+  u8* t = (u8*)malloc((size_t)n);
+  int* bkt = (int*)malloc(sizeof(int) * (size_t)(K + 1));
+  if (!t || !bkt) { free(t); free(bkt); return false; }
+  t[n - 1] = 1;
+  for (int i = n - 2; i >= 0; i--)
+    t[i] = (s[i] < s[i + 1] || (s[i] == s[i + 1] && t[i + 1])) ? 1 : 0;
+
+  // stage 1: approximate sort — LMS suffixes dropped at bucket ends,
+  // then L/S induction sorts all LMS *substrings*
+  get_buckets(s, bkt, n, K, true);
+  for (int i = 0; i < n; i++) SA[i] = -1;
+  for (int i = 1; i < n; i++)
+    if (is_lms(t, i)) SA[--bkt[s[i]]] = i;
+  induce_l(t, SA, s, bkt, n, K);
+  induce_s(t, SA, s, bkt, n, K);
+
+  // compact the sorted LMS substring starts into SA[0..n1)
+  int n1 = 0;
+  for (int i = 0; i < n; i++)
+    if (is_lms(t, SA[i])) SA[n1++] = SA[i];
+
+  // name each LMS substring by rank (equal substrings share a name)
+  for (int i = n1; i < n; i++) SA[i] = -1;
+  int name = 0, prev = -1;
+  for (int i = 0; i < n1; i++) {
+    int pos = SA[i];
+    bool diff = false;
+    if (prev < 0) {
+      diff = true;
+    } else {
+      for (int d = 0;; d++) {
+        if (s[pos + d] != s[prev + d] || t[pos + d] != t[prev + d]) {
+          diff = true;
+          break;
+        }
+        if (d > 0 && (is_lms(t, pos + d) || is_lms(t, prev + d)))
+          break;  // both hit the next LMS boundary together: equal
+      }
+    }
+    if (diff) { name++; prev = pos; }
+    SA[n1 + (pos >> 1)] = name - 1;
+  }
+  for (int i = n - 1, j = n - 1; i >= n1; i--)
+    if (SA[i] >= 0) SA[j--] = SA[i];
+
+  // recurse on the reduced string when names collide
+  int* s1 = SA + n - n1;
+  if (name < n1) {
+    if (!run(s1, SA, n1, name - 1)) { free(t); free(bkt); return false; }
+  } else {
+    for (int i = 0; i < n1; i++) SA[s1[i]] = i;
+  }
+
+  // stage 2: exact sort — seed the buckets with LMS suffixes in their
+  // final order, induce L then S
+  for (int i = 1, k = 0; i < n; i++)
+    if (is_lms(t, i)) s1[k++] = i;  // s1 reused: LMS positions in order
+  for (int i = 0; i < n1; i++) SA[i] = s1[SA[i]];
+  for (int i = n1; i < n; i++) SA[i] = -1;
+  get_buckets(s, bkt, n, K, true);
+  for (int i = n1 - 1; i >= 0; i--) {
+    int j = SA[i];
+    SA[i] = -1;
+    SA[--bkt[s[j]]] = j;
+  }
+  induce_l(t, SA, s, bkt, n, K);
+  induce_s(t, SA, s, bkt, n, K);
+  free(t);
+  free(bkt);
+  return true;
+}
+
+}  // namespace sais
+
+static int bwt_forward_sais(const u8* s, int n, u8* L) {
+  if (n == 0) return 0;
+  if (n == 1) { L[0] = s[0]; return 0; }
+  int m = 2 * n + 1;  // s·s·$ with $ = 0 and symbols shifted +1
+  u16* t = (u16*)malloc(sizeof(u16) * (size_t)m);
+  int* SA = (int*)malloc(sizeof(int) * (size_t)m);
+  if (!t || !SA) { free(t); free(SA); return -1; }
+  for (int i = 0; i < n; i++) t[i] = t[i + n] = (u16)(s[i] + 1);
+  t[m - 1] = 0;
+  if (!sais::run(t, SA, m, 256)) { free(t); free(SA); return -1; }
+  int ret = -1, k = 0;
+  for (int i = 0; i < m; i++) {
+    int j = SA[i];
+    if (j < n) {  // rotation start
+      if (j == 0) ret = k;
+      L[k++] = s[j == 0 ? n - 1 : j - 1];
+    }
+  }
+  free(t);
+  free(SA);
+  return k == n ? ret : -1;
+}
+
 // cheap repetitiveness probe: in a few contiguous windows, count how
 // often an 8-gram repeats within a small table. Periodic regions (the
 // LS sort's pathology) show >90% duplication; ordinary text shows
@@ -488,12 +638,13 @@ static bool looks_repetitive(const u8* s, int n) {
   return false;
 }
 
-// hybrid dispatcher: Larsson-Sadakane first (fast on ordinary data),
-// LSD doubling for repetitive data (probe or blown work budget) — the
-// mainSort/fallbackSort pairing of the reference blocksort.c.
+// dispatcher: SA-IS is the main sort (linear, no pathological inputs);
+// the LS/LSD hybrid remains as the belt-and-braces fallback on OOM.
 static int bwt_forward(const u8* s, int n, u8* L) {
+  int r = bwt_forward_sais(s, n, L);
+  if (r >= 0 || n == 0) return r;
   if (looks_repetitive(s, n)) return bwt_forward_lsd(s, n, L);
-  int r = bwt_forward_ls(s, n, L);
+  r = bwt_forward_ls(s, n, L);
   if (r == -2) return bwt_forward_lsd(s, n, L);
   return r;
 }
