@@ -118,6 +118,22 @@ def get_lib() -> ctypes.CDLL:
              [_u8p, ctypes.c_size_t, _u8p, ctypes.c_size_t, _i32, _u8p,
               ctypes.c_size_t]),
             ("atpu_zstd_compress_bound", _i64, [_i64]),
+            ("atpu_inflate_stream_new", ctypes.c_void_p, [_i32]),
+            ("atpu_inflate_stream_free", None, [ctypes.c_void_p]),
+            ("atpu_inflate_stream_feed", _i64,
+             [ctypes.c_void_p, _u8p, ctypes.c_size_t]),
+            ("atpu_inflate_stream_pending", _i64, [ctypes.c_void_p]),
+            ("atpu_inflate_stream_run", _i64,
+             [ctypes.c_void_p, _u8p, ctypes.c_size_t, _i32,
+              ctypes.POINTER(_i32)]),
+            ("atpu_bz2_stream_new", ctypes.c_void_p, []),
+            ("atpu_bz2_stream_free", None, [ctypes.c_void_p]),
+            ("atpu_bz2_stream_feed", _i64,
+             [ctypes.c_void_p, _u8p, ctypes.c_size_t]),
+            ("atpu_bz2_stream_pending", _i64, [ctypes.c_void_p]),
+            ("atpu_bz2_stream_run", _i64,
+             [ctypes.c_void_p, _u8p, ctypes.c_size_t, _i32,
+              ctypes.POINTER(_i32)]),
         ]:
             fn = getattr(lib, name)
             fn.restype = restype
@@ -653,3 +669,109 @@ def zstd_compress(data: bytes, level: int = 3,
     if n < 0:
         raise ValueError("zstd compress failed")
     return dst[:n].tobytes()
+
+
+class InflateStream:
+    """Resumable streaming inflate over the C runtime's z_stream analog
+    (csrc/deflate.cpp atpu_inflate_stream_*; reference capability:
+    algos/zlib/inflate.c incremental decode). Memory stays O(window):
+    consumed input is trimmed inside the context each run."""
+
+    _CHUNK = 256 * 1024
+
+    def __init__(self, raw: bool = False):
+        self._lib = get_lib()
+        self._ctx = self._lib.atpu_inflate_stream_new(1 if raw else 0)
+        if not self._ctx:
+            raise MemoryError("inflate stream alloc")
+        self.done = False
+
+    def __del__(self):
+        ctx, self._ctx = getattr(self, "_ctx", None), None
+        if ctx:
+            self._lib.atpu_inflate_stream_free(ctx)
+
+    def pending_input(self) -> int:
+        """Bytes of compressed input buffered (bounded-memory assert hook)."""
+        return int(self._lib.atpu_inflate_stream_pending(self._ctx))
+
+    def decode(self, data: bytes, final: bool = False) -> bytes:
+        """Feed ``data`` and return whatever decodes now."""
+        if self._ctx is None:
+            raise ValueError("stream closed")
+        if data:
+            buf = _tobuf(data)
+            if self._lib.atpu_inflate_stream_feed(
+                    self._ctx, _as_u8p(buf), len(data)) < 0:
+                raise MemoryError("inflate stream feed")
+        out = []
+        dst = np.empty(self._CHUNK, dtype=np.uint8)
+        flag = _i32(0)
+        while True:
+            n = self._lib.atpu_inflate_stream_run(
+                self._ctx, _as_u8p(dst), dst.size, 1 if final else 0,
+                ctypes.byref(flag))
+            if n == -4:
+                raise ValueError("zlib: adler32 mismatch")
+            if n < 0:
+                raise ValueError("inflate: corrupt stream")
+            out.append(dst[:n].tobytes())
+            self.done = bool(flag.value)
+            # n == 0 means no further progress without more input (the run
+            # itself stops ~258 B short of dst.size, so compare against 0,
+            # not the chunk size)
+            if self.done or n == 0:
+                break
+        return b"".join(out)
+
+
+class Bz2DecodeStream:
+    """Resumable streaming bzip2 decode over the C runtime
+    (csrc/bzip2.cpp atpu_bz2_stream_*; reference capability:
+    algos/bzip2/decompress.c BZ2_bzDecompress incremental calls).
+    Memory is O(blockSize) — one block's BWT state plus pending input;
+    consumed input is trimmed inside the context each run."""
+
+    _CHUNK = 256 * 1024
+
+    def __init__(self):
+        self._lib = get_lib()
+        self._ctx = self._lib.atpu_bz2_stream_new()
+        if not self._ctx:
+            raise MemoryError("bz2 stream alloc")
+        self.done = False
+
+    def __del__(self):
+        ctx, self._ctx = getattr(self, "_ctx", None), None
+        if ctx:
+            self._lib.atpu_bz2_stream_free(ctx)
+
+    def pending_input(self) -> int:
+        """Bytes of compressed input buffered (bounded-memory assert hook)."""
+        return int(self._lib.atpu_bz2_stream_pending(self._ctx))
+
+    def decode(self, data: bytes, final: bool = False) -> bytes:
+        """Feed ``data`` and return whatever decodes now."""
+        if self._ctx is None:
+            raise ValueError("stream closed")
+        if data:
+            buf = _tobuf(data)
+            if self._lib.atpu_bz2_stream_feed(
+                    self._ctx, _as_u8p(buf), len(data)) < 0:
+                raise MemoryError("bz2 stream feed")
+        out = []
+        dst = np.empty(self._CHUNK, dtype=np.uint8)
+        flag = _i32(0)
+        while True:
+            n = self._lib.atpu_bz2_stream_run(
+                self._ctx, _as_u8p(dst), dst.size, 1 if final else 0,
+                ctypes.byref(flag))
+            if n == -4:
+                raise ValueError("bzip2: block CRC mismatch")
+            if n < 0:
+                raise ValueError("bzip2: corrupt stream")
+            out.append(dst[:n].tobytes())
+            self.done = bool(flag.value)
+            if self.done or n < dst.size:
+                break
+        return b"".join(out)

@@ -13,10 +13,12 @@ decompress) accepts:
   zstd  — concatenated standard frames (RFC 8878 permits concatenation)
   bzip2 — concatenated .bz2 streams (the format's multi-stream rule)
 
-DecompressStream decodes zstd incrementally frame-by-frame (the C runtime
-reports per-frame consumed sizes); zlib/bzip2 buffer until finish() —
-their bitstreams carry no frame-length fields, and the own C inflate is
-one-shot (documented tradeoff).
+DecompressStream decodes ALL three codecs incrementally with bounded
+memory: zstd frame-by-frame (the C runtime reports per-frame consumed
+sizes), zlib through the C runtime's resumable inflate context
+(native.InflateStream — O(32 KiB window) state, consumed input trimmed
+every run), bzip2 block-at-a-time through native.Bz2DecodeStream
+(O(blockSize) state). No path buffers the whole stream.
 
 Reference analogs: deflate()/inflate() streaming (algos/zlib/deflate.c),
 ZSTD_compressStream2 (algos/zstd/lib/compress/zstd_compress.c).
@@ -102,25 +104,37 @@ class CompressStream:
 
 
 class DecompressStream:
-    """Incremental decompressor.
+    """Incremental decompressor — all codecs decode as input arrives.
 
-    zstd decodes frame-by-frame as input arrives (bounded memory per
-    frame); zlib/bzip2 buffer compressed input and decode at finish().
+    zstd: frame-by-frame (the C runtime reports consumed sizes);
+    zlib: resumable C inflate context (O(window) memory);
+    bzip2: block-at-a-time C context (O(blockSize) memory).
     """
 
     def __init__(self, codec: str):
         if codec not in _STREAM_CODECS:
             raise ValueError(f"streaming supports {_STREAM_CODECS}")
         self.codec = codec
-        self._buf = bytearray()
+        self._buf = bytearray()  # zstd only: partial-frame holdback
         self._finished = False
+        self._ctx = None
+        if codec == "zlib":
+            self._ctx = native.InflateStream(raw=False)
+        elif codec == "bzip2":
+            self._ctx = native.Bz2DecodeStream()
+
+    def pending_input(self) -> int:
+        """Compressed bytes currently buffered (bounded-memory hook)."""
+        if self._ctx is not None:
+            return self._ctx.pending_input()
+        return len(self._buf)
 
     def write(self, data: bytes) -> bytes:
         if self._finished:
             raise ValueError("stream already finished")
+        if self._ctx is not None:
+            return self._ctx.decode(data)
         self._buf += data
-        if self.codec != "zstd":
-            return b""
         out = bytearray()
         while True:
             res = native.zstd_decompress_frame(bytes(self._buf))
@@ -137,21 +151,19 @@ class DecompressStream:
         if self._finished:
             raise ValueError("stream already finished")
         self._finished = True
+        if self._ctx is not None:
+            return self._ctx.decode(b"", final=True)
         if not self._buf:
             return b""
         data = bytes(self._buf)
         self._buf.clear()
-        if self.codec == "zstd":
-            # leftover bytes must form complete frame(s)
-            out = bytearray()
-            while data:
-                res = native.zstd_decompress_frame(data)
-                if res is None:
-                    raise ValueError("zstd stream truncated mid-frame")
-                decoded, consumed = res
-                out += decoded
-                data = data[consumed:]
-            return bytes(out)
-        if self.codec == "zlib":
-            return native.inflate(data)
-        return native.bz2_decompress(data)
+        # leftover bytes must form complete frame(s)
+        out = bytearray()
+        while data:
+            res = native.zstd_decompress_frame(data)
+            if res is None:
+                raise ValueError("zstd stream truncated mid-frame")
+            decoded, consumed = res
+            out += decoded
+            data = data[consumed:]
+        return bytes(out)

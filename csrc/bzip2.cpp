@@ -861,6 +861,155 @@ static bool emit_bz2_block(MsbWriter& bw, const u8* L, int n, int origPtr,
 // ---------------------------------------------------------------------------
 // decompress
 // ---------------------------------------------------------------------------
+// Decode ONE block (br positioned just after the 48-bit block magic) into
+// dst at *op_inout. Returns ERR_* or the block's CRC (>= 0); the caller
+// folds it into the stream CRC. A truncated input shows as br.fail +
+// ERR_CORRUPT — streaming callers roll back and wait for more input.
+static i64 bz2_decode_one_block(MsbReader& br, int blockLimit, u8* L,
+                                u32* tt, u8* dst, size_t dstCap,
+                                size_t* op_inout) {
+  size_t op = *op_inout;
+  u32 blockCrc = br.get(32);
+  u32 randomized = br.get(1);
+  u32 origPtr = br.get(24);
+  if (br.fail || randomized) return ERR_CORRUPT;  // deprecated rand mode
+  u16 used16 = (u16)br.get(16);
+  bool used[256] = {false};
+  int nUsed = 0;
+  u8 unmap[256];
+  for (int i = 0; i < 16; i++) {
+    if (!(used16 & (1 << (15 - i)))) continue;
+    u16 bits = (u16)br.get(16);
+    for (int j = 0; j < 16; j++)
+      if (bits & (1 << (15 - j))) used[16 * i + j] = true;
+  }
+  for (int i = 0; i < 256; i++)
+    if (used[i]) unmap[nUsed++] = (u8)i;
+  if (nUsed == 0) return ERR_CORRUPT;
+  int alphaSize = nUsed + 2;
+  int EOB = alphaSize - 1;
+
+  int nGroups = (int)br.get(3);
+  int nSel = (int)br.get(15);
+  if (br.fail || nGroups < 2 || nGroups > 6 || nSel < 1) return ERR_CORRUPT;
+  u8* sel = (u8*)malloc((size_t)nSel);
+  if (!sel) return ERR_CORRUPT;
+  {
+    u8 tord[MAX_GROUPS];
+    for (int i = 0; i < nGroups; i++) tord[i] = (u8)i;
+    for (int g = 0; g < nSel; g++) {
+      int p = 0;
+      while (br.get(1) == 1) { p++; if (p >= nGroups || br.fail) {
+          free(sel); return ERR_CORRUPT; } }
+      u8 t = tord[p];
+      memmove(tord + 1, tord, (size_t)p);
+      tord[0] = t;
+      sel[g] = t;
+    }
+  }
+  DecTable* tables = (DecTable*)malloc(sizeof(DecTable) * MAX_GROUPS);
+  if (!tables) { free(sel); return ERR_CORRUPT; }
+  bool tok = true;
+  for (int t = 0; t < nGroups && tok; t++) {
+    u8 lens[MAX_ALPHA];
+    int cur = (int)br.get(5);
+    for (int a = 0; a < alphaSize; a++) {
+      for (;;) {
+        if (br.fail || cur < 1 || cur > 20) { tok = false; break; }
+        if (br.get(1) == 0) break;
+        cur += br.get(1) ? -1 : 1;
+      }
+      if (!tok) break;
+      lens[a] = (u8)cur;
+    }
+    tok = tok && bz_build_dectable(lens, alphaSize, &tables[t]);
+  }
+  if (!tok) { free(tables); free(sel); return ERR_CORRUPT; }
+
+  // decode symbol stream -> MTF/RLE2 -> byte counts + tt fill
+  u8 order[256];
+  memcpy(order, unmap, 256);
+  int cftab[257] = {0};
+  int nblock = 0;
+  u32 zrun = 0;
+  u32 zbit = 1;
+  int gsym = 0;
+  bool ok2 = true;
+  auto emit_byte = [&](u8 b) -> bool {
+    if (nblock >= blockLimit) return false;
+    L[nblock++] = b;
+    cftab[b + 1]++;
+    return true;
+  };
+  for (;;) {
+    int t = sel[(gsym / GROUP_SIZE) < nSel ? gsym / GROUP_SIZE
+                                           : nSel - 1];
+    if (gsym / GROUP_SIZE >= nSel) { ok2 = false; break; }
+    int s = bz_get_sym(br, tables[t]);
+    gsym++;
+    if (s < 0 || s >= alphaSize) { ok2 = false; break; }
+    if (s == 0 || s == 1) {  // RUNA / RUNB
+      zrun += (s == 0) ? zbit : 2 * zbit;
+      zbit <<= 1;
+      continue;
+    }
+    if (zrun) {
+      u8 b = order[0];
+      while (zrun--) if (!emit_byte(b)) { ok2 = false; break; }
+      zrun = 0;
+      zbit = 1;
+      if (!ok2) break;
+    }
+    if (s == EOB) break;
+    int p = s - 1;  // MTF index
+    if (p >= nUsed) { ok2 = false; break; }
+    u8 b = order[p];
+    memmove(order + 1, order, (size_t)p);
+    order[0] = b;
+    if (!emit_byte(b)) { ok2 = false; break; }
+  }
+  free(tables);
+  free(sel);
+  if (!ok2 || br.fail || (int)origPtr >= (nblock ? nblock : 1))
+    return ERR_CORRUPT;
+
+  // inverse BWT: LF walk via tt (standard cftab chaining)
+  for (int i = 0; i < 256; i++) cftab[i + 1] += cftab[i];
+  for (int i = 0; i < nblock; i++) tt[cftab[L[i]]++] = (u32)i;
+  u32 tpos = tt[origPtr];
+  u32 crc = 0xFFFFFFFFu;
+  // RLE1 decode inline
+  int runCount = 0;
+  u8 prev = 0;
+  bool counting = false;
+  for (int i = 0; i < nblock; i++) {
+    u8 b = L[tpos];
+    tpos = tt[tpos];
+    if (counting) {
+      // b is a repeat count for `prev`
+      for (int k = 0; k < (int)b; k++) {
+        if (op >= dstCap) return ERR_DST_SMALL;
+        dst[op++] = prev;
+        crc = crc_update(crc, prev);
+      }
+      counting = false;
+      runCount = 0;
+      continue;
+    }
+    if (op >= dstCap) return ERR_DST_SMALL;
+    dst[op++] = b;
+    crc = crc_update(crc, b);
+    if (runCount > 0 && b == prev) runCount++;
+    else runCount = 1;
+    prev = b;
+    if (runCount == 4) { counting = true; }
+  }
+  crc ^= 0xFFFFFFFFu;
+  if (crc != blockCrc) return ERR_CHECKSUM;
+  *op_inout = op;
+  return (i64)crc;
+}
+
 static i64 bz2_decode_stream(MsbReader& br, u8* dst, size_t dstCap,
                              size_t* op_inout) {
   u32 h1 = br.get(8), h2 = br.get(8), h3 = br.get(8), lvl = br.get(8);
@@ -886,143 +1035,13 @@ static i64 bz2_decode_stream(MsbReader& br, u8* dst, size_t dstCap,
     }
     if (magic != 0x314159265359ULL) goto done;
     {
-      u32 blockCrc = br.get(32);
-      u32 randomized = br.get(1);
-      u32 origPtr = br.get(24);
-      if (br.fail || randomized) goto done;  // deprecated randomized mode
-      u16 used16 = (u16)br.get(16);
-      bool used[256] = {false};
-      int nUsed = 0;
-      u8 unmap[256];
-      for (int i = 0; i < 16; i++) {
-        if (!(used16 & (1 << (15 - i)))) continue;
-        u16 bits = (u16)br.get(16);
-        for (int j = 0; j < 16; j++)
-          if (bits & (1 << (15 - j))) used[16 * i + j] = true;
+      i64 crc = bz2_decode_one_block(br, blockLimit, L, tt, dst, dstCap,
+                                     &op);
+      if (crc < 0) {
+        if (crc == ERR_DST_SMALL || crc == ERR_CHECKSUM) result = crc;
+        goto done;
       }
-      for (int i = 0; i < 256; i++)
-        if (used[i]) unmap[nUsed++] = (u8)i;
-      if (nUsed == 0) goto done;
-      int alphaSize = nUsed + 2;
-      int EOB = alphaSize - 1;
-
-      int nGroups = (int)br.get(3);
-      int nSel = (int)br.get(15);
-      if (br.fail || nGroups < 2 || nGroups > 6 || nSel < 1) goto done;
-      u8* sel = (u8*)malloc((size_t)nSel);
-      if (!sel) goto done;
-      {
-        u8 tord[MAX_GROUPS];
-        for (int i = 0; i < nGroups; i++) tord[i] = (u8)i;
-        for (int g = 0; g < nSel; g++) {
-          int p = 0;
-          while (br.get(1) == 1) { p++; if (p >= nGroups || br.fail) {
-              free(sel); goto done; } }
-          u8 t = tord[p];
-          memmove(tord + 1, tord, (size_t)p);
-          tord[0] = t;
-          sel[g] = t;
-        }
-      }
-      DecTable* tables = (DecTable*)malloc(sizeof(DecTable) * MAX_GROUPS);
-      if (!tables) { free(sel); goto done; }
-      bool tok = true;
-      for (int t = 0; t < nGroups && tok; t++) {
-        u8 lens[MAX_ALPHA];
-        int cur = (int)br.get(5);
-        for (int a = 0; a < alphaSize; a++) {
-          for (;;) {
-            if (br.fail || cur < 1 || cur > 20) { tok = false; break; }
-            if (br.get(1) == 0) break;
-            cur += br.get(1) ? -1 : 1;
-          }
-          if (!tok) break;
-          lens[a] = (u8)cur;
-        }
-        tok = tok && bz_build_dectable(lens, alphaSize, &tables[t]);
-      }
-      if (!tok) { free(tables); free(sel); goto done; }
-
-      // decode symbol stream -> MTF/RLE2 -> byte counts + tt fill
-      u8 order[256];
-      memcpy(order, unmap, 256);
-      int cftab[257] = {0};
-      int nblock = 0;
-      u32 zrun = 0;
-      u32 zbit = 1;
-      int gsym = 0;
-      bool ok2 = true;
-      auto emit_byte = [&](u8 b) -> bool {
-        if (nblock >= blockLimit) return false;
-        L[nblock++] = b;
-        cftab[b + 1]++;
-        return true;
-      };
-      for (;;) {
-        int t = sel[(gsym / GROUP_SIZE) < nSel ? gsym / GROUP_SIZE
-                                               : nSel - 1];
-        if (gsym / GROUP_SIZE >= nSel) { ok2 = false; break; }
-        int s = bz_get_sym(br, tables[t]);
-        gsym++;
-        if (s < 0 || s >= alphaSize) { ok2 = false; break; }
-        if (s == 0 || s == 1) {  // RUNA / RUNB
-          zrun += (s == 0) ? zbit : 2 * zbit;
-          zbit <<= 1;
-          continue;
-        }
-        if (zrun) {
-          u8 b = order[0];
-          while (zrun--) if (!emit_byte(b)) { ok2 = false; break; }
-          zrun = 0;
-          zbit = 1;
-          if (!ok2) break;
-        }
-        if (s == EOB) break;
-        int p = s - 1;  // MTF index
-        if (p >= nUsed) { ok2 = false; break; }
-        u8 b = order[p];
-        memmove(order + 1, order, (size_t)p);
-        order[0] = b;
-        if (!emit_byte(b)) { ok2 = false; break; }
-      }
-      free(tables);
-      free(sel);
-      if (!ok2 || br.fail || (int)origPtr >= (nblock ? nblock : 1)) goto done;
-
-      // inverse BWT: LF walk via tt (standard cftab chaining)
-      for (int i = 0; i < 256; i++) cftab[i + 1] += cftab[i];
-      for (int i = 0; i < nblock; i++) tt[cftab[L[i]]++] = (u32)i;
-      u32 tpos = tt[origPtr];
-      u32 crc = 0xFFFFFFFFu;
-      // RLE1 decode inline
-      int runCount = 0;
-      u8 prev = 0;
-      bool counting = false;
-      for (int i = 0; i < nblock; i++) {
-        u8 b = L[tpos];
-        tpos = tt[tpos];
-        if (counting) {
-          // b is a repeat count for `prev`
-          for (int k = 0; k < (int)b; k++) {
-            if (op >= dstCap) { result = ERR_DST_SMALL; goto done; }
-            dst[op++] = prev;
-            crc = crc_update(crc, prev);
-          }
-          counting = false;
-          runCount = 0;
-          continue;
-        }
-        if (op >= dstCap) { result = ERR_DST_SMALL; goto done; }
-        dst[op++] = b;
-        crc = crc_update(crc, b);
-        if (runCount > 0 && b == prev) runCount++;
-        else runCount = 1;
-        prev = b;
-        if (runCount == 4) { counting = true; }
-      }
-      crc ^= 0xFFFFFFFFu;
-      if (crc != blockCrc) { result = ERR_CHECKSUM; goto done; }
-      streamCrc = ((streamCrc << 1) | (streamCrc >> 31)) ^ crc;
+      streamCrc = ((streamCrc << 1) | (streamCrc >> 31)) ^ (u32)crc;
     }
   }
 done:
@@ -1032,11 +1051,181 @@ done:
   return result;
 }
 
+// ---------------------------------------------------------------------------
+// Block-at-a-time streaming decode — the BZ2_bzDecompress analog. Input
+// arrives in arbitrary feeds; each complete block is decoded as soon as
+// its bits are present (detected by attempt + rollback on starvation), so
+// memory stays O(one block + its output), never O(stream). Handles
+// concatenated .bz2 streams like stock bzip2.
+// ---------------------------------------------------------------------------
+struct Bz2Stream {
+  u8* in; size_t in_len, in_cap;
+  u64 bitpos;              // bits of `in` consumed (kept < 8 after trim)
+  int state;               // 0 = stream header, 1 = blocks, 2 = done
+  int blockLimit;
+  u32 streamCrc;
+  u8* L; u32* tt;          // per-block work areas
+  u8* out; size_t out_len, out_cap, out_off;  // decoded, not yet handed out
+};
+
 }  // namespace
 
 // ---------------------------------------------------------------------------
 // C API
 // ---------------------------------------------------------------------------
+
+ATPU_EXPORT void* atpu_bz2_stream_new(void) {
+  Bz2Stream* z = (Bz2Stream*)calloc(1, sizeof(Bz2Stream));
+  return z;
+}
+
+ATPU_EXPORT void atpu_bz2_stream_free(void* p) {
+  if (!p) return;
+  Bz2Stream* z = (Bz2Stream*)p;
+  free(z->in);
+  free(z->L);
+  free(z->tt);
+  free(z->out);
+  free(z);
+}
+
+ATPU_EXPORT i64 atpu_bz2_stream_feed(void* p, const u8* src, size_t n) {
+  Bz2Stream* z = (Bz2Stream*)p;
+  if (!z) return ERR_CORRUPT;
+  if (z->in_len + n > z->in_cap) {
+    size_t cap = (z->in_len + n) * 2 + 4096;
+    u8* nb = (u8*)realloc(z->in, cap);
+    if (!nb) return ERR_CORRUPT;
+    z->in = nb;
+    z->in_cap = cap;
+  }
+  memcpy(z->in + z->in_len, src, n);
+  z->in_len += n;
+  return (i64)z->in_len;
+}
+
+ATPU_EXPORT i64 atpu_bz2_stream_pending(void* p) {
+  Bz2Stream* z = (Bz2Stream*)p;
+  return z ? (i64)(z->in_len + (z->out_len - z->out_off)) : 0;
+}
+
+ATPU_EXPORT i64 atpu_bz2_stream_run(void* p, u8* dst, size_t cap,
+                                    int final_in, int* done) {
+  Bz2Stream* z = (Bz2Stream*)p;
+  if (done) *done = 0;
+  if (!z) return ERR_CORRUPT;
+  size_t op = 0;
+  for (;;) {
+    // drain previously decoded output first
+    if (z->out_len > z->out_off) {
+      size_t take = z->out_len - z->out_off;
+      if (take > cap - op) take = cap - op;
+      memcpy(dst + op, z->out + z->out_off, take);
+      op += take;
+      z->out_off += take;
+      if (z->out_off == z->out_len) { z->out_off = z->out_len = 0; }
+      if (op == cap) return (i64)op;
+    }
+    if (z->state == 2) { if (done) *done = 1; return (i64)op; }
+
+    MsbReader br(z->in + (z->bitpos >> 3), z->in + z->in_len);
+    if (z->bitpos & 7) br.get((int)(z->bitpos & 7));
+    const u8* sp = br.p; u64 sacc = br.acc; int snb = br.nbits;
+    i64 unit = -1;  // <0: starved / corrupt this unit
+
+    if (z->state == 0) {
+      u32 h1 = br.get(8), h2 = br.get(8), h3 = br.get(8), lvl = br.get(8);
+      if (!br.fail) {
+        if (h1 != 'B' || h2 != 'Z' || h3 != 'h' || lvl < '1' || lvl > '9')
+          return ERR_CORRUPT;
+        z->blockLimit = 100000 * (int)(lvl - '0');
+        free(z->L); free(z->tt);
+        z->L = (u8*)malloc((size_t)z->blockLimit + 16);
+        z->tt = (u32*)malloc(sizeof(u32) * ((size_t)z->blockLimit + 16));
+        if (!z->L || !z->tt) return ERR_CORRUPT;
+        z->streamCrc = 0;
+        z->state = 1;
+        unit = 0;
+      }
+    } else {
+      u64 magic = ((u64)br.get(24) << 24) | br.get(24);
+      if (!br.fail) {
+        if (magic == 0x177245385090ULL) {  // end of stream
+          u32 want = br.get(32);
+          if (!br.fail) {
+            if (want != z->streamCrc) return ERR_CHECKSUM;
+            // concatenated streams: more input (beyond byte padding)
+            // means another BZh header follows, byte-aligned
+            u64 consumed = (u64)(br.p - z->in) * 8 - (u64)br.nbits;
+            u64 left = (u64)z->in_len * 8 - ((consumed + 7) & ~7ULL);
+            if (left >= 8) {
+              br.get((int)((8 - (consumed & 7)) & 7));  // align
+              z->state = 0;
+            } else if (final_in || left == 0) {
+              z->state = 2;
+            } else {
+              // bytes may still arrive (another stream) — but we can
+              // already report completion of this one lazily
+              z->state = 2;
+            }
+            unit = 0;
+          }
+        } else if (magic != 0x314159265359ULL) {
+          return ERR_CORRUPT;
+        } else {
+          // grow the decode buffer until the block fits (RLE1 can expand)
+          if (z->out_cap < (size_t)z->blockLimit + 16) {
+            size_t cap2 = (size_t)z->blockLimit * 2 + 64;
+            u8* nb = (u8*)realloc(z->out, cap2);
+            if (!nb) return ERR_CORRUPT;
+            z->out = nb;
+            z->out_cap = cap2;
+          }
+          for (;;) {
+            size_t bop = z->out_len;
+            i64 crc = bz2_decode_one_block(br, z->blockLimit, z->L, z->tt,
+                                           z->out, z->out_cap, &bop);
+            if (crc == ERR_DST_SMALL) {
+              size_t cap2 = z->out_cap * 2 + 64;
+              u8* nb = (u8*)realloc(z->out, cap2);
+              if (!nb) return ERR_CORRUPT;
+              z->out = nb;
+              z->out_cap = cap2;
+              br.p = sp; br.acc = sacc; br.nbits = snb; br.fail = false;
+              // re-skip the 48-bit magic we already consumed
+              br.get(24); br.get(24);
+              continue;
+            }
+            if (crc == ERR_CHECKSUM && !br.fail) return ERR_CHECKSUM;
+            if (crc < 0) break;  // starved (or corrupt — resolved below)
+            z->streamCrc =
+                ((z->streamCrc << 1) | (z->streamCrc >> 31)) ^ (u32)crc;
+            z->out_len = bop;
+            unit = 0;
+            break;
+          }
+        }
+      }
+    }
+
+    if (unit < 0) {
+      // starvation (or a corruption that cannot be told apart from it
+      // until all input is here). With final_in the stream is simply
+      // incomplete: a valid stream always reaches state 2 (end magic
+      // + CRC) before its bits run out.
+      if (final_in) return ERR_CORRUPT;
+      return (i64)op;
+    }
+    // commit consumed bits, trim whole bytes
+    z->bitpos = (u64)(br.p - z->in) * 8 - (u64)br.nbits;
+    size_t drop = (size_t)(z->bitpos >> 3);
+    if (drop) {
+      memmove(z->in, z->in + drop, z->in_len - drop);
+      z->in_len -= drop;
+      z->bitpos &= 7;
+    }
+  }
+}
 
 // test/diagnostic export: run the block sort alone
 ATPU_EXPORT i64 atpu_bwt_forward(const u8* src, i64 n, u8* L) {

@@ -810,6 +810,274 @@ ATPU_EXPORT i64 atpu_inflate_consumed(const u8* src, size_t n, u8* dst,
   return inflate_raw(src, n, dst, dstCap, consumed);
 }
 
+// ---------------------------------------------------------------------------
+// Resumable streaming inflate — the z_stream analog (reference capability:
+// algos/zlib/inflate.c's incremental state machine). Input arrives in
+// arbitrary-size feeds; decode resumes at symbol/header boundaries via
+// snapshot-and-rollback on input starvation; back-references resolve
+// through a 32 KiB ring, so memory stays O(window) however long the
+// stream is. Used by streaming.DecompressStream for zlib.
+// ---------------------------------------------------------------------------
+namespace {
+
+enum { IST_ZHDR, IST_BLOCK, IST_STORED, IST_HUFF, IST_CHECK, IST_DONE };
+
+struct InflateStream {
+  u8* in;            // pending (unconsumed) input
+  size_t in_len, in_cap;
+  u64 bitpos;        // bits of `in` already consumed (kept < 8 after trim)
+  int state;
+  int raw;           // 1 = raw deflate, 0 = zlib wrapper (adler verified)
+  bool final_block;
+  HTable lit, dist;
+  u32 stored_left;
+  u8 win[1 << 15];
+  u64 total_out;
+  u32 adler;
+};
+
+struct BrSnap { const u8* p; u64 acc; int nbits; };
+static inline BrSnap snap(const BitReader& br) {
+  return {br.p, br.acc, br.nbits};
+}
+static inline void restore(BitReader& br, const BrSnap& s) {
+  br.p = s.p; br.acc = s.acc; br.nbits = s.nbits; br.fail = false;
+}
+
+// parse one block header (incl. a full dynamic table section).
+// returns 1 ok, 0 starved/invalid (caller rolls back), -1 hard corrupt
+static int ist_block_header(InflateStream* z, BitReader& br) {
+  u32 bfinal = br.get(1);
+  u32 btype = br.get(2);
+  if (br.fail) return 0;
+  z->final_block = bfinal != 0;
+  if (btype == 0) {
+    br.align();
+    u32 len = br.get(16), nlen = br.get(16);
+    if (br.fail) return 0;
+    if ((len ^ nlen) != 0xFFFF) return -1;
+    z->stored_left = len;
+    z->state = IST_STORED;
+    return 1;
+  }
+  if (btype == 1) {
+    static_tables(z->lit, z->dist);
+    z->state = IST_HUFF;
+    return 1;
+  }
+  if (btype != 2) return -1;
+  int hlit = (int)br.get(5) + 257;
+  int hdist = (int)br.get(5) + 1;
+  int hclen = (int)br.get(4) + 4;
+  if (br.fail) return 0;
+  if (hlit > 288 || hdist > 30) return -1;
+  u8 cl_lens[19] = {0};
+  for (int i = 0; i < hclen; i++) cl_lens[CL_ORDER[i]] = (u8)br.get(3);
+  if (br.fail) return 0;
+  HTable* cl = (HTable*)malloc(sizeof(HTable));
+  if (!cl) return -1;
+  if (!cl->build(cl_lens, 19)) { free(cl); return -1; }
+  u8 lens[288 + 30] = {0};
+  int total = hlit + hdist;
+  for (int i = 0; i < total;) {
+    int s = decode_sym(br, *cl);
+    if (s < 0) { free(cl); return br.bytes_left() ? -1 : 0; }
+    if (s < 16) lens[i++] = (u8)s;
+    else if (s == 16) {
+      if (i == 0) { free(cl); return -1; }
+      int r = 3 + (int)br.get(2);
+      if (br.fail) { free(cl); return 0; }
+      if (r > total - i) { free(cl); return -1; }
+      u8 v = lens[i - 1];
+      while (r--) lens[i++] = v;
+    } else if (s == 17) {
+      int r = 3 + (int)br.get(3);
+      if (br.fail) { free(cl); return 0; }
+      if (r > total - i) { free(cl); return -1; }
+      i += r;
+    } else {
+      int r = 11 + (int)br.get(7);
+      if (br.fail) { free(cl); return 0; }
+      if (r > total - i) { free(cl); return -1; }
+      i += r;
+    }
+  }
+  free(cl);
+  if (!z->lit.build(lens, hlit)) return -1;
+  if (lens[hlit] == 0 && hdist == 1) {
+    u8 one[2] = {1, 0};
+    z->dist.build(one, 2);
+    z->dist.maxbits = 0;
+  } else if (!z->dist.build(lens + hlit, hdist, true)) {
+    return -1;
+  }
+  z->state = IST_HUFF;
+  return 1;
+}
+
+}  // namespace
+
+ATPU_EXPORT void* atpu_inflate_stream_new(int raw) {
+  InflateStream* z = (InflateStream*)calloc(1, sizeof(InflateStream));
+  if (!z) return nullptr;
+  z->raw = raw;
+  z->state = raw ? IST_BLOCK : IST_ZHDR;
+  z->adler = 1;
+  return z;
+}
+
+ATPU_EXPORT void atpu_inflate_stream_free(void* p) {
+  if (!p) return;
+  InflateStream* z = (InflateStream*)p;
+  free(z->in);
+  free(z);
+}
+
+ATPU_EXPORT i64 atpu_inflate_stream_feed(void* p, const u8* src, size_t n) {
+  InflateStream* z = (InflateStream*)p;
+  if (!z) return ERR_CORRUPT;
+  if (z->in_len + n > z->in_cap) {
+    size_t cap = (z->in_len + n) * 2 + 4096;
+    u8* nb = (u8*)realloc(z->in, cap);
+    if (!nb) return ERR_CORRUPT;
+    z->in = nb;
+    z->in_cap = cap;
+  }
+  memcpy(z->in + z->in_len, src, n);
+  z->in_len += n;
+  return (i64)z->in_len;
+}
+
+ATPU_EXPORT i64 atpu_inflate_stream_pending(void* p) {
+  InflateStream* z = (InflateStream*)p;
+  return z ? (i64)z->in_len : 0;
+}
+
+// Decode as much as possible into dst (cap must be >= 64 KiB). final_in=1
+// once no more input will arrive. *done set when the stream is complete.
+// Returns bytes written or ERR_*; call again while it returns cap-limited
+// output or after feeding more input.
+ATPU_EXPORT i64 atpu_inflate_stream_run(void* p, u8* dst, size_t cap,
+                                        int final_in, int* done) {
+  InflateStream* z = (InflateStream*)p;
+  if (done) *done = 0;
+  if (!z || cap < (1 << 16)) return ERR_CORRUPT;
+  size_t op = 0;
+  BitReader br(z->in + (z->bitpos >> 3), z->in + z->in_len);
+  if (z->bitpos & 7) br.get((int)(z->bitpos & 7));  // skip partial byte
+
+  auto emit = [&](u8 b) {
+    dst[op++] = b;
+    z->win[z->total_out & 32767] = b;
+    z->total_out++;
+  };
+  i64 result = -1000;  // sentinel: keep looping
+  while (result == -1000) {
+    BrSnap s = snap(br);
+    switch (z->state) {
+      case IST_ZHDR: {
+        u32 h0 = br.get(8), h1 = br.get(8);
+        if (br.fail) { restore(br, s);
+          result = final_in ? ERR_CORRUPT : (i64)op; break; }
+        if ((h0 & 0x0F) != 8 || ((h0 << 8 | h1) % 31) != 0 || (h1 & 0x20)) {
+          result = ERR_CORRUPT; break; }
+        z->state = IST_BLOCK;
+        break;
+      }
+      case IST_BLOCK: {
+        int r = ist_block_header(z, br);
+        if (r < 0) { result = ERR_CORRUPT; break; }
+        if (r == 0) {
+          restore(br, s);
+          if (!final_in) { result = (i64)op; break; }
+          // final: raw chunk streams may end cleanly on a block boundary
+          // (mode-2 sync chunks carry no BFINAL)
+          u64 left = (u64)(br.end - br.p) * 8 + (u64)br.nbits;
+          if (z->raw && left < 8) { z->state = IST_DONE; break; }
+          result = ERR_CORRUPT;
+        }
+        break;
+      }
+      case IST_STORED: {
+        while (z->stored_left && op < cap) {
+          BrSnap b2 = snap(br);
+          u32 b = br.get(8);
+          if (br.fail) { restore(br, b2);
+            result = final_in ? ERR_CORRUPT : (i64)op; break; }
+          emit((u8)b);
+          z->stored_left--;
+        }
+        if (result != -1000) break;
+        if (z->stored_left) { result = (i64)op; break; }  // out of dst space
+        z->state = z->final_block ? IST_CHECK : IST_BLOCK;
+        break;
+      }
+      case IST_HUFF: {
+        for (;;) {
+          if (cap - op < 258) { result = (i64)op; break; }  // refill dst
+          BrSnap b2 = snap(br);
+          int sy = decode_sym(br, z->lit);
+          if (sy < 0) { restore(br, b2);
+            result = final_in ? ERR_CORRUPT : (i64)op; break; }
+          if (sy < 256) { emit((u8)sy); continue; }
+          if (sy == 256) {
+            z->state = z->final_block ? IST_CHECK : IST_BLOCK;
+            break;
+          }
+          int c = sy - 257;
+          if (c >= 29 || z->dist.maxbits == 0) { result = ERR_CORRUPT;
+            break; }
+          int len = LEN_BASE[c] + (int)br.get(LEN_XBITS[c]);
+          int dc = decode_sym(br, z->dist);
+          if (dc < 0) { restore(br, b2);
+            result = final_in ? ERR_CORRUPT : (i64)op; break; }
+          if (dc >= 30) { result = ERR_CORRUPT; break; }
+          int d = DIST_BASE[dc] + (int)br.get(DIST_XBITS[dc]);
+          if (br.fail) { restore(br, b2);
+            result = final_in ? ERR_CORRUPT : (i64)op; break; }
+          if ((u64)d > z->total_out) { result = ERR_CORRUPT; break; }
+          for (int i = 0; i < len; i++)
+            emit(z->win[(z->total_out - (u64)d) & 32767]);
+        }
+        break;
+      }
+      case IST_CHECK: {
+        if (z->raw) { z->state = IST_DONE; break; }
+        br.align();
+        u32 a3 = br.get(8), a2 = br.get(8), a1 = br.get(8), a0 = br.get(8);
+        if (br.fail) { restore(br, s);
+          result = final_in ? ERR_CORRUPT : (i64)op; break; }
+        u32 want = (a3 << 24) | (a2 << 16) | (a1 << 8) | a0;
+        u32 got = adler32(dst, op, z->adler);  // fold the tail below too
+        z->adler = got;
+        if (z->adler != want) { result = ERR_CHECKSUM; break; }
+        z->state = IST_DONE;
+        break;
+      }
+      case IST_DONE:
+        if (done) *done = 1;
+        result = (i64)op;
+        break;
+    }
+  }
+  if (result >= 0) {
+    // running adler over everything emitted this call (unless the CHECK
+    // state already folded it in)
+    if (!z->raw && z->state != IST_DONE)
+      z->adler = adler32(dst, op, z->adler);
+    if (z->state == IST_DONE && done) *done = 1;
+    // trim consumed whole bytes so pending memory stays O(chunk)
+    z->bitpos = (u64)(br.p - z->in) * 8 - (u64)br.nbits;
+    size_t drop = (size_t)(z->bitpos >> 3);
+    if (drop) {
+      memmove(z->in, z->in + drop, z->in_len - drop);
+      z->in_len -= drop;
+      z->bitpos &= 7;
+    }
+  }
+  return result;
+}
+
 // CRC-32 (IEEE 802.3, reflected 0xEDB88320) — the gzip/xz-crc32 checksum.
 // Slice-by-8 (reference capability: zlib crc32.c's braided tables):
 // 8 bytes per step, ~8x the byte-at-a-time rate

@@ -1,6 +1,6 @@
 """Streaming API: chunked writes must produce streams that stock decoders
 and this framework's decompressors accept, and DecompressStream must
-reproduce the input (zstd incrementally, zlib/bzip2 at finish)."""
+reproduce the input incrementally with bounded memory for all codecs."""
 
 import bz2 as stock_bz2
 import zlib as stock_zlib
@@ -110,3 +110,67 @@ def test_stream_misuse_raises():
         cs.write(b"more")
     with pytest.raises(ValueError):
         streaming.CompressStream("lz4")
+
+
+@pytest.mark.parametrize("codec", ["zlib", "bzip2"])
+def test_stream_decode_is_incremental_and_bounded(codec):
+    """zlib/bzip2 decode must emit output BEFORE finish() and keep the
+    buffered compressed input bounded (O(window) / O(block)), never the
+    whole stream (reference capability: algos/zlib/inflate.c resumable
+    state machine, algos/bzip2 BZ2_bzDecompress incremental calls)."""
+    data = _payload(3 << 20, seed=13)
+    if codec == "zlib":
+        c = stock_zlib.compress(data, 6)
+        bound = 1 << 16          # inflate trims consumed bytes every run
+    else:
+        c = stock_bz2.compress(data, 1)  # 100k blocks
+        bound = 400000           # one block's compressed bytes + slack
+    ds = streaming.DecompressStream(codec)
+    out = bytearray()
+    early_bytes = 0
+    max_pending = 0
+    step = 8192
+    for i in range(0, len(c), step):
+        got = ds.write(c[i:i + step])
+        out += got
+        if i < len(c) - step:
+            early_bytes += len(got)
+        max_pending = max(max_pending, ds.pending_input())
+    out += ds.finish()
+    assert bytes(out) == data
+    assert early_bytes > len(data) // 2, "decode did not stream"
+    assert max_pending < bound, f"pending {max_pending} >= {bound}"
+
+
+@pytest.mark.parametrize("codec", ["zlib", "bzip2"])
+def test_stream_decode_truncated_raises(codec):
+    data = _payload(200000, seed=17)
+    c = (stock_zlib.compress(data) if codec == "zlib"
+         else stock_bz2.compress(data))
+    ds = streaming.DecompressStream(codec)
+    ds.write(c[:len(c) - 40])
+    with pytest.raises(ValueError):
+        ds.finish()
+
+
+def test_stream_decode_multistream_bzip2():
+    """Concatenated .bz2 streams (the format's multi-stream rule) decode
+    across the boundary, matching stock bz2.decompress semantics."""
+    a, b = _payload(120000, seed=19), _payload(90000, seed=23)
+    c = stock_bz2.compress(a, 9) + stock_bz2.compress(b, 9)
+    ds = streaming.DecompressStream("bzip2")
+    out = bytearray()
+    for i in range(0, len(c), 5000):
+        out += ds.write(c[i:i + 5000])
+    out += ds.finish()
+    assert bytes(out) == a + b
+
+
+def test_stream_decode_corrupt_checksum_raises():
+    data = _payload(100000, seed=29)
+    bad = bytearray(stock_zlib.compress(data))
+    bad[-2] ^= 0xFF  # adler byte
+    ds = streaming.DecompressStream("zlib")
+    with pytest.raises(ValueError):
+        ds.write(bytes(bad))
+        ds.finish()
