@@ -244,10 +244,28 @@ class Bzip2Codec(Codec):
         return n + (n // 100) + 600
 
     def compress(self, handle: Handle, data: bytes) -> bytes:
-        fn = dispatch.resolve("bzip2", "compress", handle.max_tier,
-                              handle.opt_off,
-                              calibrated=not _device_opt_in(handle))
-        return fn(data, self.clamp_level(handle.level or self.default_level))
+        fn, tier = dispatch.resolve_with_tier(
+            "bzip2", "compress", handle.max_tier, handle.opt_off,
+            calibrated=not _device_opt_in(handle))
+        level = self.clamp_level(handle.level or self.default_level)
+        block = 100_000 * level
+        if (tier == TIER_HOST and not handle.opt_off
+                and len(data) > 2 * block):
+            # MT fan-out as CONCATENATED .bz2 streams (the format's own
+            # multi-stream rule — the pbzip2 layout; stock bunzip2 and
+            # this decoder both accept it). Each worker compresses whole
+            # blockLimit-sized chunks, so the per-block BWT context and
+            # the ratio match the serial encoder; the only overhead is
+            # one ~14-byte stream header/footer per chunk. Reference
+            # analog: the threads/threads.c per-thread partitions.
+            from ..parallel import host_pool
+            chunks = [data[i:i + block]
+                      for i in range(0, len(data), block)]
+            frags = host_pool.parallel_map(
+                lambda ch: fn(ch, level), chunks,
+                workers=handle.num_shards, total_bytes=len(data))
+            return b"".join(frags)
+        return fn(data, level)
 
     def decompress(self, handle: Handle, data: bytes,
                    expected_size: Optional[int] = None) -> bytes:

@@ -476,13 +476,19 @@ static int bwt_forward_lsd(const u8* s, int n, u8* L) {
 namespace sais {
 
 template <typename C>
-static void get_buckets(const C* s, int* bkt, int n, int K, bool end) {
-  memset(bkt, 0, sizeof(int) * (size_t)(K + 1));
-  for (int i = 0; i < n; i++) bkt[s[i]]++;
+static void count_syms(const C* s, int* cnt, int n, int K) {
+  memset(cnt, 0, sizeof(int) * (size_t)(K + 1));
+  for (int i = 0; i < n; i++) cnt[s[i]]++;
+}
+
+// derive bucket starts/ends from a precomputed histogram (the histogram
+// is counted ONCE per recursion level; the 4-5 bucket resets per level
+// are then O(K), not O(n))
+static void get_buckets(const int* cnt, int* bkt, int K, bool end) {
   int sum = 0;
   for (int i = 0; i <= K; i++) {
-    sum += bkt[i];
-    bkt[i] = end ? sum : sum - bkt[i];
+    sum += cnt[i];
+    bkt[i] = end ? sum : sum - cnt[i];
   }
 }
 
@@ -492,9 +498,9 @@ static inline bool is_lms(const u8* t, int i) {
 }
 
 template <typename C>
-static void induce_l(const u8* t, int* SA, const C* s, int* bkt, int n,
-                     int K) {
-  get_buckets(s, bkt, n, K, false);
+static void induce_l(const u8* t, int* SA, const C* s, const int* cnt,
+                     int* bkt, int n, int K) {
+  get_buckets(cnt, bkt, K, false);
   for (int i = 0; i < n; i++) {
     int j = SA[i] - 1;
     if (SA[i] > 0 && !t[j]) SA[bkt[s[j]]++] = j;
@@ -502,9 +508,9 @@ static void induce_l(const u8* t, int* SA, const C* s, int* bkt, int n,
 }
 
 template <typename C>
-static void induce_s(const u8* t, int* SA, const C* s, int* bkt, int n,
-                     int K) {
-  get_buckets(s, bkt, n, K, true);
+static void induce_s(const u8* t, int* SA, const C* s, const int* cnt,
+                     int* bkt, int n, int K) {
+  get_buckets(cnt, bkt, K, true);
   for (int i = n - 1; i >= 0; i--) {
     int j = SA[i] - 1;
     if (SA[i] > 0 && t[j]) SA[--bkt[s[j]]] = j;
@@ -517,19 +523,21 @@ template <typename C>
 static bool run(const C* s, int* SA, int n, int K) {
   u8* t = (u8*)malloc((size_t)n);
   int* bkt = (int*)malloc(sizeof(int) * (size_t)(K + 1));
-  if (!t || !bkt) { free(t); free(bkt); return false; }
+  int* cnt = (int*)malloc(sizeof(int) * (size_t)(K + 1));
+  if (!t || !bkt || !cnt) { free(t); free(bkt); free(cnt); return false; }
+  count_syms(s, cnt, n, K);
   t[n - 1] = 1;
   for (int i = n - 2; i >= 0; i--)
     t[i] = (s[i] < s[i + 1] || (s[i] == s[i + 1] && t[i + 1])) ? 1 : 0;
 
   // stage 1: approximate sort — LMS suffixes dropped at bucket ends,
   // then L/S induction sorts all LMS *substrings*
-  get_buckets(s, bkt, n, K, true);
+  get_buckets(cnt, bkt, K, true);
   for (int i = 0; i < n; i++) SA[i] = -1;
   for (int i = 1; i < n; i++)
     if (is_lms(t, i)) SA[--bkt[s[i]]] = i;
-  induce_l(t, SA, s, bkt, n, K);
-  induce_s(t, SA, s, bkt, n, K);
+  induce_l(t, SA, s, cnt, bkt, n, K);
+  induce_s(t, SA, s, cnt, bkt, n, K);
 
   // compact the sorted LMS substring starts into SA[0..n1)
   int n1 = 0;
@@ -563,7 +571,8 @@ static bool run(const C* s, int* SA, int n, int K) {
   // recurse on the reduced string when names collide
   int* s1 = SA + n - n1;
   if (name < n1) {
-    if (!run(s1, SA, n1, name - 1)) { free(t); free(bkt); return false; }
+    if (!run(s1, SA, n1, name - 1)) { free(t); free(bkt); free(cnt);
+      return false; }
   } else {
     for (int i = 0; i < n1; i++) SA[s1[i]] = i;
   }
@@ -574,42 +583,124 @@ static bool run(const C* s, int* SA, int n, int K) {
     if (is_lms(t, i)) s1[k++] = i;  // s1 reused: LMS positions in order
   for (int i = 0; i < n1; i++) SA[i] = s1[SA[i]];
   for (int i = n1; i < n; i++) SA[i] = -1;
-  get_buckets(s, bkt, n, K, true);
+  get_buckets(cnt, bkt, K, true);
   for (int i = n1 - 1; i >= 0; i--) {
     int j = SA[i];
     SA[i] = -1;
     SA[--bkt[s[j]]] = j;
   }
-  induce_l(t, SA, s, bkt, n, K);
-  induce_s(t, SA, s, bkt, n, K);
+  induce_l(t, SA, s, cnt, bkt, n, K);
+  induce_s(t, SA, s, cnt, bkt, n, K);
   free(t);
   free(bkt);
+  free(cnt);
   return true;
 }
 
 }  // namespace sais
 
+// One overshoot attempt: sort the suffixes of x = s·s[0:k)·$ (symbols
+// shifted +1, $ = 0) and read off the rotation order from positions < n.
+// A suffix starting at i only carries n+k-i characters of cyclic context,
+// so a comparison that ran into the $ of the shorter suffix was decided
+// by truncation, not by the rotations themselves. Such a pair requires
+// LCP >= the shorter suffix's length n+k-max(i,j) >= k+1, so validation
+// only needs to compare each adjacent extracted pair until a difference
+// or k+1 equal symbols; the total compare budget is capped so periodic
+// inputs abort to escalation instead of going quadratic. At k == n the
+// sort is the exact s·s·$ doubling (shorter length >= n+1 exceeds any
+// genuine rotation LCP < n; equal rotations order freely), so no
+// validation is needed there.
+static bool looks_repetitive(const u8* s, int n);
+
+// Validation uses Kasai's amortized-O(m) LCP construction (direct
+// pairwise comparison is Theta(sum of adjacent LCPs), which goes
+// quadratic exactly on the compressible inputs bzip2 exists for).
+// Returns origPtr >= 0, -1 on OOM, -2 on unresolved; *needK receives
+// the overshoot that would have resolved every tie seen (escalation
+// target). k == n needs no validation (exact).
+static int bwt_overshoot_attempt(const u8* s, int n, int k, u8* L,
+                                 int* needK) {
+  int m = n + k + 1;
+  const bool exact = (k >= n);
+  u16* x = (u16*)malloc(sizeof(u16) * (size_t)m);
+  int* SA = (int*)malloc(sizeof(int) * (size_t)m);
+  int* rank = exact ? NULL : (int*)malloc(sizeof(int) * (size_t)m);
+  int* lcp = exact ? NULL : (int*)malloc(sizeof(int) * (size_t)m);
+  if (!x || !SA || (!exact && (!rank || !lcp))) {
+    free(x); free(SA); free(rank); free(lcp);
+    return -1;
+  }
+  for (int i = 0; i < n; i++) x[i] = (u16)(s[i] + 1);
+  for (int i = 0; i < k; i++) x[n + i] = (u16)(s[i] + 1);
+  x[m - 1] = 0;
+  int ret = -1;
+  if (sais::run(x, SA, m, 256)) {
+    if (!exact) {
+      for (int i = 0; i < m; i++) rank[SA[i]] = i;
+      int h = 0;
+      lcp[0] = 0;
+      for (int i = 0; i < m; i++) {
+        int r = rank[i];
+        if (r > 0) {
+          int j = SA[r - 1];
+          while (i + h < m && j + h < m && x[i + h] == x[j + h]) h++;
+          lcp[r] = h;
+          if (h > 0) h--;
+        } else {
+          h = 0;
+        }
+      }
+    }
+    // extract rotations; running min of lcp across intervening entries
+    // bounds (from above) the direct LCP of adjacent extracted pairs
+    int out = 0, prev = -1, runMin = 1 << 30;
+    int origPtr = -1, need = 0;
+    for (int i = 0; i < m; i++) {
+      if (!exact && i > 0 && lcp[i] < runMin) runMin = lcp[i];
+      int j = SA[i];
+      if (j >= n) continue;
+      if (prev >= 0 && !exact && runMin < n) {
+        int mx = j > prev ? j : prev;
+        int shorter = n + k - mx;
+        if (runMin >= shorter) {  // decided by $: unresolved
+          int want = runMin - n + mx + 1;  // k that beats this tie
+          if (want > need) need = want;
+        }
+      }
+      if (j == 0) origPtr = out;
+      L[out++] = s[j == 0 ? n - 1 : j - 1];
+      prev = j;
+      runMin = 1 << 30;
+    }
+    if (needK) *needK = need;
+    ret = out != n ? -1 : (need ? -2 : origPtr);
+  }
+  free(x); free(SA); free(rank); free(lcp);
+  return ret;
+}
+
 static int bwt_forward_sais(const u8* s, int n, u8* L) {
   if (n == 0) return 0;
   if (n == 1) { L[0] = s[0]; return 0; }
-  int m = 2 * n + 1;  // s·s·$ with $ = 0 and symbols shifted +1
-  u16* t = (u16*)malloc(sizeof(u16) * (size_t)m);
-  int* SA = (int*)malloc(sizeof(int) * (size_t)m);
-  if (!t || !SA) { free(t); free(SA); return -1; }
-  for (int i = 0; i < n; i++) t[i] = t[i + n] = (u16)(s[i] + 1);
-  t[m - 1] = 0;
-  if (!sais::run(t, SA, m, 256)) { free(t); free(SA); return -1; }
-  int ret = -1, k = 0;
-  for (int i = 0; i < m; i++) {
-    int j = SA[i];
-    if (j < n) {  // rotation start
-      if (j == 0) ret = k;
-      L[k++] = s[j == 0 ? n - 1 : j - 1];
-    }
+  // overshoot ladder: k chars of wrapped context resolve every adjacent
+  // rotation pair whose first cyclic difference lies within k of the
+  // wrap. Normal data resolves at the first rung; the repetitiveness
+  // probe sends periodic-looking blocks straight to the exact k == n
+  // sort (the former s·s·$ doubling); in between, escalation jumps
+  // directly to the tie depth the failed attempt measured.
+  int k = (n <= 8192 || looks_repetitive(s, n)) ? n : 4096;
+  for (;;) {
+    int need = 0;
+    int r = bwt_overshoot_attempt(s, n, k, L, &need);
+    if (r != -2) return r;
+    if (k >= n) return -1;  // cannot happen (k==n is exact); belt+braces
+    // `need` is measured against TRUNCATED suffixes, so it can
+    // under-report deep periodic ties by ~k per rung — escalate
+    // geometrically with `need` as a floor
+    k = need + 2048 > 4 * k ? need + 2048 : 4 * k;
+    if (k > n || k < 0) k = n;
   }
-  free(t);
-  free(SA);
-  return k == n ? ret : -1;
 }
 
 // cheap repetitiveness probe: in a few contiguous windows, count how
