@@ -120,6 +120,11 @@ class ZstdCodec(Codec):
 
     def decompress(self, handle: Handle, data: bytes,
                    expected_size: Optional[int] = None) -> bytes:
+        # device decode rides the XLA tier only when opted in
+        # (AOCL_DEVICE_DECODE / set_config(device_decode=True)) — decode
+        # correctness must never depend on tier availability
+        from ..utils.config import device_decode_enabled
+        dcap = handle.max_tier if device_decode_enabled() else TIER_HOST
         if len(data) >= _SKIPPABLE_HEADER_SIZE:
             magic, size = struct.unpack_from("<II", data)
             if (magic & 0xFFFFFFF0) == _SKIPPABLE_MAGIC:
@@ -130,7 +135,7 @@ class ZstdCodec(Codec):
                     chunks = [bytes(body[o:o + l])
                               for o, l in zip(offsets, lens)]
                     db, dtier = dispatch.resolve_with_tier(
-                        self.name, "decompress_blocks", handle.max_tier,
+                        self.name, "decompress_blocks", dcap,
                         handle.opt_off)
                     kw = ({"workers": handle.num_shards or None}
                           if dtier == TIER_HOST else {})
@@ -138,7 +143,7 @@ class ZstdCodec(Codec):
                                        handle.dictionary, **kw))
                 # unknown skippable frame: stock zstd skips it; so do we
                 data = data[_SKIPPABLE_HEADER_SIZE + size:]
-        fn = dispatch.resolve(self.name, "decompress", handle.max_tier,
+        fn = dispatch.resolve(self.name, "decompress", dcap,
                               handle.opt_off)
         return fn(data, expected_size, handle.dictionary)
 
@@ -249,6 +254,29 @@ def _compress_xla(data: bytes, level: int, dictionary=None) -> bytes:
     frames, _ = zstd_device.encode_blocks(
         container.split_blocks(data, bs), level)
     return b"".join(frames)  # concatenated frames are a valid zstd stream
+
+
+@dispatch.register("zstd", "decompress_blocks", TIER_XLA,
+                   "zstd_decompress_blocks_xla")
+def _decompress_blocks_xla(chunks: Sequence[bytes], dlens: Sequence[int],
+                           dictionary=None) -> List[bytes]:
+    # device decode tier (ops/zstd_decode_device.py): host cracks headers,
+    # device runs the Huffman/FSE scans + LZ77 resolution. Dictionary
+    # windows need host history — route those to the host fan-out.
+    if dictionary is not None:
+        return _decompress_blocks_host(chunks, dlens, dictionary)
+    from ..ops import zstd_decode_device
+    return zstd_decode_device.decode_chunks(list(chunks),
+                                            [int(d) for d in dlens])
+
+
+@dispatch.register("zstd", "decompress", TIER_XLA, "zstd_decompress_xla")
+def _decompress_xla(data: bytes, expected_size=None,
+                    dictionary=None) -> bytes:
+    if dictionary is not None:
+        return _decompress_host(data, expected_size, dictionary)
+    from ..ops import zstd_decode_device
+    return zstd_decode_device.decode_frames(data, expected_size)
 
 
 @dispatch.register("zstd", "compress_blocks", TIER_MESH,

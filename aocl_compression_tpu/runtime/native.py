@@ -134,6 +134,10 @@ def get_lib() -> ctypes.CDLL:
             ("atpu_bz2_stream_run", _i64,
              [ctypes.c_void_p, _u8p, ctypes.c_size_t, _i32,
               ctypes.POINTER(_i32)]),
+            ("atpu_zstd_frame_plan", _i64,
+             [_u8p, ctypes.c_size_t, ctypes.POINTER(_i32),
+              ctypes.POINTER(ctypes.c_uint16), _u32p, _i64,
+              ctypes.POINTER(_i64)]),
         ]:
             fn = getattr(lib, name)
             fn.restype = restype
@@ -775,3 +779,39 @@ class Bz2DecodeStream:
             if self.done or n < dst.size:
                 break
         return b"".join(out)
+
+
+_PLAN_STRIDE = 22
+_PLAN_MAXBLOCKS = 512
+
+
+def zstd_frame_plan(data: bytes, off: int = 0):
+    """Crack ONE zstd frame's headers into a device decode plan
+    (csrc/zstd_decode.cpp atpu_zstd_frame_plan). Returns
+    (nblocks, meta, huf, fse, consumed); nblocks == 0 for skippable
+    frames, -1 for valid-size frames the planner cannot plan (caller
+    decodes those on the host); None when the frame is corrupt."""
+    lib = get_lib()
+    view = np.frombuffer(data, dtype=np.uint8)[off:]
+    meta = np.zeros((_PLAN_MAXBLOCKS, _PLAN_STRIDE), np.int32)
+    huf = np.zeros((_PLAN_MAXBLOCKS, 2048), np.uint16)
+    fse = np.zeros((_PLAN_MAXBLOCKS, 3, 512), np.uint32)
+    consumed = _i64(0)
+    nb = lib.atpu_zstd_frame_plan(
+        _as_u8p(view), view.size,
+        meta.ctypes.data_as(ctypes.POINTER(_i32)),
+        huf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        fse.ctypes.data_as(_u32p), _PLAN_MAXBLOCKS,
+        ctypes.byref(consumed))
+    if nb == -2 and consumed.value > 0:   # too many blocks: host path
+        return -1, None, None, None, int(consumed.value)
+    if nb < 0:
+        return None
+    # stream/section offsets are relative to the view; absolutize them
+    # (consumers only read an offset whose paired length/type says it is
+    # live, so shifting unused zero entries is harmless)
+    m = meta[:nb]
+    if nb and off:
+        for col in (1, 7, 9, 11, 13, 16):  # PM_BOFF, PM_S*OFF, PM_SEQOFF
+            m[:, col] += off
+    return int(nb), m, huf[:nb], fse[:nb], int(consumed.value)

@@ -24,6 +24,7 @@ namespace {
 typedef uint8_t u8;
 typedef uint16_t u16;
 typedef uint32_t u32;
+typedef int32_t i32;
 typedef uint64_t u64;
 typedef long long i64;
 
@@ -949,4 +950,247 @@ ATPU_EXPORT i64 atpu_zstd_dict_info(const u8* dict, size_t dictSize,
   reps[2] = ctx.rep[2];
   *dictID = ctx.dictID;
   return (i64)ctx.dictLen;
+}
+
+// ---------------------------------------------------------------------------
+// Device-decode frame planner.
+//
+// The TPU decode tier (ops/zstd_decode_device.py) splits a frame into the
+// parts the hardware is good at (bulk Huffman/FSE symbol scans over many
+// independent streams, LZ77 resolution over the output domain) and the
+// parts that are irreducibly tiny and serial (header cracking, table
+// construction). This export walks a frame's headers WITHOUT touching the
+// bitstreams and emits, per block: the literal/stream/sequence byte
+// ranges plus fully-built decode tables, reusing the same parse_ncount /
+// fse_build / huf_read_table machinery the host decoder runs (mirrors
+// decode_block's header arithmetic; reference capability:
+// algos/zstd/lib/decompress/zstd_decompress_block.c table setup).
+//
+// meta layout per block: PM_* below, PLAN_STRIDE i32s.
+// huf:  PLAN_HUF  u16 per block — (sym << 4) | nbBits
+// fse:  3 * PLAN_FSE u32 per block (LL, OF, ML) —
+//       (newStateBase << 16) | (nbBits << 8) | sym
+// ---------------------------------------------------------------------------
+namespace {
+enum {
+  PM_BTYPE = 0,    // 0 raw, 1 rle, 2 compressed
+  PM_BOFF, PM_BSIZE,          // block content range (absolute in src)
+  PM_LITTYPE,                 // 0 raw, 1 rle, 2 huffman (incl. treeless)
+  PM_LITREGEN, PM_RLEBYTE, PM_NSTREAMS,
+  PM_S0OFF, PM_S0LEN, PM_S1OFF, PM_S1LEN,
+  PM_S2OFF, PM_S2LEN, PM_S3OFF, PM_S3LEN,
+  PM_NBSEQ, PM_SEQOFF, PM_SEQLEN,
+  PM_HUFLOG, PM_LLLOG, PM_OFLOG, PM_MLLOG,
+  PLAN_STRIDE
+};
+const int PLAN_HUF = 1 << HUF_MAX_LOG;
+const int PLAN_FSE = 1 << FSE_MAX_LOG;
+
+void export_fse(const FSEDec& t, u32* out) {
+  int size = 1 << (t.log > 0 ? t.log : 0);
+  for (int i = 0; i < size; i++)
+    out[i] = ((u32)t.base[i] << 16) | ((u32)t.nb[i] << 8) | t.sym[i];
+}
+}  // namespace
+
+ATPU_EXPORT i64 atpu_zstd_frame_plan(const u8* src, size_t srcSize,
+                                     i32* meta, u16* huf, u32* fse,
+                                     i64 maxBlocks, i64* consumed) {
+  size_t fsz;
+  i64 probe = atpu_zstd_frame_compressed_size(src, srcSize);
+  if (probe < 0) return probe;
+  fsz = (size_t)probe;
+  if (consumed) *consumed = (i64)fsz;
+  u32 magic = rd32le(src);
+  if ((magic & 0xFFFFFFF0u) == 0x184D2A50u) return 0;  // skippable
+  // frame header walk (mirrors decode_frame)
+  const u8* p = src + 4;
+  const u8* end = src + fsz;
+  u8 fhd = *p++;
+  int fcsFlag = fhd >> 6;
+  bool singleSeg = (fhd >> 5) & 1;
+  int didFlag = fhd & 3;
+  if ((fhd >> 3) & 1) return ERR_CORRUPT;
+  if (!singleSeg) p++;
+  static const int didSizes[4] = {0, 1, 2, 4};
+  p += didSizes[didFlag];
+  int fcsSizes[4] = {singleSeg ? 1 : 0, 2, 4, 8};
+  p += fcsSizes[fcsFlag];
+  if (p > end) return ERR_CORRUPT;
+
+  HufDec hufState;          // carried across blocks (treeless literals)
+  FSEDec llT, ofT, mlT;     // carried (repeat mode 3)
+  bool llV = false, ofV = false, mlV = false;
+  i64 nb = 0;
+
+  bool last = false;
+  while (!last) {
+    if (p + 3 > end) return ERR_CORRUPT;
+    u32 bh = (u32)p[0] | ((u32)p[1] << 8) | ((u32)p[2] << 16);
+    last = bh & 1;
+    int btype = (bh >> 1) & 3;
+    size_t bsize = bh >> 3;
+    p += 3;
+    if (btype == 3) return ERR_CORRUPT;
+    size_t contentBytes = (btype == 1) ? 1 : bsize;
+    if (p + contentBytes > end) return ERR_CORRUPT;
+    if (nb >= maxBlocks) return ERR_DST_SMALL;
+    i32* m = meta + nb * PLAN_STRIDE;
+    u16* hout = huf + nb * PLAN_HUF;
+    u32* fout = fse + nb * 3 * PLAN_FSE;
+    memset(m, 0, sizeof(i32) * PLAN_STRIDE);
+    m[PM_BTYPE] = btype;
+    m[PM_BOFF] = (i32)(p - src);
+    m[PM_BSIZE] = (i32)bsize;
+    if (btype != 2) { nb++; p += contentBytes; continue; }
+
+    const u8* bp = p;
+    size_t brem = bsize;
+    p += bsize;
+    // ---- literal section header (mirrors decode_block) ----
+    if (brem < 1) return ERR_CORRUPT;
+    int ltype = bp[0] & 3;
+    int sizeFmt = (bp[0] >> 2) & 3;
+    size_t regen = 0, csize = 0, lhSize = 0;
+    if (ltype == 0 || ltype == 1) {
+      if (sizeFmt == 0 || sizeFmt == 2) { lhSize = 1; regen = bp[0] >> 3; }
+      else if (sizeFmt == 1) {
+        if (brem < 2) return ERR_CORRUPT;
+        lhSize = 2; regen = rd16le(bp) >> 4;
+      } else {
+        if (brem < 3) return ERR_CORRUPT;
+        lhSize = 3;
+        regen = ((u32)bp[0] >> 4) | ((u32)bp[1] << 4) | ((u32)bp[2] << 12);
+      }
+      csize = (ltype == 0) ? regen : 1;
+      if (lhSize + csize > brem) return ERR_CORRUPT;
+      m[PM_LITTYPE] = ltype;
+      m[PM_LITREGEN] = (i32)regen;
+      if (ltype == 0) {
+        m[PM_S0OFF] = (i32)(bp + lhSize - src);
+        m[PM_S0LEN] = (i32)regen;
+      } else {
+        m[PM_RLEBYTE] = bp[lhSize];
+      }
+    } else {
+      bool treeless = (ltype == 3);
+      u32 h;
+      if (sizeFmt == 0 || sizeFmt == 1) {
+        if (brem < 3) return ERR_CORRUPT;
+        h = (u32)bp[0] | ((u32)bp[1] << 8) | ((u32)bp[2] << 16);
+        lhSize = 3; regen = (h >> 4) & 0x3FF; csize = (h >> 14) & 0x3FF;
+      } else if (sizeFmt == 2) {
+        if (brem < 4) return ERR_CORRUPT;
+        h = rd32le(bp);
+        lhSize = 4; regen = (h >> 4) & 0x3FFF; csize = (h >> 18) & 0x3FFF;
+      } else {
+        if (brem < 5) return ERR_CORRUPT;
+        u64 h5 = (u64)rd32le(bp) | ((u64)bp[4] << 32);
+        lhSize = 5; regen = (h5 >> 4) & 0x3FFFF; csize = (h5 >> 22) & 0x3FFFF;
+      }
+      if (regen > (1u << 17) || lhSize + csize > brem) return ERR_CORRUPT;
+      const u8* cp = bp + lhSize;
+      size_t crem = csize;
+      if (!treeless) {
+        int used = huf_read_table(&hufState, cp, crem);
+        if (used < 0) return used;
+        cp += used; crem -= (size_t)used;
+      } else if (hufState.log < 0) {
+        return ERR_CORRUPT;
+      }
+      for (int i = 0; i < (1 << HUF_MAX_LOG); i++)
+        hout[i] = (u16)(((u16)hufState.sym[i] << 4) | hufState.nb[i]);
+      m[PM_LITTYPE] = 2;
+      m[PM_LITREGEN] = (i32)regen;
+      m[PM_HUFLOG] = hufState.log;
+      if (sizeFmt == 0) {
+        m[PM_NSTREAMS] = 1;
+        m[PM_S0OFF] = (i32)(cp - src);
+        m[PM_S0LEN] = (i32)crem;
+      } else {
+        if (crem < 6) return ERR_CORRUPT;
+        size_t s1 = rd16le(cp), s2 = rd16le(cp + 2), s3 = rd16le(cp + 4);
+        if (s1 + s2 + s3 > crem - 6) return ERR_CORRUPT;
+        size_t s4 = crem - 6 - s1 - s2 - s3;
+        size_t q = (regen + 3) / 4;
+        if (3 * q > regen) return ERR_CORRUPT;
+        m[PM_NSTREAMS] = 4;
+        i32 off = (i32)(cp + 6 - src);
+        size_t ss[4] = {s1, s2, s3, s4};
+        for (int i = 0; i < 4; i++) {
+          m[PM_S0OFF + 2 * i] = off;
+          m[PM_S0LEN + 2 * i] = (i32)ss[i];
+          off += (i32)ss[i];
+        }
+      }
+    }
+    // ---- sequence section ----
+    const u8* sp = bp + lhSize + csize;
+    size_t srem = bsize - lhSize - csize;
+    if (srem < 1) return ERR_CORRUPT;
+    u32 nbSeq;
+    u32 b0 = *sp++; srem--;
+    if (b0 < 128) nbSeq = b0;
+    else if (b0 < 255) {
+      if (srem < 1) return ERR_CORRUPT;
+      nbSeq = ((b0 - 128) << 8) + *sp++; srem--;
+    } else {
+      if (srem < 2) return ERR_CORRUPT;
+      nbSeq = rd16le(sp) + 0x7F00; sp += 2; srem -= 2;
+    }
+    m[PM_NBSEQ] = (i32)nbSeq;
+    if (nbSeq > 0) {
+      if (srem < 1) return ERR_CORRUPT;
+      u8 scMode = *sp++; srem--;
+      if (scMode & 3) return ERR_CORRUPT;
+      struct { int mode; FSEDec* tab; bool* valid; const short* def;
+               int defLog; int maxSym; int maxLog; } specs[3] = {
+        {(scMode >> 6) & 3, &llT, &llV, LL_DEF, 6, 35, 9},
+        {(scMode >> 4) & 3, &ofT, &ofV, OF_DEF, 5, 28, 8},
+        {(scMode >> 2) & 3, &mlT, &mlV, ML_DEF, 6, 52, 9},
+      };
+      for (int i = 0; i < 3; i++) {
+        switch (specs[i].mode) {
+          case 0:
+            if (fse_build(specs[i].tab, specs[i].def, specs[i].maxSym,
+                          specs[i].defLog) < 0) return ERR_CORRUPT;
+            *specs[i].valid = true;
+            break;
+          case 1: {
+            if (srem < 1) return ERR_CORRUPT;
+            u8 sym = *sp++; srem--;
+            if (sym > specs[i].maxSym) return ERR_CORRUPT;
+            fse_rle(specs[i].tab, sym);
+            *specs[i].valid = true;
+            break;
+          }
+          case 2: {
+            short norm[256];
+            int tl, lastSym;
+            int hdr = parse_ncount(sp, srem, norm, specs[i].maxSym,
+                                   specs[i].maxLog, &tl, &lastSym);
+            if (hdr < 0) return ERR_CORRUPT;
+            if (fse_build(specs[i].tab, norm, lastSym, tl) < 0)
+              return ERR_CORRUPT;
+            *specs[i].valid = true;
+            sp += hdr; srem -= (size_t)hdr;
+            break;
+          }
+          case 3:
+            if (!*specs[i].valid) return ERR_CORRUPT;
+            break;
+        }
+      }
+      export_fse(llT, fout);
+      export_fse(ofT, fout + PLAN_FSE);
+      export_fse(mlT, fout + 2 * PLAN_FSE);
+      m[PM_SEQOFF] = (i32)(sp - src);
+      m[PM_SEQLEN] = (i32)srem;
+      m[PM_LLLOG] = llT.log;
+      m[PM_OFLOG] = ofT.log;
+      m[PM_MLLOG] = mlT.log;
+    }
+    nb++;
+  }
+  return nb;
 }
