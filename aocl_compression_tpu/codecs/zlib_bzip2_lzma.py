@@ -321,7 +321,8 @@ class LzmaCodec(Codec):
 
     def compress(self, handle: Handle, data: bytes) -> bytes:
         fn = dispatch.resolve("lzma", "compress", handle.max_tier,
-                              handle.opt_off)
+                              handle.opt_off,
+                              calibrated=not _device_opt_in(handle))
         return fn(data, self.clamp_level(handle.level or self.default_level))
 
     def decompress(self, handle: Handle, data: bytes,
@@ -345,3 +346,14 @@ def _lzma_compress_host(data: bytes, level: int) -> bytes:
 def _lzma_decompress_host(data: bytes, expected_size=None) -> bytes:
     from ..runtime import native
     return native.lzma_decompress(data, expected_size)
+
+
+@dispatch.register("lzma", "compress", TIER_XLA, "lzma_compress_xla")
+def _lzma_compress_xla(data: bytes, level: int) -> bytes:
+    """Device match-finder assist (ops/lzma_assist.py): the TPU elects
+    (pos, len, dist) sequences — the LzFind.c stage — and the host range-
+    codes candidate-driven with no hash chains. A distinct speed point:
+    ~2x the host L6 encode at a ratio between host L0 and L1 (matches
+    bounded to 64 KiB blocks; measured numbers in MEASURED.md)."""
+    from ..ops import lzma_assist
+    return lzma_assist.compress(data, level)

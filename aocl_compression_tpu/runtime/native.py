@@ -134,6 +134,10 @@ def get_lib() -> ctypes.CDLL:
             ("atpu_bz2_stream_run", _i64,
              [ctypes.c_void_p, _u8p, ctypes.c_size_t, _i32,
               ctypes.POINTER(_i32)]),
+            ("atpu_lzma_compress_cand", _i64,
+             [_u8p, ctypes.c_size_t, _u8p, ctypes.c_size_t, _i32,
+              ctypes.POINTER(_i64), ctypes.POINTER(_i32),
+              ctypes.POINTER(_i32), _i64]),
             ("atpu_zstd_frame_plan", _i64,
              [_u8p, ctypes.c_size_t, ctypes.POINTER(_i32),
               ctypes.POINTER(ctypes.c_uint16), _u32p, _i64,
@@ -815,3 +819,24 @@ def zstd_frame_plan(data: bytes, off: int = 0):
         for col in (1, 7, 9, 11, 13, 16):  # PM_BOFF, PM_S*OFF, PM_SEQOFF
             m[:, col] += off
     return int(nb), m, huf[:nb], fse[:nb], int(consumed.value)
+
+
+def lzma_compress_cand(data: bytes, level: int, cpos, clen, cdist) -> bytes:
+    """Candidate-driven LZMA encode (csrc atpu_lzma_compress_cand): the
+    device match-finder assist entry. cpos/clen/cdist are the elected
+    sequences (absolute positions, sorted ascending)."""
+    lib = get_lib()
+    src = _tobuf(data)
+    cap = len(data) + (len(data) // 3) + 256 + 13
+    dst = np.empty(cap, dtype=np.uint8)
+    cp = np.ascontiguousarray(cpos, dtype=np.int64)
+    cl = np.ascontiguousarray(clen, dtype=np.int32)
+    cd = np.ascontiguousarray(cdist, dtype=np.int32)
+    n = lib.atpu_lzma_compress_cand(
+        _as_u8p(src), len(data), _as_u8p(dst), cap, level,
+        cp.ctypes.data_as(ctypes.POINTER(_i64)),
+        cl.ctypes.data_as(ctypes.POINTER(_i32)),
+        cd.ctypes.data_as(ctypes.POINTER(_i32)), cp.size)
+    if n < 0:
+        raise ValueError("lzma candidate compress failed")
+    return dst[:n].tobytes()

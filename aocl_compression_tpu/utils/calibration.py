@@ -46,7 +46,10 @@ MEASURED_MBPS: Dict[Tuple[str, str], Dict[int, float]] = {
     ("zstd", "compress_blocks"): {TIER_HOST: 133.0, TIER_XLA: 10.5,
                                   TIER_MESH: 10.5},
     ("zstd", "compress"): {TIER_HOST: 133.0, TIER_XLA: 10.5},
-    ("bzip2", "compress"): {TIER_HOST: 8.0, TIER_XLA: 2.0},
+    ("bzip2", "compress"): {TIER_HOST: 10.3, TIER_XLA: 2.0},
+    # lzma XLA = device match-finder assist: intentionally unlisted until
+    # chip-measured (explicit opt-ins reach it; MEASURED.md r3)
+    ("lzma", "compress"): {TIER_HOST: 20.5},
 }
 
 
@@ -59,7 +62,9 @@ def best_tier(codec: str, op: str,
     """
     table = MEASURED_MBPS.get((codec, op))
     if not table:
-        return None
+        # nothing measured for this op at all: never auto-select an
+        # unprobed device variant — stay on the host oracle if eligible
+        return TIER_HOST if TIER_HOST in eligible else None
     best = None
     for t in sorted(eligible):
         if t == TIER_HOST or t in table:

@@ -27,6 +27,7 @@ typedef uint16_t u16;
 typedef uint32_t u32;
 typedef uint64_t u64;
 typedef long long i64;
+typedef int32_t i32;
 
 enum { ERR_CORRUPT = -1, ERR_DST_SMALL = -2 };
 
@@ -637,9 +638,136 @@ static i64 lzma_encode(const u8* src, size_t n, u8* dst, size_t dstCap,
 // C API
 // ---------------------------------------------------------------------------
 
+// ---------------------------------------------------------------------------
+// Candidate-driven encode — the TPU match-finder-assist entry (SURVEY §7
+// step 6; reference investment point: algos/lzma/LzFind.c hash chains +
+// algos/common/aoclHashChain.h). The device pipeline
+// (ops/lz4_device._find_matches + _grid_select) elects non-overlapping
+// (pos, len, dist) sequences and ships ONLY those (~12 B each, about
+// 0.5-1 B per input byte at LZMA-class ratios); this encoder range-codes
+// them with NO host hash chains at all — rep-match probing in the gaps is
+// the only remaining host search. Candidates are advisory: every one is
+// re-validated (and truncated to its true common prefix) before use, so a
+// device quirk can shorten a match but never corrupt the stream.
+// ---------------------------------------------------------------------------
+static i64 lzma_encode_cand(const u8* src, size_t n, u8* dst, size_t dstCap,
+                            int level, const i64* cpos, const i32* clen,
+                            const i32* cdist, i64 ncand) {
+  const int lc = 3, lp = 0, pb = 2;
+  EncParams ep = eparams(level);
+  if (dstCap < 13) return ERR_DST_SMALL;
+  dst[0] = (u8)((pb * 5 + lp) * 9 + lc);
+  u32 dsize = ep.dict;
+  for (int i = 0; i < 4; i++) dst[1 + i] = (u8)(dsize >> (8 * i));
+  for (int i = 0; i < 8; i++) dst[5 + i] = (u8)((u64)n >> (8 * i));
+
+  Probs P;
+  if (!P.alloc(lc, lp, pb)) return ERR_CORRUPT;
+  REnc re(dst + 13, dstCap - 13);
+
+  u32 rep0 = 1, rep1 = 1, rep2 = 1, rep3 = 1;
+  int state = 0;
+  u32 posMask = (1u << pb) - 1;
+  size_t pos = 0;
+  i64 ci = 0;
+
+  while (pos < n) {
+    int posState = (int)((u32)pos & posMask);
+    while (ci < ncand && (size_t)cpos[ci] < pos) ci++;
+    // rep probes (cheap, run everywhere — they carry periodic data and
+    // the short matches the device tier does not elect)
+    int bestRepLen = 0, bestRepIdx = -1;
+    if (pos >= 1) {
+      u32 reps[4] = {rep0, rep1, rep2, rep3};
+      const u8* limit = src + (n - pos > MATCH_LEN_MAX
+                               ? pos + MATCH_LEN_MAX : n);
+      for (int r = 0; r < 4; r++) {
+        if (reps[r] > pos) continue;
+        int l = ematch_len(src + pos, src + pos - reps[r], limit);
+        if (l >= 2 && l > bestRepLen) { bestRepLen = l; bestRepIdx = r; }
+      }
+    }
+    // device-elected candidate at this exact position (validated)
+    int nl = 0;
+    u32 nd = 0;
+    if (ci < ncand && (size_t)cpos[ci] == pos) {
+      u32 d = (u32)cdist[ci];
+      int l = clen[ci];
+      if (d >= 1 && d <= pos && l >= 2) {
+        const u8* limit = src + (n - pos > MATCH_LEN_MAX
+                                 ? pos + MATCH_LEN_MAX : n);
+        // the true common prefix both validates the candidate AND
+        // extends it past the device tile parse's match-length cap
+        // (the device elects where; the host measures how long)
+        int tl = ematch_len(src + pos, src + pos - d, limit);
+        if (tl >= 3) { nl = tl; nd = d; }
+      }
+    }
+
+    bool useRep = bestRepLen >= 2 &&
+                  (bestRepLen + 1 >= nl || (bestRepIdx == 0 &&
+                                            bestRepLen + 2 >= nl));
+    if (useRep && bestRepLen >= 2) {
+      re.bit(&P.isMatch[state][posState], 1);
+      re.bit(&P.isRep[state], 1);
+      u32 reps[4] = {rep0, rep1, rep2, rep3};
+      if (bestRepIdx == 0) {
+        re.bit(&P.isRepG0[state], 0);
+        re.bit(&P.isRep0Long[state][posState], 1);
+      } else {
+        re.bit(&P.isRepG0[state], 1);
+        if (bestRepIdx == 1) {
+          re.bit(&P.isRepG1[state], 0);
+        } else {
+          re.bit(&P.isRepG1[state], 1);
+          re.bit(&P.isRepG2[state], bestRepIdx == 2 ? 0 : 1);
+          if (bestRepIdx == 3) rep3 = rep2;
+          rep2 = rep1;
+        }
+        u32 d = reps[bestRepIdx];
+        rep1 = rep0;
+        rep0 = d;
+      }
+      enc_len(re, P.repLen, posState, bestRepLen);
+      state = state < 7 ? 8 : 11;
+      pos += (size_t)bestRepLen;
+      continue;
+    }
+    if (nl >= 3) {
+      re.bit(&P.isMatch[state][posState], 1);
+      re.bit(&P.isRep[state], 0);
+      rep3 = rep2;
+      rep2 = rep1;
+      rep1 = rep0;
+      rep0 = nd;
+      enc_len(re, P.matchLen, posState, nl);
+      enc_dist(re, P, nl, nd - 1);
+      state = state < 7 ? 7 : 10;
+      pos += (size_t)nl;
+      continue;
+    }
+    re.bit(&P.isMatch[state][posState], 0);
+    enc_literal(re, P, src, pos, state, rep0, src[pos]);
+    state = state_after_lit(state);
+    pos++;
+  }
+  re.flush();
+  P.release();
+  if (re.overflow) return ERR_DST_SMALL;
+  return (i64)(13 + re.len);
+}
+
 ATPU_EXPORT i64 atpu_lzma_compress(const u8* src, size_t n, u8* dst,
                                    size_t dstCap, int level) {
   return lzma_encode(src, n, dst, dstCap, level);
+}
+
+ATPU_EXPORT i64 atpu_lzma_compress_cand(const u8* src, size_t n, u8* dst,
+                                        size_t dstCap, int level,
+                                        const i64* cpos, const i32* clen,
+                                        const i32* cdist, i64 ncand) {
+  return lzma_encode_cand(src, n, dst, dstCap, level, cpos, clen, cdist,
+                          ncand);
 }
 
 ATPU_EXPORT i64 atpu_lzma_decompress(const u8* src, size_t n, u8* dst,

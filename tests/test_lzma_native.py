@@ -111,3 +111,82 @@ def test_known_size_plus_end_marker_accepted():
     assert s[5:13] == b"\xff" * 8
     patched = s[:5] + struct.pack("<Q", len(p)) + s[13:]
     assert native.lzma_decompress(patched, len(p)) == p
+
+
+class TestDeviceAssist:
+    """TPU match-finder assist (ops/lzma_assist.py + lzma_encode_cand):
+    elected candidates drive the range coder; output must stay standard
+    FORMAT_ALONE that stock liblzma decodes."""
+
+    def _data(self, n=200000):
+        import numpy as np
+        rng = np.random.default_rng(11)
+        words = [b"candidate ", b"range ", b"coder ", b"sequence ",
+                 b"elected "]
+        parts = []
+        tot = 0
+        while tot < n:
+            w = words[int(rng.integers(0, len(words)))]
+            parts.append(w)
+            tot += len(w)
+        return b"".join(parts)[:n]
+
+    def test_assist_roundtrip_and_stock(self):
+        import lzma as stock
+        from aocl_compression_tpu.ops import lzma_assist
+        data = self._data()
+        c = lzma_assist.compress(data, 6)
+        assert native.lzma_decompress(c) == data
+        assert stock.decompress(c, format=stock.FORMAT_ALONE) == data
+
+    def test_assist_bad_candidates_cannot_corrupt(self):
+        # hostile candidates (wrong len/dist) must be validated away:
+        # the stream still round-trips
+        import numpy as np
+        data = self._data(60000)
+        cp = np.asarray([10, 500, 1000, 40000], np.int64)
+        cl = np.asarray([300, 68, 5, 99], np.int32)
+        cd = np.asarray([7, 499, 100000, 1], np.int32)  # dist>pos dropped
+        c = native.lzma_compress_cand(data, 6, cp, cl, cd)
+        assert native.lzma_decompress(c) == data
+
+    def test_assist_empty_candidates(self):
+        import numpy as np
+        data = self._data(30000)
+        z = np.zeros(0, np.int64)
+        c = native.lzma_compress_cand(
+            data, 6, z, np.zeros(0, np.int32), np.zeros(0, np.int32))
+        assert native.lzma_decompress(c) == data
+
+    def test_assist_via_unified_api_opt_in(self, monkeypatch):
+        monkeypatch.setenv("AOCL_ENABLE_INSTRUCTIONS", "XLA")
+        import aocl_compression_tpu as actpu
+        from aocl_compression_tpu.utils import dispatch
+        data = self._data(150000)
+        h = actpu.setup("lzma", opt_var=2)
+        try:
+            dispatch.reset_audit()
+            dispatch.enable_audit(True)
+            c = actpu.compress(h, data)
+            hits = dispatch.audit_hits()
+            out = actpu.decompress(h, c, expected_size=len(data))
+        finally:
+            dispatch.enable_audit(False)
+            actpu.destroy(h)
+        assert out == data
+        assert any("lzma_compress_xla" in k for k in hits), hits
+
+    def test_default_routing_stays_host(self):
+        import aocl_compression_tpu as actpu
+        from aocl_compression_tpu.utils import dispatch
+        data = self._data(150000)
+        h = actpu.setup("lzma")
+        try:
+            dispatch.reset_audit()
+            dispatch.enable_audit(True)
+            c = actpu.compress(h, data)
+            hits = dispatch.audit_hits()
+        finally:
+            dispatch.enable_audit(False)
+            actpu.destroy(h)
+        assert any("lzma_compress_host" in k for k in hits), hits

@@ -64,7 +64,11 @@ def test_calibration_table_host_wins_everywhere():
 def test_best_tier_never_picks_unmeasured():
     assert calibration.best_tier("lz4", "compress_blocks",
                                  [TIER_HOST, 7]) == TIER_HOST
-    assert calibration.best_tier("nosuch", "op", [0, 1]) is None
+    # an op with no measurements at all stays on the host oracle — an
+    # unprobed device variant is never auto-selected (r3 fix: previously
+    # fell through to the highest tier)
+    assert calibration.best_tier("nosuch", "op", [0, 1]) == TIER_HOST
+    assert calibration.best_tier("nosuch", "op", [1, 2]) is None
 
 
 def test_env_force_overrides_calibration(no_env, monkeypatch, corpus):
