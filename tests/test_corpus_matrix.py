@@ -87,3 +87,30 @@ def test_optimized_and_optoff_streams_interchange(codec, corpus):
     finally:
         actpu.destroy(h_opt)
         actpu.destroy(h_off)
+
+
+# --- device-tier matrix (r3): the non-HOST rungs get the same corpus
+# sweep the host tier gets, via the unified API with the tier forced by
+# env (the audit blind spot VERDICT r2 flagged: device tiers were only
+# exercised by dedicated files) -------------------------------------------
+
+DEVICE_PAYLOADS = ["runs", "text_64k", "mixed"]
+
+
+@pytest.mark.parametrize("tier", ["XLA", "MESH"])
+@pytest.mark.parametrize("payload", DEVICE_PAYLOADS)
+@pytest.mark.parametrize("codec", ALL_CODECS)
+def test_device_tier_matrix(codec, payload, tier, corpus, monkeypatch):
+    monkeypatch.setenv("AOCL_ENABLE_INSTRUCTIONS", tier)
+    monkeypatch.setenv("AOCL_DEVICE_DECODE", "1")
+    data = corpus[payload]
+    kw = {"block_size": 8192, "opt_var": 2}
+    if tier == "MESH":
+        kw["num_shards"] = 2
+    h = actpu.setup(codec, **kw)
+    try:
+        c = actpu.compress(h, data)
+        out = actpu.decompress(h, c, expected_size=len(data))
+    finally:
+        actpu.destroy(h)
+    assert out == data
