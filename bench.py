@@ -5,14 +5,18 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Baseline: upstream lz4 1.9.2 single-core compress on Silesia = 740 MB/s
 (BASELINE.md; /root/reference/algos/zstd/README.md:54). vs_baseline =
-value / 740. Measured at the tile-anchor G=8 point, whose ratio
-(2.77-2.88 by corpus slice) sits within ~3% of the own serial host
-oracle and far above the baseline codec's 2.101; the exact accel-1 mode
-reaches ratio 2.916, BEATING the oracle (see MEASURED.md).
+value / 740.
+
+The PRIMARY point (r3, VERDICT item 7) is the REAL-FILE corpus — big C
+sources + ELF shared objects from this box, the honest Silesia stand-in —
+at the search config whose measured real-file ratio (2.149, CPU-verified
+bit-identical to chip) clears the baseline codec's Silesia ratio 2.101:
+G=8 tiles, depth-8 candidate search, nw=16 match window, lazy demotion.
+The synthetic-corpus point at the faster shallow config (ratio 2.77-2.88
+there, 2.04 on real files — the r2 honesty gap) stays in extras.
 
 Methodology mirrors the reference bench (-p best-of-N, test/codec_bench.c:904):
-best of N timed iterations over a Silesia-like synthetic corpus (no corpus
-download in this environment). The compressed payload is materialized in
+best of N timed iterations. The compressed payload is materialized in
 device HBM; per-block sizes are fetched to host each iteration (container
 assembly needs them), so timing covers the full on-device encode.
 """
@@ -176,17 +180,17 @@ def main():
     dt = (time.perf_counter() - t0) / iters
 
     mb = len(data) / 1e6
-    value = mb / dt
+    synth_value = mb / dt
 
     # device ratio from the run just timed (sizes of the final iteration)
     sizes_np = np.asarray(sizes)
     ratio = round(len(data) / float(sizes_np.sum() + 8.0 * N), 3)
 
-    extra = {"lz4_device_ratio": ratio, "corpus_MB": round(mb, 1)}
+    extra = {"lz4_device_synth_MBps": round(synth_value, 2),
+             "lz4_device_synth_ratio": ratio, "corpus_MB": round(mb, 1)}
 
-    # real-file corpus point (same compiled shapes — no extra compile):
-    # big C sources + an ELF from this box, the Silesia stand-in with
-    # actual data instead of synthetic text
+    # PRIMARY: real-file corpus at the ratio-clearing config (module
+    # docstring). Big C sources + ELF shared objects from this box.
     real = bytearray()
     import glob
     paths = (sorted(glob.glob("/root/reference/algos/*/*.c*"))
@@ -202,23 +206,26 @@ def main():
                 real += f.read(4 << 20)
         except OSError:
             pass
+    value = synth_value  # fallback if the real corpus is unavailable
     if len(real) >= B * N:
         ra = np.frombuffer(bytes(real[:B * N]), dtype=np.uint8).reshape(N, B)
         jr = jnp.asarray(ra)
-        out, sizes, tails, flags = enc(jr, jl)
+        enc_r = lz4_device.make_encoder(B, G, 8, 16, lazy=1)
+        out, sizes, tails, flags = enc_r(jr, jl)
         _ = np.asarray(sizes)
         t0 = time.perf_counter()
         pending = []
-        for _ in range(4):
-            out, sizes, tails, flags = enc(jr, jl)
+        iters_r = 8
+        for _ in range(iters_r):
+            out, sizes, tails, flags = enc_r(jr, jl)
             pending.append(sizes)
             if len(pending) > 3:
                 _ = np.asarray(pending.pop(0))
         for sizes in pending:
             _ = np.asarray(sizes)
-        rdt = (time.perf_counter() - t0) / 4
+        rdt = (time.perf_counter() - t0) / iters_r
         rsz = np.asarray(sizes)
-        extra["lz4_device_realfile_MBps"] = round(mb / rdt, 2)
+        value = mb / rdt
         extra["lz4_device_realfile_ratio"] = round(
             (B * N) / float(rsz.sum() + 8.0 * N), 3)
 
@@ -231,7 +238,7 @@ def main():
     extra["projected_v5e16_aggregate_GBps"] = round(value * 16 / 1000, 2)
 
     print(json.dumps({
-        "metric": "lz4_l1_device_encode_throughput",
+        "metric": "lz4_l1_device_encode_realfile_throughput",
         "value": round(value, 2),
         "unit": "MB/s",
         "vs_baseline": round(value / 740.0, 4),
