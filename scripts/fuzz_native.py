@@ -60,6 +60,22 @@ def load(path):
         ("atpu_lzma_compress", _i64, [_u8p, _sz, _u8p, _sz, _i32]),
         ("atpu_lzma_decompress", _i64, [_u8p, _sz, _u8p, _sz]),
         ("atpu_lzma_unpacked_size", _i64, [_u8p, _sz]),
+        ("atpu_zstd_frame_plan", _i64,
+         [_u8p, _sz, ctypes.POINTER(_i32), ctypes.POINTER(ctypes.c_uint16),
+          _u32p, _i64, ctypes.POINTER(_i64)]),
+        ("atpu_inflate_stream_new", ctypes.c_void_p, [_i32]),
+        ("atpu_inflate_stream_free", None, [ctypes.c_void_p]),
+        ("atpu_inflate_stream_feed", _i64, [ctypes.c_void_p, _u8p, _sz]),
+        ("atpu_inflate_stream_run", _i64,
+         [ctypes.c_void_p, _u8p, _sz, _i32, ctypes.POINTER(_i32)]),
+        ("atpu_bz2_stream_new", ctypes.c_void_p, []),
+        ("atpu_bz2_stream_free", None, [ctypes.c_void_p]),
+        ("atpu_bz2_stream_feed", _i64, [ctypes.c_void_p, _u8p, _sz]),
+        ("atpu_bz2_stream_run", _i64,
+         [ctypes.c_void_p, _u8p, _sz, _i32, ctypes.POINTER(_i32)]),
+        ("atpu_lzma_compress_cand", _i64,
+         [_u8p, _sz, _u8p, _sz, _i32, ctypes.POINTER(_i64),
+          ctypes.POINTER(_i32), ctypes.POINTER(_i32), _i64]),
     ]
     for name, res, args in sigs:
         fn = getattr(lib, name)
@@ -175,6 +191,9 @@ def run(lib, runs, seed):
     o2 = np.zeros(4096, dtype=np.uint32)
     o3 = np.zeros(4096, dtype=np.uint32)
     dict_buf = np.frombuffer(pls[0][:4096], dtype=np.uint8).copy()
+    plan_meta = np.zeros((8, 22), dtype=np.int32)
+    plan_huf = np.zeros((8, 2048), dtype=np.uint16)
+    plan_fse = np.zeros((8, 3, 512), dtype=np.uint32)
     counts = {k: 0 for k in streams}
     for it in range(runs):
         kind = list(streams)[int(rng.integers(0, len(streams)))]
@@ -198,10 +217,49 @@ def run(lib, runs, seed):
             lib.atpu_zstd_frame_content_size(p(a), ln)
             lib.atpu_zstd_frame_compressed_size(p(a), ln)
             lib.atpu_zstd_decompress(p(a), ln, p(dout), cap, None, 0)
+            # device-decode planner: header cracking over hostile input
+            consumed = _i64(0)
+            lib.atpu_zstd_frame_plan(
+                p(a), ln, plan_meta.ctypes.data_as(ctypes.POINTER(_i32)),
+                plan_huf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+                p32(plan_fse), 8, ctypes.byref(consumed))
         elif kind == "inflate":
             lib.atpu_inflate(p(a), ln, p(dout), cap, int(rng.integers(0, 2)))
+            # resumable stream decode: feed in random-size pieces
+            ctx = lib.atpu_inflate_stream_new(int(rng.integers(0, 2)))
+            if ctx:
+                done = _i32(0)
+                pos = 0
+                while pos < ln:
+                    k = int(rng.integers(1, 1500))
+                    lib.atpu_inflate_stream_feed(ctx, p(a[pos:]),
+                                                 min(k, ln - pos))
+                    pos += k
+                    if lib.atpu_inflate_stream_run(
+                            ctx, p(dout), max(cap, 1), 0,
+                            ctypes.byref(done)) < 0:
+                        break
+                lib.atpu_inflate_stream_run(ctx, p(dout), max(cap, 1), 1,
+                                            ctypes.byref(done))
+                lib.atpu_inflate_stream_free(ctx)
         elif kind == "bz2":
             lib.atpu_bz2_decompress(p(a), ln, p(dout), cap)
+            ctx = lib.atpu_bz2_stream_new()
+            if ctx:
+                done = _i32(0)
+                pos = 0
+                while pos < ln:
+                    k = int(rng.integers(1, 3000))
+                    lib.atpu_bz2_stream_feed(ctx, p(a[pos:]),
+                                             min(k, ln - pos))
+                    pos += k
+                    if lib.atpu_bz2_stream_run(
+                            ctx, p(dout), max(cap, 1), 0,
+                            ctypes.byref(done)) < 0:
+                        break
+                lib.atpu_bz2_stream_run(ctx, p(dout), max(cap, 1), 1,
+                                        ctypes.byref(done))
+                lib.atpu_bz2_stream_free(ctx)
         elif kind == "lzma":
             lib.atpu_lzma_unpacked_size(p(a), ln)
             lib.atpu_lzma_decompress(p(a), ln, p(dout), cap)
@@ -222,6 +280,21 @@ def run(lib, runs, seed):
             lib.atpu_deflate(p(src), n, p(dst), cap, 6, 0)
             lib.atpu_bz2_compress(p(src), n, p(dst), cap, 1)
             lib.atpu_lzma_compress(p(src), n, p(dst), cap, 1)
+    # hostile candidate arrays must never corrupt the cand encoder
+    for pl in pls[:3]:
+        src2 = np.frombuffer(pl, dtype=np.uint8)
+        n = len(pl)
+        nc = int(rng.integers(1, 64))
+        cp = rng.integers(-5, max(n, 1) + 50, nc).astype(np.int64)
+        cp.sort()
+        cl = rng.integers(-3, 300, nc).astype(np.int32)
+        cd = rng.integers(-2, max(n, 1) + 99, nc).astype(np.int32)
+        dst2 = np.zeros(n + n // 2 + 1024, dtype=np.uint8)
+        lib.atpu_lzma_compress_cand(
+            p(src2), n, p(dst2), len(dst2), 6,
+            cp.ctypes.data_as(ctypes.POINTER(_i64)),
+            cl.ctypes.data_as(ctypes.POINTER(_i32)),
+            cd.ctypes.data_as(ctypes.POINTER(_i32)), nc)
     print("fuzz ok:", dict(counts), flush=True)
     return 0
 
