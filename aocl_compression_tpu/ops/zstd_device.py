@@ -37,7 +37,17 @@ import numpy as np
 
 from ..codecs import zstd_format as ZF
 from . import lz4_device as lz
+from .bitpack import pack_bits_ladder
 from .lz4_device import MIN_MATCH, _bucket
+
+# bit-pack strategy A/B (VERDICT r2 item 4): "ladder" = sort + bounded
+# lookback (ops/bitpack.py), default = word-granular scatter-adds. Read
+# at TRACE time — call make_encoder.cache_clear() after flipping the env.
+import os as _os
+
+
+def _pack_ladder_enabled() -> bool:
+    return _os.environ.get("AOCL_ZSTD_PACK", "").lower() == "ladder"
 
 # --- constant tables (trace-time) ----------------------------------------------
 _LL_NXT, _LL_TT = ZF.fse_build_encode(ZF.LL_DEFAULT, ZF.LL_LOG)
@@ -317,6 +327,7 @@ def _choose_seq_table(codes, real, nseq, L: int, cost_predef, nsym: int):
 
 
 def _encode_block(data_u8, n, B, MAXSEQ, G, SCAP, QCAP):
+    _PACK_LADDER = _pack_ladder_enabled()
     # depth-8 chain walk: zstd spends its budget on ratio (chip-measured
     # text ratio 6.39 vs 5.57 at depth 2; each extra depth is one more
     # shifted compare — fused elementwise work, no extra sorts)
@@ -381,30 +392,42 @@ def _encode_block(data_u8, n, B, MAXSEQ, G, SCAP, QCAP):
     starts = jnp.concatenate([jnp.zeros(1, jnp.int32), bounds[:3]])
     Lbits = S[jnp.clip(starts, 0, B)] - S_at_bound
 
-    # WORD-granular packing: an 11-bit code shifted by <32 spans at most
-    # two 32-bit words, so TWO scatter-adds replace the three byte-domain
-    # ones (scatter elements are the measured wall of this stage); the
-    # byte view is reconstructed with cheap elementwise shifts.
-    SW = SCAP >> 2
-    litw = jnp.zeros(4 * SW, jnp.uint32)
-    code_u = code.astype(jnp.uint32)
-    shw = (bitpos & 31).astype(jnp.uint32)
-    lo = code_u << shw
-    hi = jnp.where(shw == 0, jnp.uint32(0),
-                   jax.lax.shift_right_logical(code_u,
-                                               jnp.uint32(32) - shw))
-    wb = jnp.where(j < nlits, t * SW + (bitpos >> 5), 4 * SW)
-    litw = litw.at[wb].add(lo, mode="drop")
-    litw = litw.at[jnp.where(j < nlits, wb + 1, 4 * SW)].add(hi,
-                                                             mode="drop")
-    # end-of-stream markers
-    tm = jnp.arange(4, dtype=jnp.int32)
-    mw = tm * SW + (Lbits >> 5)
-    litw = litw.at[mw].add(
-        jnp.uint32(1) << (Lbits & 31).astype(jnp.uint32), mode="drop")
-    litbuf = jnp.stack(
-        [litw & 0xFF, (litw >> 8) & 0xFF, (litw >> 16) & 0xFF,
-         (litw >> 24) & 0xFF], axis=1).reshape(-1).astype(jnp.int32)
+    if _PACK_LADDER:
+        # sort + bounded-lookback ladder pack (ops/bitpack.py): the
+        # scatter-free recast of this stage, chip-raced via AOCL_ZSTD_PACK
+        tm = jnp.arange(4, dtype=jnp.int32)
+        f_val = jnp.concatenate([code, jnp.ones(4, jnp.int32)])
+        f_nb = jnp.concatenate([jnp.where(j < nlits, nb, 0),
+                                jnp.ones(4, jnp.int32)])
+        f_bp = jnp.concatenate([bitpos, Lbits])
+        f_sid = jnp.concatenate([t, tm])
+        litbuf = pack_bits_ladder(f_val, f_nb, f_bp, f_sid, 4, SCAP,
+                                  11).astype(jnp.int32)
+    else:
+        # WORD-granular packing: an 11-bit code shifted by <32 spans at
+        # most two 32-bit words, so TWO scatter-adds replace the three
+        # byte-domain ones; the byte view is reconstructed with cheap
+        # elementwise shifts.
+        SW = SCAP >> 2
+        litw = jnp.zeros(4 * SW, jnp.uint32)
+        code_u = code.astype(jnp.uint32)
+        shw = (bitpos & 31).astype(jnp.uint32)
+        lo = code_u << shw
+        hi = jnp.where(shw == 0, jnp.uint32(0),
+                       jax.lax.shift_right_logical(code_u,
+                                                   jnp.uint32(32) - shw))
+        wb = jnp.where(j < nlits, t * SW + (bitpos >> 5), 4 * SW)
+        litw = litw.at[wb].add(lo, mode="drop")
+        litw = litw.at[jnp.where(j < nlits, wb + 1, 4 * SW)].add(hi,
+                                                                 mode="drop")
+        # end-of-stream markers
+        tm = jnp.arange(4, dtype=jnp.int32)
+        mw = tm * SW + (Lbits >> 5)
+        litw = litw.at[mw].add(
+            jnp.uint32(1) << (Lbits & 31).astype(jnp.uint32), mode="drop")
+        litbuf = jnp.stack(
+            [litw & 0xFF, (litw >> 8) & 0xFF, (litw >> 16) & 0xFF,
+             (litw >> 24) & 0xFF], axis=1).reshape(-1).astype(jnp.int32)
     lit_sizes = (Lbits + 1 + 7) >> 3
 
     # --- sequence codes ------------------------------------------------------
@@ -542,22 +565,35 @@ def _encode_block(data_u8, n, B, MAXSEQ, G, SCAP, QCAP):
     bpos = jnp.cumsum(alln) - alln
     total_bits = jnp.sum(alln)
 
-    # word-granular sequence bitstream (2 scatters; see literal streams)
-    QW = QCAP >> 2
-    seqw = jnp.zeros(QW, jnp.uint32)
-    v_u = (allv & ((1 << alln) - 1)).astype(jnp.uint32)
-    shq = (bpos & 31).astype(jnp.uint32)
-    lo_q = v_u << shq
-    hi_q = jnp.where(shq == 0, jnp.uint32(0),
-                     jax.lax.shift_right_logical(v_u, jnp.uint32(32) - shq))
-    qw = jnp.where(alln > 0, bpos >> 5, QW)
-    seqw = seqw.at[qw].add(lo_q, mode="drop")
-    seqw = seqw.at[jnp.where(alln > 0, qw + 1, QW)].add(hi_q, mode="drop")
-    seqw = seqw.at[jnp.where(nseq > 0, total_bits >> 5, QW)].add(
-        jnp.uint32(1) << (total_bits & 31).astype(jnp.uint32), mode="drop")
-    seqbuf = jnp.stack(
-        [seqw & 0xFF, (seqw >> 8) & 0xFF, (seqw >> 16) & 0xFF,
-         (seqw >> 24) & 0xFF], axis=1).reshape(-1).astype(jnp.int32)
+    if _PACK_LADDER:
+        v_m = (allv & ((1 << alln) - 1))
+        f_val = jnp.concatenate([v_m, jnp.ones(1, jnp.int32)])
+        f_nb = jnp.concatenate([
+            alln, jnp.where(nseq > 0, 1, 0)[None]])
+        f_bp = jnp.concatenate([bpos, total_bits[None]])
+        f_sid = jnp.zeros(f_val.shape[0], jnp.int32)
+        seqbuf = pack_bits_ladder(f_val, f_nb, f_bp, f_sid, 1, QCAP,
+                                  16).astype(jnp.int32)
+    else:
+        # word-granular sequence bitstream (2 scatters; see literals)
+        QW = QCAP >> 2
+        seqw = jnp.zeros(QW, jnp.uint32)
+        v_u = (allv & ((1 << alln) - 1)).astype(jnp.uint32)
+        shq = (bpos & 31).astype(jnp.uint32)
+        lo_q = v_u << shq
+        hi_q = jnp.where(shq == 0, jnp.uint32(0),
+                         jax.lax.shift_right_logical(
+                             v_u, jnp.uint32(32) - shq))
+        qw = jnp.where(alln > 0, bpos >> 5, QW)
+        seqw = seqw.at[qw].add(lo_q, mode="drop")
+        seqw = seqw.at[jnp.where(alln > 0, qw + 1, QW)].add(hi_q,
+                                                            mode="drop")
+        seqw = seqw.at[jnp.where(nseq > 0, total_bits >> 5, QW)].add(
+            jnp.uint32(1) << (total_bits & 31).astype(jnp.uint32),
+            mode="drop")
+        seqbuf = jnp.stack(
+            [seqw & 0xFF, (seqw >> 8) & 0xFF, (seqw >> 16) & 0xFF,
+             (seqw >> 24) & 0xFF], axis=1).reshape(-1).astype(jnp.int32)
     seq_size = jnp.where(nseq > 0, (total_bits + 1 + 7) >> 3, 0)
 
     return (litbuf.astype(jnp.uint8), lit_sizes, nlits,
