@@ -332,17 +332,52 @@ def _encode_block(data_u8, n, B: int, OUTCAP: int, MAXSEQ: int, G: int = 0):
     return _emit_snappy(data_u8, pos, ml, off, nseq, n, B, OUTCAP, MAXSEQ)
 
 
+def _encode_block_v2(data_u8, n, B: int, G: int, depth: int = 4,
+                     nw: int = 8, subm: int = 128):
+    """Fast tile path on the LZ4 sort-emit skeleton (lz4_device
+    _encode_block_v2): shared matcher -> tile election + MXU chain
+    marking on the TILE domain (no MAXSEQ compaction, no OUTCAP-domain
+    fills, no scatter) -> snappy-format sort-emit. match_cap = 4 + 4*nw
+    (<= 64) keeps every copy single-op (ncopy == 1)."""
+    mlen, moff, valid = lz._find_matches(data_u8, n, B, depth=depth, nw=nw)
+    sel, cpos, cml, coff = lz._grid_select(mlen, moff, valid, B, G,
+                                           subm=subm, match_cap=4 + 4 * nw)
+    return _emit_snappy_sorted(data_u8, n, sel, cpos, cml, coff, B, G)
+
+
 @functools.lru_cache(maxsize=32)
 def make_encoder(block_size: int, G: int = 0):
+    """Jitted batched encoder.
+
+    Signature: (blocks u8[N, B], lens i32[N]) ->
+               (bodies, body_sizes i32[N], tails i32[N], flags bool[N]).
+    G >= 2 rides the LZ4 sort-emit skeleton: bodies are u8[N, B] element
+    streams WITHOUT the trailing literal element (caller appends it —
+    encode_blocks does) and flags mark blocks whose headers outgrew
+    their match spares (caller re-encodes those on the host oracle).
+    G == 0 is the exact path: bodies u8[N, OUTCAP] are complete streams
+    (tail literal written in place), flags all-False.
+    """
     B = block_size
+    if G >= 2:
+        fn = functools.partial(_encode_block_v2, B=B, G=G)
+
+        @jax.jit
+        def encode(blocks, lens):
+            return jax.vmap(fn)(blocks, lens)
+
+        return encode
     OUTCAP = out_capacity(B)
     MAXSEQ = (B // max(G, MIN_MATCH)) + 2
 
+    def fn0(data_u8, n):
+        out, size, tail = _encode_block(data_u8, n, B=B, OUTCAP=OUTCAP,
+                                        MAXSEQ=MAXSEQ, G=G)
+        return out, size, tail, jnp.zeros((), jnp.bool_)
+
     @jax.jit
     def encode(blocks, lens):
-        fn = functools.partial(_encode_block, B=B, OUTCAP=OUTCAP,
-                               MAXSEQ=MAXSEQ, G=G)
-        return jax.vmap(fn)(blocks, lens)
+        return jax.vmap(fn0)(blocks, lens)
 
     return encode
 
@@ -379,10 +414,30 @@ def encode_blocks(blocks, accel: int = 1, shardings=None):
     if shardings is not None:
         ja = jax.device_put(ja, shardings[0])
         jl = jax.device_put(jl, shardings[1])
-    out, sizes, _tails = jax.block_until_ready(enc(ja, jl))
+    out, sizes, tails, flags = jax.block_until_ready(enc(ja, jl))
     from . import compact
     frags = compact.fetch_chunks(out, sizes)
+    if G >= 2:
+        # sort-emit bodies exclude the trailing literal element: append it
+        # host-side from the raw block bytes (same contract as the LZ4
+        # stitcher input), and re-encode flagged blocks on the host oracle
+        tails = np.asarray(tails)
+        flags = np.asarray(flags)
+        for i, b in enumerate(blocks):
+            if flags[i]:
+                from ..runtime import native
+                frags[i] = _strip_varint(native.snappy_compress(b))
+            elif tails[i] > 0:
+                frags[i] = frags[i] + literal_element(b[len(b) - tails[i]:])
     return frags, [len(b) for b in blocks]
+
+
+def _strip_varint(stream: bytes) -> bytes:
+    """Drop the stream-level varint length preamble -> raw element body."""
+    i = 0
+    while stream[i] & 0x80:
+        i += 1
+    return stream[i + 1:]
 
 
 # =============================================================================
