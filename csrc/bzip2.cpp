@@ -502,6 +502,13 @@ static void induce_l(const u8* t, int* SA, const C* s, const int* cnt,
                      int* bkt, int n, int K) {
   get_buckets(cnt, bkt, K, false);
   for (int i = 0; i < n; i++) {
+    if (i + 16 < n) {  // hide the random s[j]/t[j] load latency
+      int pj = SA[i + 16] - 1;
+      if (pj >= 0) {
+        __builtin_prefetch(s + pj, 0, 1);
+        __builtin_prefetch(t + pj, 0, 1);
+      }
+    }
     int j = SA[i] - 1;
     if (SA[i] > 0 && !t[j]) SA[bkt[s[j]]++] = j;
   }
@@ -512,6 +519,13 @@ static void induce_s(const u8* t, int* SA, const C* s, const int* cnt,
                      int* bkt, int n, int K) {
   get_buckets(cnt, bkt, K, true);
   for (int i = n - 1; i >= 0; i--) {
+    if (i - 16 >= 0) {
+      int pj = SA[i - 16] - 1;
+      if (pj >= 0) {
+        __builtin_prefetch(s + pj, 0, 1);
+        __builtin_prefetch(t + pj, 0, 1);
+      }
+    }
     int j = SA[i] - 1;
     if (SA[i] > 0 && t[j]) SA[--bkt[s[j]]] = j;
   }
@@ -613,22 +627,27 @@ static bool run(const C* s, int* SA, int n, int K) {
 // validation is needed there.
 static bool looks_repetitive(const u8* s, int n);
 
-// Validation uses Kasai's amortized-O(m) LCP construction (direct
-// pairwise comparison is Theta(sum of adjacent LCPs), which goes
-// quadratic exactly on the compressible inputs bzip2 exists for).
-// Returns origPtr >= 0, -1 on OOM, -2 on unresolved; *needK receives
-// the overshoot that would have resolved every tie seen (escalation
-// target). k == n needs no validation (exact).
+// Validation compares each adjacent EXTRACTED pair directly: the suffix
+// array orders suffix(p) < suffix(q) by their first difference, and when
+// that difference lies within the shorter suffix's genuine cyclic context
+// the rotation order is identical — intervening >= n suffixes cannot
+// change the relative order of p and q. Word-at-a-time u16 compares make
+// this ~LCP/4 ops per pair; a total budget keeps pathological inputs
+// (deep ties the repetitiveness probe missed) from going quadratic —
+// budget blown reports unresolved and the ladder escalates. This replaced
+// a Kasai LCP pass (round-3 profile: rank/lcp arrays cost 8 bytes/symbol
+// of traffic plus two random-access passes — more than the SA-IS itself
+// on ELF data). Returns origPtr >= 0, -1 on OOM, -2 on unresolved;
+// *needK receives an overshoot floor for escalation. k == n needs no
+// validation (exact).
 static int bwt_overshoot_attempt(const u8* s, int n, int k, u8* L,
                                  int* needK) {
   int m = n + k + 1;
   const bool exact = (k >= n);
   u16* x = (u16*)malloc(sizeof(u16) * (size_t)m);
   int* SA = (int*)malloc(sizeof(int) * (size_t)m);
-  int* rank = exact ? NULL : (int*)malloc(sizeof(int) * (size_t)m);
-  int* lcp = exact ? NULL : (int*)malloc(sizeof(int) * (size_t)m);
-  if (!x || !SA || (!exact && (!rank || !lcp))) {
-    free(x); free(SA); free(rank); free(lcp);
+  if (!x || !SA) {
+    free(x); free(SA);
     return -1;
   }
   for (int i = 0; i < n; i++) x[i] = (u16)(s[i] + 1);
@@ -636,47 +655,45 @@ static int bwt_overshoot_attempt(const u8* s, int n, int k, u8* L,
   x[m - 1] = 0;
   int ret = -1;
   if (sais::run(x, SA, m, 256)) {
-    if (!exact) {
-      for (int i = 0; i < m; i++) rank[SA[i]] = i;
-      int h = 0;
-      lcp[0] = 0;
-      for (int i = 0; i < m; i++) {
-        int r = rank[i];
-        if (r > 0) {
-          int j = SA[r - 1];
-          while (i + h < m && j + h < m && x[i + h] == x[j + h]) h++;
-          lcp[r] = h;
-          if (h > 0) h--;
-        } else {
-          h = 0;
-        }
-      }
-    }
-    // extract rotations; running min of lcp across intervening entries
-    // bounds (from above) the direct LCP of adjacent extracted pairs
-    int out = 0, prev = -1, runMin = 1 << 30;
+    int out = 0, prev = -1;
     int origPtr = -1, need = 0;
+    i64 budget = 64 * (i64)n;  // total compared symbols across all pairs
     for (int i = 0; i < m; i++) {
-      if (!exact && i > 0 && lcp[i] < runMin) runMin = lcp[i];
       int j = SA[i];
       if (j >= n) continue;
-      if (prev >= 0 && !exact && runMin < n) {
+      if (prev >= 0 && !exact) {
         int mx = j > prev ? j : prev;
         int shorter = n + k - mx;
-        if (runMin >= shorter) {  // decided by $: unresolved
-          int want = runMin - n + mx + 1;  // k that beats this tie
+        const u16 *a = x + prev, *b = x + j;
+        int d = 0;
+        while (d + 4 <= shorter) {
+          u64 wa, wb;
+          memcpy(&wa, a + d, 8);
+          memcpy(&wb, b + d, 8);
+          if (wa != wb) { d += __builtin_ctzll(wa ^ wb) >> 4; break; }
+          d += 4;
+        }
+        if (d + 4 > shorter)
+          while (d < shorter && a[d] == b[d]) d++;
+        budget -= d;
+        if (d >= shorter) {       // decided by $: unresolved
+          int want = d - n + mx + 1;  // k that beats this tie
           if (want > need) need = want;
+        }
+        if (budget < 0) {         // ties too deep for pairwise checks
+          if (needK) *needK = need;
+          free(x); free(SA);
+          return -2;
         }
       }
       if (j == 0) origPtr = out;
       L[out++] = s[j == 0 ? n - 1 : j - 1];
       prev = j;
-      runMin = 1 << 30;
     }
     if (needK) *needK = need;
     ret = out != n ? -1 : (need ? -2 : origPtr);
   }
-  free(x); free(SA); free(rank); free(lcp);
+  free(x); free(SA);
   return ret;
 }
 
@@ -821,8 +838,6 @@ static bool emit_bz2_block(MsbWriter& bw, const u8* L, int n, int origPtr,
   int nSyms = 0;
   u8 order[256];
   memcpy(order, unmap, 256);  // MTF list over used symbols (compact codes)
-  u8 pos_of[256];
-  for (int i = 0; i < nUsed; i++) pos_of[order[i]] = (u8)i;
   u32 zrun = 0;
   u32 freq[MAX_ALPHA] = {0};
 
@@ -837,13 +852,15 @@ static bool emit_bz2_block(MsbWriter& bw, const u8* L, int n, int origPtr,
 
   for (int i = 0; i < n; i++) {
     u8 b = L[i];
-    u8 p = pos_of[b];
-    if (p == 0) { zrun++; continue; }
+    if (b == order[0]) { zrun++; continue; }
     if (zrun) flush_zrun();
-    // move to front
-    memmove(order + 1, order, p);
+    // find + move to front: memchr/memmove are SIMD byte ops — far
+    // cheaper than maintaining a position table (the scalar pos_of
+    // rebuild was the ELF-data emit bottleneck, O(p) dependent stores)
+    u8* f = (u8*)memchr(order, b, (size_t)nUsed);
+    int p = (int)(f - order);
+    memmove(order + 1, order, (size_t)p);
     order[0] = b;
-    for (int k = 0; k <= p; k++) pos_of[order[k]] = (u8)k;
     u16 s = (u16)(p + 1);  // MTF value v >= 1 -> symbol v+1
     syms[nSyms++] = s;
     freq[s]++;
@@ -889,13 +906,15 @@ static bool emit_bz2_block(MsbWriter& bw, const u8* L, int n, int origPtr,
     for (int g = 0; g < nSel; g++) {
       int lo = g * GROUP_SIZE;
       int hi = lo + GROUP_SIZE < nSyms ? lo + GROUP_SIZE : nSyms;
+      u32 cost[MAX_GROUPS] = {0};
+      for (int i = lo; i < hi; i++) {  // one pass over the symbols,
+        u16 s = syms[i];               // all table costs accumulated
+        for (int t = 0; t < nGroups; t++) cost[t] += lens[t][s];
+      }
       u32 best = 0xFFFFFFFFu;
       int bestT = 0;
-      for (int t = 0; t < nGroups; t++) {
-        u32 cost = 0;
-        for (int i = lo; i < hi; i++) cost += lens[t][syms[i]];
-        if (cost < best) { best = cost; bestT = t; }
-      }
+      for (int t = 0; t < nGroups; t++)
+        if (cost[t] < best) { best = cost[t]; bestT = t; }
       sel[g] = (u8)bestT;
       for (int i = lo; i < hi; i++) gfreq[bestT][syms[i]]++;
     }
