@@ -101,3 +101,39 @@ def test_long_matches_split_like_reference():
         frags, dlens = dev.encode_blocks([blk])
         assert native.snappy_uncompress(_varint(len(blk)) + frags[0]) == blk
         assert dev.decode_blocks(frags, [len(blk)], 1024) == [blk]
+
+
+def test_flagged_block_host_fallback():
+    """A >256-byte literal run followed by a minimum-length match needs
+    more element-header bytes than the match has spares — the sort-emit
+    cannot serialize it in place, so the encoder must FLAG the block and
+    encode_blocks must fall back to the host oracle (same contract as
+    lz4_device._emit_sorted). Construction found by sweep: 256 distinct
+    bytes + filler, then a tile-aligned 4-byte match pair."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    rng = random.Random(7)
+    nprng = __import__("numpy").random.default_rng(0)
+    pre = bytes(nprng.permutation(np.arange(256, dtype=np.uint8))) + bytes(
+        rng.randrange(256) for _ in range(50))
+    blk = bytearray(pre)
+    while (len(blk) + 4) % 1:
+        blk.append(rng.randrange(256))
+    blk += b"wxyz" + b"\x00"
+    blk += b"wxyz" + b"\xff"
+    blk += bytes(rng.randrange(256) for _ in range(32))
+    blk = bytes(blk)
+
+    BB = dev._bucket(len(blk))
+    enc = dev.make_encoder(BB, 4)
+    arr = np.zeros((1, BB), np.uint8)
+    arr[0, : len(blk)] = np.frombuffer(blk, np.uint8)
+    _, _, _, flags = enc(jnp.asarray(arr),
+                         jnp.asarray([len(blk)], dtype=np.int32))
+    assert bool(np.asarray(flags)[0]), "expected the flag path to fire"
+
+    # the public batch API must round-trip it regardless (host fallback)
+    frags, dlens = dev.encode_blocks([blk], accel=2)
+    got = native.snappy_uncompress(_varint(len(blk)) + frags[0])
+    assert got == blk
