@@ -102,8 +102,10 @@ class ZlibCodec(Codec):
             _cbh = cb
             cb = lambda blocks, lvl: _cbh(blocks, lvl,
                                           workers=handle.num_shards or None)
+        from ..utils.config import device_decode_enabled
+        dcap = handle.max_tier if device_decode_enabled() else TIER_HOST
         db, dtier = dispatch.resolve_with_tier(
-            "zlib", "decompress_blocks", handle.max_tier, handle.opt_off)
+            "zlib", "decompress_blocks", dcap, handle.opt_off)
         if dtier == TIER_HOST:
             _dbh = db
             db = lambda chunks, dlens: _dbh(
@@ -185,6 +187,20 @@ def _zlib_decompress_blocks_host(chunks, dlens, workers=None):
         lambda cd: native.inflate(cd[0], cd[1], raw=True),
         list(zip(chunks, dlens)), workers=workers,
         total_bytes=int(sum(dlens)))
+
+
+@dispatch.register("zlib", "decompress_blocks", TIER_XLA,
+                   "zlib_decompress_blocks_xla")
+def _zlib_decompress_blocks_xla(chunks, dlens):
+    """Device inflate tier (ops/inflate_device.py): C++ cracks each
+    chunk's first-block header, the TPU scan decodes symbols + executes
+    LZ77; planner rejects and multi-block chunks re-decode on the host.
+    Opt-in via AOCL_DEVICE_DECODE, like lz4/zstd device decode."""
+    from ..ops import inflate_device
+    from ..ops.lz4_device import MAX_DEVICE_BLOCK
+    if max(dlens, default=0) > MAX_DEVICE_BLOCK:
+        return _zlib_decompress_blocks_host(chunks, dlens)
+    return inflate_device.decode_chunks(list(chunks), list(dlens))
 
 
 @dispatch.register("zlib", "compress_blocks", TIER_XLA,

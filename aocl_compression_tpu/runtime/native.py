@@ -92,6 +92,9 @@ def get_lib() -> ctypes.CDLL:
             ("atpu_inflate_consumed", _i64,
              [_u8p, ctypes.c_size_t, _u8p, ctypes.c_size_t,
               ctypes.POINTER(ctypes.c_size_t)]),
+            ("atpu_inflate_plan", _i64,
+             [_u8p, ctypes.c_size_t, _u8p, _u8p,
+              ctypes.POINTER(_i64)]),
             ("atpu_bz2_compress", _i64,
              [_u8p, ctypes.c_size_t, _u8p, ctypes.c_size_t, _i32]),
             ("atpu_bz2_decompress", _i64,

@@ -811,6 +811,103 @@ ATPU_EXPORT i64 atpu_inflate_consumed(const u8* src, size_t n, u8* dst,
 }
 
 // ---------------------------------------------------------------------------
+// Device-inflate planner (ops/inflate_device.py): crack the FIRST block
+// header of a raw-deflate region so the TPU scan can decode the symbol
+// section. Only the first block's tables matter — the device scan stops at
+// that block's EOB and the caller compares produced bytes against the
+// chunk's expected dlen; multi-block chunks come up short and fall back to
+// the host tier. Reference analog: the header/table-build states of
+// algos/zlib/inflate.c (the symbol loop itself runs on device).
+// ---------------------------------------------------------------------------
+
+// Kraft validity without building a decode table (the device decodes
+// straight from the canonical (first_code, count) arithmetic).
+static bool lens_valid(const u8* lens, int n, bool allow_incomplete) {
+  int bl[16] = {0}, mx = 0;
+  for (int i = 0; i < n; i++) {
+    if (lens[i] > 15) return false;
+    bl[lens[i]]++;
+    if (lens[i] > mx) mx = lens[i];
+  }
+  if (mx == 0) return false;
+  bl[0] = 0;
+  int left = 1;
+  for (int b = 1; b <= 15; b++) {
+    left <<= 1;
+    left -= bl[b];
+    if (left < 0) return false;
+  }
+  if (left > 0 && !allow_incomplete && !(mx == 1 && bl[1] == 1))
+    return false;
+  return true;
+}
+
+// Returns 2 static / 1 dynamic (ll_lens[288] + d_lens[32] filled and
+// *bitoff = absolute bit offset of the symbol section), 0 stored-first
+// (caller uses the host tier), <0 corrupt.
+ATPU_EXPORT i64 atpu_inflate_plan(const u8* src, size_t n, u8* ll_lens,
+                                  u8* d_lens, i64* bitoff) {
+  BitReader br(src, src + n);
+  (void)br.get(1);  // BFINAL is irrelevant: dlen mismatch gates multi-block
+  u32 btype = br.get(2);
+  if (br.fail || btype == 3) return ERR_CORRUPT;
+  memset(ll_lens, 0, 288);
+  memset(d_lens, 0, 32);
+  if (btype == 0) return 0;
+  if (btype == 1) {
+    for (int i = 0; i < 144; i++) ll_lens[i] = 8;
+    for (int i = 144; i < 256; i++) ll_lens[i] = 9;
+    for (int i = 256; i < 280; i++) ll_lens[i] = 7;
+    for (int i = 280; i < 288; i++) ll_lens[i] = 8;
+    for (int i = 0; i < 32; i++) d_lens[i] = 5;
+    *bitoff = (i64)(br.p - src) * 8 - br.nbits;
+    return 2;
+  }
+  int hlit = (int)br.get(5) + 257;
+  int hdist = (int)br.get(5) + 1;
+  int hclen = (int)br.get(4) + 4;
+  if (br.fail || hlit > 288 || hdist > 30) return ERR_CORRUPT;
+  u8 cl_lens[19] = {0};
+  for (int i = 0; i < hclen; i++) cl_lens[CL_ORDER[i]] = (u8)br.get(3);
+  if (br.fail) return ERR_CORRUPT;
+  HTable* cl = (HTable*)malloc(sizeof(HTable));
+  if (!cl) return ERR_CORRUPT;
+  if (!cl->build(cl_lens, 19)) { free(cl); return ERR_CORRUPT; }
+  u8 lens[288 + 30] = {0};
+  int total = hlit + hdist;
+  for (int i = 0; i < total;) {
+    int s = decode_sym(br, *cl);
+    if (s < 0) { free(cl); return ERR_CORRUPT; }
+    if (s < 16) {
+      lens[i++] = (u8)s;
+    } else if (s == 16) {
+      if (i == 0) { free(cl); return ERR_CORRUPT; }
+      int r = 3 + (int)br.get(2);
+      if (r > total - i) { free(cl); return ERR_CORRUPT; }
+      u8 v = lens[i - 1];
+      while (r--) lens[i++] = v;
+    } else if (s == 17) {
+      int r = 3 + (int)br.get(3);
+      if (r > total - i) { free(cl); return ERR_CORRUPT; }
+      i += r;
+    } else {
+      int r = 11 + (int)br.get(7);
+      if (r > total - i) { free(cl); return ERR_CORRUPT; }
+      i += r;
+    }
+    if (br.fail) { free(cl); return ERR_CORRUPT; }
+  }
+  free(cl);
+  if (!lens_valid(lens, hlit, false)) return ERR_CORRUPT;
+  bool no_dist = (hdist == 1 && lens[hlit] == 0);
+  if (!no_dist && !lens_valid(lens + hlit, hdist, true)) return ERR_CORRUPT;
+  memcpy(ll_lens, lens, (size_t)hlit);
+  if (!no_dist) memcpy(d_lens, lens + hlit, (size_t)hdist);
+  *bitoff = (i64)(br.p - src) * 8 - br.nbits;
+  return 1;
+}
+
+// ---------------------------------------------------------------------------
 // Resumable streaming inflate — the z_stream analog (reference capability:
 // algos/zlib/inflate.c's incremental state machine). Input arrives in
 // arbitrary-size feeds; decode resumes at symbol/header boundaries via

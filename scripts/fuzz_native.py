@@ -55,6 +55,8 @@ def load(path):
         ("atpu_deflate", _i64, [_u8p, _sz, _u8p, _sz, _i32, _i32]),
         ("atpu_deflate_bound", _i64, [_i64]),
         ("atpu_inflate", _i64, [_u8p, _sz, _u8p, _sz, _i32]),
+        ("atpu_inflate_plan", _i64,
+         [_u8p, _sz, _u8p, _u8p, ctypes.POINTER(_i64)]),
         ("atpu_bz2_compress", _i64, [_u8p, _sz, _u8p, _sz, _i32]),
         ("atpu_bz2_decompress", _i64, [_u8p, _sz, _u8p, _sz]),
         ("atpu_lzma_compress", _i64, [_u8p, _sz, _u8p, _sz, _i32]),
@@ -225,6 +227,13 @@ def run(lib, runs, seed):
                 p32(plan_fse), 8, ctypes.byref(consumed))
         elif kind == "inflate":
             lib.atpu_inflate(p(a), ln, p(dout), cap, int(rng.integers(0, 2)))
+            # device-inflate planner: first-block header cracking over
+            # hostile input (ops/inflate_device.py entry)
+            ll_lens = np.zeros(288, np.uint8)
+            d_lens = np.zeros(32, np.uint8)
+            boff = _i64(0)
+            lib.atpu_inflate_plan(p(a), ln, p(ll_lens), p(d_lens),
+                                  ctypes.byref(boff))
             # resumable stream decode: feed in random-size pieces
             ctx = lib.atpu_inflate_stream_new(int(rng.integers(0, 2)))
             if ctx:
