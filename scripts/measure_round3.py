@@ -119,6 +119,24 @@ def zstd_decode(arr, lens, blocks):
           f"blocks verified)", flush=True)
 
 
+@section("device inflate")
+def device_inflate(arr, lens, blocks):
+    from aocl_compression_tpu.ops import inflate_device as INF
+    from aocl_compression_tpu.runtime import native
+    chunks = [native.deflate(b, 6, native.DEFLATE_SYNC_CHUNK)
+              for b in blocks]
+    dlens = [len(b) for b in blocks]
+    out = INF.decode_chunks(chunks, dlens)
+    n_ok = sum(int(o == b) for o, b in zip(out, blocks))
+    t0 = time.perf_counter()
+    iters = 4
+    for _ in range(iters):
+        INF.decode_chunks(chunks, dlens)
+    t = (time.perf_counter() - t0) / iters
+    print(f"device inflate: {MB/t:6.1f} MB/s ({n_ok}/{len(blocks)} "
+          f"chunks verified)", flush=True)
+
+
 @section("lzma device match-finder assist")
 def lzma_assist(arr, lens, blocks):
     from aocl_compression_tpu.ops import lzma_assist as A
@@ -152,6 +170,7 @@ def main():
     snappy_v2(arr, lens, blocks)
     zstd_pack_ab(arr, lens, blocks)
     zstd_decode(arr, lens, blocks)
+    device_inflate(arr, lens, blocks)
     lzma_assist(arr, lens, blocks)
 
 
