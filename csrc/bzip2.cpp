@@ -137,13 +137,42 @@ static void bz_build_lengths(const u32* freq_in, int n, u8* lens) {
     if (d > MAX_CODE_LEN) { overflow++; d = MAX_CODE_LEN; }
     bl_count[d]++;
   }
+  // zlib gen_bitlen counts clamped INTERNAL nodes too — leaf-only
+  // counting under-repairs deep-skew trees into an over-subscribed
+  // code (same bug class fixed in csrc/deflate.cpp build_lengths)
+  for (int i = n; i < nodes - 1; i++)
+    if (depth[i] > MAX_CODE_LEN) overflow++;
   while (overflow > 0) {
     int bits = MAX_CODE_LEN - 1;
-    while (bl_count[bits] == 0) bits--;
+    while (bits > 0 && bl_count[bits] == 0) bits--;
+    if (bits == 0) break;
     bl_count[bits]--;
     bl_count[bits + 1] += 2;
     bl_count[MAX_CODE_LEN]--;
     overflow -= 2;
+  }
+  // exact completeness (belt + braces): rebuild flat + promote if off
+  {
+    long long limit = 1LL << MAX_CODE_LEN, k = 0;
+    for (int b = 1; b <= MAX_CODE_LEN; b++)
+      k += (long long)bl_count[b] << (MAX_CODE_LEN - b);
+    if (k != limit) {
+      int L = 1;
+      while ((1 << L) < n) L++;
+      memset(bl_count, 0, sizeof(bl_count));
+      bl_count[L] = n;
+      k = (long long)n << (MAX_CODE_LEN - L);
+      int d = L;
+      while (k < limit && d >= 2) {
+        if (bl_count[d] && k + (1LL << (MAX_CODE_LEN - d)) <= limit) {
+          bl_count[d]--;
+          bl_count[d - 1]++;
+          k += 1LL << (MAX_CODE_LEN - d);
+        } else {
+          d--;
+        }
+      }
+    }
   }
   int oi = 0;
   for (int bits = MAX_CODE_LEN; bits >= 1; bits--)

@@ -383,7 +383,14 @@ static void build_lengths(const u32* freq, int n, int maxlen, u8* lens) {
   int depth[640];
   depth[root] = 0;
   for (int i = root - 1; i >= 0; i--) depth[i] = depth[parent[i]] + 1;
-  // histogram with clamping + zlib-style overflow repair
+  // histogram with clamping + zlib-style overflow repair. CRITICAL:
+  // zlib's gen_bitlen counts EVERY clamped node — internal nodes too
+  // (trees.c: the heap walk hits both) — because a depth-(maxlen+k)
+  // leaf sits under k clamped internal nodes and the repair loop frees
+  // exactly one Kraft unit per 2 counted overflows. Counting only
+  // leaves under-repairs deeply skewed trees and emits an
+  // OVER-SUBSCRIBED code that inflate rejects ("invalid
+  // literal/lengths set" — found on a 3 MB single-shot L6 stream).
   int bl_count[64] = {0};
   int overflow = 0;
   for (int i = 0; i < nsym; i++) {
@@ -391,13 +398,42 @@ static void build_lengths(const u32* freq, int n, int maxlen, u8* lens) {
     if (d2 > maxlen) { overflow += 1; d2 = maxlen; }
     bl_count[d2]++;
   }
+  for (int i = nsym; i < nodes - 1; i++)  // internal nodes (root exempt)
+    if (depth[i] > maxlen) overflow += 1;
   while (overflow > 0) {
     int bits = maxlen - 1;
-    while (bl_count[bits] == 0) bits--;
+    while (bits > 0 && bl_count[bits] == 0) bits--;
+    if (bits == 0) break;
     bl_count[bits]--;
     bl_count[bits + 1] += 2;
     bl_count[maxlen]--;
     overflow -= 2;
+  }
+  // belt + braces: the emitted code must be EXACTLY complete (inflate
+  // rejects over- and under-subscribed literal/length tables). If the
+  // repair left the histogram off, rebuild a flat complete code: all
+  // leaves at ceil(log2 nsym), then promote one-by-one to fill.
+  {
+    long long limit = 1LL << maxlen, k = 0;
+    for (int b = 1; b <= maxlen; b++)
+      k += (long long)bl_count[b] << (maxlen - b);
+    if (k != limit) {
+      int L = 1;
+      while ((1 << L) < nsym) L++;
+      memset(bl_count, 0, sizeof(bl_count));
+      bl_count[L] = nsym;
+      k = (long long)nsym << (maxlen - L);
+      int d = L;
+      while (k < limit && d >= 2) {
+        if (bl_count[d] && k + (1LL << (maxlen - d)) <= limit) {
+          bl_count[d]--;
+          bl_count[d - 1]++;
+          k += 1LL << (maxlen - d);
+        } else {
+          d--;
+        }
+      }
+    }
   }
   // assign lengths: longest first to the rarest symbols (order[] ascending
   // frequency => walk from the front)

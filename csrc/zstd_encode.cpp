@@ -291,13 +291,44 @@ struct HufEnc {
       if (d > MAXL) { overflow++; d = MAXL; }
       bl[d]++;
     }
+    // zlib gen_bitlen counts clamped INTERNAL nodes too — leaf-only
+    // counting under-repairs deep-skew trees into an over-subscribed
+    // code (same bug class fixed in csrc/deflate.cpp build_lengths;
+    // HUF completeness is load-bearing here: the decoder derives the
+    // last weight from the Kraft remainder)
+    for (int i = no; i < nodes - 1; i++)
+      if (depth[i] > MAXL) overflow++;
     while (overflow > 0) {
       int b = MAXL - 1;
-      while (bl[b] == 0) b--;
+      while (b > 0 && bl[b] == 0) b--;
+      if (b == 0) break;
       bl[b]--;
       bl[b + 1] += 2;
       bl[MAXL]--;
       overflow -= 2;
+    }
+    // exact completeness (belt + braces): rebuild flat + promote if off
+    {
+      long long limit = 1LL << MAXL, kr = 0;
+      for (int b = 1; b <= MAXL; b++)
+        kr += (long long)bl[b] << (MAXL - b);
+      if (kr != limit) {
+        int L = 1;
+        while ((1 << L) < no) L++;
+        memset(bl, 0, sizeof(bl));
+        bl[L] = no;
+        kr = (long long)no << (MAXL - L);
+        int d = L;
+        while (kr < limit && d >= 2) {
+          if (bl[d] && kr + (1LL << (MAXL - d)) <= limit) {
+            bl[d]--;
+            bl[d - 1]++;
+            kr += 1LL << (MAXL - d);
+          } else {
+            d--;
+          }
+        }
+      }
     }
     memset(nbits, 0, sizeof(nbits));
     int oi = 0;

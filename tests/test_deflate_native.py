@@ -135,3 +135,24 @@ def test_overrunning_length_repeat_rejected():
         zlib.decompress(raw, wbits=-15)
     with pytest.raises(ValueError):
         native.inflate(raw, 258, raw=True)
+
+
+def test_single_shot_3mb_skew_text_valid_streams():
+    """Regression: build_lengths under-repaired deeply skewed Huffman
+    trees (it counted only LEAF overflow where zlib's gen_bitlen counts
+    clamped internal nodes too), emitting an over-subscribed
+    literal/length code on a 3 MB single-shot L6/L9 stream — stock zlib
+    rejected it with "invalid literal/lengths set". The same class was
+    fixed in bz_build_lengths (bzip2.cpp) and HufEnc (zstd_encode.cpp)."""
+    import sys
+    import zlib as stock
+
+    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from conftest import _text_like
+
+    base = _text_like(1 << 20, seed=7)
+    data = (base * 4)[:3 << 20]
+    for level in (1, 4, 6, 9):
+        c = native.deflate(data, level, native.DEFLATE_ZLIB)
+        assert stock.decompress(c) == data, f"level {level}"
+        assert native.inflate(c, len(data)) == data, f"level {level}"
