@@ -46,7 +46,9 @@ class Lz4Codec(Codec):
     def _rap_enabled(self, handle: Handle) -> bool:
         if handle.enable_rap is not None:
             return handle.enable_rap
-        return get_config().enable_rap
+        device = max(1, handle.opt_var) >= 2
+        return get_config().enable_rap and not container.st_fallback(
+            handle, device)
 
     def _adapter(self, handle: Handle) -> container.BlockCodecAdapter:
         accel = max(1, handle.opt_var)

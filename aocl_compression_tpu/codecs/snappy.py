@@ -90,7 +90,8 @@ class SnappyCodec(Codec):
 
     def compress(self, handle: Handle, data: bytes) -> bytes:
         rap = (handle.enable_rap if handle.enable_rap is not None
-               else get_config().enable_rap)
+               else get_config().enable_rap and not container.st_fallback(
+                   handle, max(1, handle.opt_var) >= 2))
         if rap:
             out = container.compress_rapped(data, self._block_size(handle),
                                             self._adapter(handle))

@@ -118,7 +118,8 @@ class ZlibCodec(Codec):
     def compress(self, handle: Handle, data: bytes) -> bytes:
         level = self.clamp_level(handle.level or self.default_level)
         rap = (handle.enable_rap if handle.enable_rap is not None
-               else get_config().enable_rap)
+               else get_config().enable_rap and not container.st_fallback(
+                   handle, _device_opt_in(handle) and level <= 2))
         if rap:
             out = container.compress_rapped(
                 data, self._block_size(handle, level),

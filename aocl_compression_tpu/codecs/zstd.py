@@ -92,7 +92,8 @@ class ZstdCodec(Codec):
     def compress(self, handle: Handle, data: bytes) -> bytes:
         level = self.clamp_level(handle.level or self.default_level)
         rap = (handle.enable_rap if handle.enable_rap is not None
-               else get_config().enable_rap)
+               else get_config().enable_rap and not container.st_fallback(
+                   handle, self._device_opt_in(handle)))
         bs = self._block_size(handle)
         if rap and len(data) >= 2 * bs:
             return self._compress_rapped(handle, data, level, bs)

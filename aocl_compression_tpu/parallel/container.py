@@ -50,6 +50,22 @@ def split_blocks(data: bytes, block_size: int) -> List[bytes]:
     return [data[i:i + block_size] for i in range(0, len(data), block_size)]
 
 
+def st_fallback(handle, device_opted: bool) -> bool:
+    """The reference's single-thread fallback (threads/threads.c:66-97;
+    lz4.c:2673-2676): when exactly one worker would run the serial host
+    path, the RAP container only adds per-block overhead (fresh match
+    state per chunk) without any parallel win — compress single-shot
+    instead. Device tiers keep the container (batch-parallel regardless
+    of core count), as does an explicit num_shards request; an explicit
+    handle.enable_rap is honored by the callers before consulting this."""
+    if device_opted or (handle.num_shards or 0) > 1:
+        return False
+    if handle.block_size:  # an explicit chunking request = container use
+        return False
+    import os
+    return (os.cpu_count() or 1) == 1
+
+
 def compress_rapped(data: bytes, block_size: int,
                     adapter: BlockCodecAdapter) -> Optional[bytes]:
     """Compress into a RAP-framed block-parallel stream.
