@@ -78,10 +78,26 @@ static int len_code_of(int len) {  // len in [3,258]
   return lc.lut[len];
 }
 
+struct DistCodeLut {  // zlib trees.c d_code idiom: 512-entry two-level LUT
+  u8 lut[512];
+  DistCodeLut() {
+    for (int d = 1; d <= 256; d++) {
+      int c = 29;
+      while (DIST_BASE[c] > (u16)d) c--;
+      lut[d - 1] = (u8)c;
+    }
+    for (int k = 0; k < 256; k++) {  // (d-1) >> 7 for d in (256, 32768]
+      int d = (k << 7) + 1;
+      int c = 29;
+      while (DIST_BASE[c] > (u16)d) c--;
+      lut[256 + k] = (u8)c;
+    }
+  }
+};
+
 static int dist_code_of(int d) {  // d in [1,32768]
-  int c = 29;
-  while (DIST_BASE[c] > (u16)d) c--;
-  return c;
+  static const DistCodeLut dcl;
+  return d <= 256 ? dcl.lut[d - 1] : dcl.lut[256 + ((d - 1) >> 7)];
 }
 
 // ---------------------------------------------------------------------------
@@ -95,9 +111,21 @@ struct BitWriter {
   bool overflow = false;
 
   BitWriter(u8* o, size_t c) : out(o), cap(c) {}
-  void put(u32 v, int n) {  // LSB-first
-    acc |= (u64)(v & ((1u << n) - 1)) << nbits;
+  void put(u32 v, int n) {  // LSB-first; word-granular flush (the
+    // per-byte drain was 55% of deflate L1 encode time in emit_block)
+    acc |= (u64)(v & ((n >= 32) ? 0xFFFFFFFFu : ((1u << n) - 1))) << nbits;
     nbits += n;
+    if (nbits >= 32) {
+      if (len + 4 > cap) { overflow = true; nbits &= 7; return; }
+      u32 w = (u32)acc;
+      memcpy(out + len, &w, 4);
+      len += 4;
+      acc >>= 32;
+      nbits -= 32;
+    }
+  }
+  void align() {  // pad to a byte boundary and drain whole bytes
+    if (nbits & 7) put(0, 8 - (nbits & 7));
     while (nbits >= 8) {
       if (len >= cap) { overflow = true; nbits = 0; return; }
       out[len++] = (u8)acc;
@@ -105,7 +133,6 @@ struct BitWriter {
       nbits -= 8;
     }
   }
-  void align() { if (nbits) put(0, 8 - nbits); }
   void bytes(const u8* p, size_t n) {
     if (len + n > cap) { overflow = true; return; }
     memcpy(out + len, p, n);
@@ -632,12 +659,17 @@ static bool emit_block(BitWriter& bw, const Token* toks, size_t ntok,
   }
   for (size_t i = 0; i < ntok; i++) {
     if (toks[i].dist) {
+      // fuse code + extra bits into one put each (len <= 15+5, dist
+      // <= 15+13 bits) — halves the hot-loop put count
       int lc = len_code_of(toks[i].lit_or_len);
-      bw.put(ecc[257 + lc], ell[257 + lc]);
-      bw.put((u32)(toks[i].lit_or_len - LEN_BASE[lc]), LEN_XBITS[lc]);
+      int ln = ell[257 + lc];
+      bw.put(ecc[257 + lc]
+                 | ((u32)(toks[i].lit_or_len - LEN_BASE[lc]) << ln),
+             ln + LEN_XBITS[lc]);
       int dc = dist_code_of(toks[i].dist);
-      bw.put(edc[dc], edl[dc]);
-      bw.put((u32)(toks[i].dist - DIST_BASE[dc]), DIST_XBITS[dc]);
+      int dn = edl[dc];
+      bw.put(edc[dc] | ((u32)(toks[i].dist - DIST_BASE[dc]) << dn),
+             dn + DIST_XBITS[dc]);
     } else {
       bw.put(ecc[toks[i].lit_or_len], ell[toks[i].lit_or_len]);
     }
@@ -679,16 +711,33 @@ struct Matcher {
   }
   // best (len, dist) at pos
   int find(const u8* base, size_t pos, size_t end, const LevelParams& lp,
-           int* distOut) const {
+           int* distOut, int prev_best = 0) const {
     u32 h = hash3(base + pos);
     int32_t cand = head[h];
     int best = MIN_MATCH - 1, bestd = 0;
-    int chain = lp.chain;
+    // stock zlib's good_match rule (deflate.c longest_match caller):
+    // already holding a good match quarters the chain budget
+    int chain = prev_best >= lp.good ? (lp.chain >> 2) : lp.chain;
+    const u8* scan = base + pos;
     const u8* limit = base + (end - pos > MAX_MATCH ? pos + MAX_MATCH : end);
     while (cand >= 0 && chain-- > 0) {
       size_t c = (size_t)cand;
       if (pos - c > WSIZE - 1) break;
-      int l = match_len(base + pos, base + c, limit);
+      const u8* mp = base + c;
+      // zlib longest_match scan-end reject: a candidate can only beat
+      // `best` if it also matches at scan[best-1..best] — two loads
+      // kill most candidates before the full compare
+      if (scan + best < limit) {
+        u16 se, me;
+        memcpy(&se, scan + best - 1, 2);
+        memcpy(&me, mp + best - 1, 2);
+        if (se != me) {
+          cand = prev[c & (WSIZE - 1)];
+          if ((size_t)cand >= c) break;
+          continue;
+        }
+      }
+      int l = match_len(scan, mp, limit);
       if (l > best) {
         best = l;
         bestd = (int)(pos - c);
@@ -752,7 +801,7 @@ static i64 deflate_raw(const u8* src, size_t n, u8* dst, size_t dstCap,
         l1 < lp.lazy) {
       // lazy: peek the next position; emit a literal if it matches longer
       int d2;
-      int l2 = m->find(src, pos + 1, n, lp, &d2);
+      int l2 = m->find(src, pos + 1, n, lp, &d2, l1);
       if (l2 > l1) {
         toks[ntok++] = {(u16)src[pos], 0};
         pos++;
