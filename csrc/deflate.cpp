@@ -775,6 +775,8 @@ static i64 deflate_raw(const u8* src, size_t n, u8* dst, size_t dstCap,
   };
 
   size_t missRun = 0;
+  int pendL = 0, pendD = 0;
+  bool havePend = false;
   while (pos < n) {
     if (ntok >= TOKCAP - 2) flush(false);
     if (pos + MIN_MATCH > n) {
@@ -794,9 +796,18 @@ static i64 deflate_raw(const u8* src, size_t n, u8* dst, size_t dstCap,
         continue;
       }
     }
-    int d1;
-    int l1 = m->find(src, pos, n, lp, &d1);
-    m->insert(src, pos);
+    int d1, l1;
+    if (havePend) {
+      // the deferred lazy peek IS this position's search (the matcher
+      // held identical state at both call sites — exact reuse)
+      l1 = pendL;
+      d1 = pendD;
+      havePend = false;
+      m->insert(src, pos);
+    } else {
+      l1 = m->find(src, pos, n, lp, &d1);
+      m->insert(src, pos);
+    }
     if (l1 >= MIN_MATCH && lp.lazy && pos + 1 + MIN_MATCH <= n &&
         l1 < lp.lazy) {
       // lazy: peek the next position; emit a literal if it matches longer
@@ -805,6 +816,9 @@ static i64 deflate_raw(const u8* src, size_t n, u8* dst, size_t dstCap,
       if (l2 > l1) {
         toks[ntok++] = {(u16)src[pos], 0};
         pos++;
+        pendL = l2;
+        pendD = d2;
+        havePend = true;
         continue;
       }
     }
