@@ -140,7 +140,37 @@ def _rap_decode_metrics(data: bytes) -> dict:
     return out
 
 
+def _device_alive(timeout_s: int = 900) -> bool:
+    """Probe the axon relay in a subprocess (it hangs indefinitely when the
+    relay is down — observed round 3). True iff a tiny jitted op completes
+    within the timeout (first compile included)."""
+    import subprocess
+    import sys
+    code = ("import jax, jax.numpy as jnp, numpy as np;"
+            "print(float(np.asarray((jnp.ones(8)*2).sum())))")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           timeout=timeout_s, capture_output=True)
+        return r.returncode == 0 and b"16.0" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    data = _corpus(65536 * 96)
+    if not _device_alive():
+        # relay down: report the host-tier metrics honestly rather than
+        # hanging the driver; the metric name carries the condition
+        extra = {"relay_down": True}
+        extra.update(_host_metrics(data))
+        print(json.dumps({
+            "metric": "lz4_host_encode_MBps_RELAY_DOWN_host_fallback",
+            "value": extra["lz4_host_encode_MBps"],
+            "unit": "MB/s",
+            "vs_baseline": round(extra["lz4_host_encode_MBps"] / 740.0, 4),
+            "extra": extra,
+        }))
+        return
     import jax
     import jax.numpy as jnp
     from aocl_compression_tpu.ops import lz4_device
