@@ -413,13 +413,29 @@ struct EncMF {
   int find(const u8* base, size_t pos, size_t n, int depth, u32* distOut) {
     const u8* limit = base + (n - pos > MATCH_LEN_MAX
                               ? pos + MATCH_LEN_MAX : n);
+    const u8* scan = base + pos;
     int best = 0;
     u32 bestd = 0;
     int32_t cand = head[ehash4(base + pos)];
     while (cand >= 0 && depth-- > 0) {
       size_t c = (size_t)cand;
       if (pos - c >= window) break;
-      int l = ematch_len(base + pos, base + c, limit);
+      const u8* mp = base + c;
+      // scan-end fast reject (zlib longest_match idiom; same win as in
+      // csrc/deflate.cpp): only a candidate matching at scan[best-1..best]
+      // can improve on `best`
+      if (best >= 2 && scan + best < limit) {
+        u16 se, me;
+        memcpy(&se, scan + best - 1, 2);
+        memcpy(&me, mp + best - 1, 2);
+        if (se != me) {
+          int32_t nx0 = prev[c & (window - 1)];
+          if (nx0 >= (int32_t)c) break;
+          cand = nx0;
+          continue;
+        }
+      }
+      int l = ematch_len(scan, mp, limit);
       if (l > best) { best = l; bestd = (u32)(pos - c); }
       int32_t nxt = prev[c & (window - 1)];
       if (nxt >= (int32_t)c) break;
