@@ -273,10 +273,18 @@ static i64 inflate_raw(const u8* src, size_t srcSize, u8* dst, size_t dstCap,
       u32 len = br.get(16), nlen = br.get(16);
       if (br.fail || (len ^ nlen) != 0xFFFF) goto done;
       if (op + len > dstCap) { result = ERR_DST_SMALL; goto done; }
-      for (u32 i = 0; i < len; i++) {
-        u32 b = br.get(8);
-        if (br.fail) goto done;
-        dst[op++] = (u8)b;
+      // drain accumulator bytes, then bulk-copy straight from the input
+      // (stored blocks = incompressible data; the per-byte get(8) path
+      // was the whole cost there)
+      while (len && br.nbits >= 8) {
+        dst[op++] = (u8)br.get(8);
+        len--;
+      }
+      if (len) {
+        if ((size_t)(br.end - br.p) < len) goto done;
+        memcpy(dst + op, br.p, len);
+        br.p += len;
+        op += len;
       }
     } else if (btype == 1 || btype == 2) {
       if (btype == 1) {
@@ -346,8 +354,19 @@ static i64 inflate_raw(const u8* src, size_t srcSize, u8* dst, size_t dstCap,
           if (op + (size_t)len > dstCap) { result = ERR_DST_SMALL; goto done; }
           u8* o = dst + op;
           const u8* q = o - d;
-          for (int i = 0; i < len; i++) o[i] = q[i];
           op += (size_t)len;
+          // wildcopy (the reference's chunkcopy.h axis): 8-byte chunks
+          // when the distance permits and slack bytes exist past the end
+          if (d >= 8 && op + 8 <= dstCap) {
+            u8* e = o + len;
+            do {
+              memcpy(o, q, 8);
+              o += 8;
+              q += 8;
+            } while (o < e);
+          } else {
+            for (int i = 0; i < len; i++) o[i] = q[i];
+          }
         }
       }
     } else {
