@@ -210,7 +210,20 @@ int64_t atpu_lz4_decompress(const uint8_t* src, int64_t srcLen,
         }
         if (mlen > oend - op) return -1;
         const uint8_t* m = op - offset;
-        for (int64_t i = 0; i < mlen; i++) op[i] = m[i];  // overlap-correct
+        // wildcopy (reference: AOCL_LZ4_wildCopy64_AVX, lz4.c:510): 8-byte
+        // chunks when distance and tail slack allow; byte loop is the
+        // overlap-correct fallback for short distances
+        if (offset >= 8 && oend - op >= mlen + 8) {
+            uint8_t* o = op;
+            const uint8_t* e = op + mlen;
+            do {
+                std::memcpy(o, m, 8);
+                o += 8;
+                m += 8;
+            } while (o < e);
+        } else {
+            for (int64_t i = 0; i < mlen; i++) op[i] = m[i];
+        }
         op += mlen;
     }
     return op - dst;

@@ -221,7 +221,19 @@ int64_t atpu_snappy_uncompress(const uint8_t* src, int64_t srcLen,
             }
             if (offset == 0 || offset > op - dst || len > oend - op) return -1;
             const uint8_t* m = op - offset;
-            for (int64_t i = 0; i < len; i++) op[i] = m[i];
+            // wildcopy (reference: AOCL_SnappyArrayWriter_AVX class):
+            // 8-byte chunks when distance and tail slack allow
+            if (offset >= 8 && oend - op >= len + 8) {
+                uint8_t* o = op;
+                const uint8_t* e = op + len;
+                do {
+                    std::memcpy(o, m, 8);
+                    o += 8;
+                    m += 8;
+                } while (o < e);
+            } else {
+                for (int64_t i = 0; i < len; i++) op[i] = m[i];
+            }
             op += len;
         }
     }
