@@ -348,8 +348,19 @@ static i64 lzma_decode_raw_state(Probs& P, RDec& rd, u8* dst,
     if (op + (size_t)len > dstCap) return ERR_DST_SMALL;
     const u8* q = dst + op - rep0;
     u8* o = dst + op;
-    for (int i = 0; i < len; i++) o[i] = q[i];
     op += (size_t)len;
+    // 8-byte wildcopy when distance and tail slack allow (same recast
+    // as the lz4/snappy/inflate decoders); byte loop = overlap fallback
+    if (rep0 >= 8 && op + 8 <= dstCap) {
+      u8* e = o + len;
+      do {
+        memcpy(o, q, 8);
+        o += 8;
+        q += 8;
+      } while (o < e);
+    } else {
+      for (int i = 0; i < len; i++) o[i] = q[i];
+    }
   }
   reps[0] = rep0; reps[1] = rep1; reps[2] = rep2; reps[3] = rep3;
   *statep = state;
