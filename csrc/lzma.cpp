@@ -252,43 +252,111 @@ static i64 lzma_decode_raw_state(Probs& P, RDec& rd, u8* dst,
   u32 posMask = (1u << P.pb) - 1;
   u32 litPosMask = (1u << P.lp) - 1;
 
+  // Localized range-decoder state: dst is u8*, so stores through it may
+  // alias the RDec object and would force range/code/p reloads every
+  // symbol; locals whose address never escapes cannot alias.
+  u32 Rrange = rd.range, Rcode = rd.code;
+  const u8* Rp = rd.p;
+  const u8* const Rend = rd.end;
+  bool Rfail = rd.fail;
+  auto SYNC = [&]() {
+    rd.range = Rrange; rd.code = Rcode; rd.p = Rp; rd.fail = Rfail;
+  };
+  auto BIT = [&](u16* prob) -> int {
+    u32 bound = (Rrange >> 11) * *prob;
+    int b;
+    if (Rcode < bound) {
+      Rrange = bound;
+      *prob = (u16)(*prob + ((2048 - *prob) >> 5));
+      b = 0;
+    } else {
+      Rcode -= bound;
+      Rrange -= bound;
+      *prob = (u16)(*prob - (*prob >> 5));
+      b = 1;
+    }
+    if (Rrange < (1u << 24)) {
+      Rrange <<= 8;
+      Rcode = (Rcode << 8) | (Rp < Rend ? *Rp++ : (Rfail = true, 0));
+    }
+    return b;
+  };
+  auto TREE = [&](u16* probs, int n) -> u32 {
+    u32 m = 1;
+    for (int i = 0; i < n; i++) m = (m << 1) | (u32)BIT(&probs[m]);
+    return m - (1u << n);
+  };
+  auto TREE_REV = [&](u16* probs, int n) -> u32 {
+    u32 m = 1, res = 0;
+    for (int i = 0; i < n; i++) {
+      int b = BIT(&probs[m]);
+      m = (m << 1) | (u32)b;
+      res |= (u32)b << i;
+    }
+    return res;
+  };
+  auto DIRECT = [&](int n) -> u32 {
+    u32 res = 0;
+    while (n--) {
+      Rrange >>= 1;
+      u32 t = (Rcode - Rrange) >> 31;  // 0 if code >= range
+      Rcode -= Rrange & (t - 1);
+      res = (res << 1) | (1 - t);
+      if (Rrange < (1u << 24)) {
+        Rrange <<= 8;
+        Rcode = (Rcode << 8) | (Rp < Rend ? *Rp++ : (Rfail = true, 0));
+      }
+    }
+    return res;
+  };
+  auto DEC_LEN = [&](LenProbs& lp2, int ps) -> int {
+    if (!BIT(&lp2.choice))
+      return MATCH_LEN_MIN + (int)TREE(lp2.low[ps], 3);
+    if (!BIT(&lp2.choice2))
+      return MATCH_LEN_MIN + 8 + (int)TREE(lp2.mid[ps], 3);
+    return MATCH_LEN_MIN + 16 + (int)TREE(lp2.high, 8);
+  };
+
   while (!sizeKnown || op < unpackEnd) {
-    if (rd.fail) return ERR_CORRUPT;
-    if (!sizeKnown && op >= dstCap) return ERR_DST_SMALL;
+    if (Rfail) { SYNC(); return ERR_CORRUPT; }
+    // No dst-capacity check here: every producing path below checks before
+    // writing, and an unknown-size stream that has exactly filled dstCap
+    // must still be allowed to read its trailing end marker (otherwise an
+    // exact-size buffer spuriously reports DST_SMALL and callers re-decode).
     int posState = (int)((u32)(op - base) & posMask);
-    if (!rd.bit(&P.isMatch[state][posState])) {
+    if (!BIT(&P.isMatch[state][posState])) {
       // literal
-      if (op >= dstCap) return ERR_DST_SMALL;
+      if (op >= dstCap) { SYNC(); return ERR_DST_SMALL; }
       u8 prev = op > base ? dst[op - 1] : 0;
       u16* probs = P.lit + 0x300 * ((((u32)(op - base) & litPosMask)
                                      << P.lc) + (prev >> (8 - P.lc)));
       u32 symbol = 1;
       if (state >= 7) {
-        if (rep0 > op - base) return ERR_CORRUPT;
+        if (rep0 > op - base) { SYNC(); return ERR_CORRUPT; }
         u8 matchByte = dst[op - rep0];
         do {
           u32 matchBit = (matchByte >> 7) & 1;
           matchByte <<= 1;
-          u32 b = (u32)rd.bit(&probs[((1 + matchBit) << 8) + symbol]);
+          u32 b = (u32)BIT(&probs[((1 + matchBit) << 8) + symbol]);
           symbol = (symbol << 1) | b;
           if (matchBit != b) break;
         } while (symbol < 0x100);
       }
       while (symbol < 0x100)
-        symbol = (symbol << 1) | (u32)rd.bit(&probs[symbol]);
+        symbol = (symbol << 1) | (u32)BIT(&probs[symbol]);
       dst[op++] = (u8)symbol;
       state = state_after_lit(state);
       continue;
     }
     int len;
-    if (rd.bit(&P.isRep[state])) {
+    if (BIT(&P.isRep[state])) {
       // rep match
-      if (op == 0) return ERR_CORRUPT;
-      if (!rd.bit(&P.isRepG0[state])) {
-        if (!rd.bit(&P.isRep0Long[state][posState])) {
+      if (op == 0) { SYNC(); return ERR_CORRUPT; }
+      if (!BIT(&P.isRepG0[state])) {
+        if (!BIT(&P.isRep0Long[state][posState])) {
           // short rep: 1 byte — validate against the dict-reset base like
           // the literal match-byte and main-copy paths (LZMA2 resets)
-          if (rep0 > op - base || op >= dstCap) return ERR_CORRUPT;
+          if (rep0 > op - base || op >= dstCap) { SYNC(); return ERR_CORRUPT; }
           dst[op] = dst[op - rep0];
           op++;
           state = state < 7 ? 9 : 11;
@@ -296,9 +364,9 @@ static i64 lzma_decode_raw_state(Probs& P, RDec& rd, u8* dst,
         }
       } else {
         u32 dist;
-        if (!rd.bit(&P.isRepG1[state])) {
+        if (!BIT(&P.isRepG1[state])) {
           dist = rep1;
-        } else if (!rd.bit(&P.isRepG2[state])) {
+        } else if (!BIT(&P.isRepG2[state])) {
           dist = rep2;
           rep2 = rep1;
         } else {
@@ -309,26 +377,26 @@ static i64 lzma_decode_raw_state(Probs& P, RDec& rd, u8* dst,
         rep1 = rep0;
         rep0 = dist;
       }
-      len = dec_len(rd, P.repLen, posState);
+      len = DEC_LEN(P.repLen, posState);
       state = state < 7 ? 8 : 11;
     } else {
       // new match
       rep3 = rep2;
       rep2 = rep1;
       rep1 = rep0;
-      len = dec_len(rd, P.matchLen, posState);
+      len = DEC_LEN(P.matchLen, posState);
       int lps = len - 2 < 3 ? len - 2 : 3;
-      u32 slot = rd.tree(P.posSlot[lps], 6);
+      u32 slot = TREE(P.posSlot[lps], 6);
       if (slot < 4) {
         rep0 = slot;
       } else {
         int nd = (int)(slot >> 1) - 1;
         rep0 = (2 | (slot & 1)) << nd;
         if (slot < 14) {
-          rep0 += rd.tree_rev(P.specPos + rep0 - slot, nd);
+          rep0 += TREE_REV(P.specPos + rep0 - slot, nd);
         } else {
-          rep0 += rd.direct(nd - 4) << 4;
-          rep0 += rd.tree_rev(P.align_, 4);
+          rep0 += DIRECT(nd - 4) << 4;
+          rep0 += TREE_REV(P.align_, 4);
         }
       }
       if (rep0 == 0xFFFFFFFFu) {
@@ -336,16 +404,17 @@ static i64 lzma_decode_raw_state(Probs& P, RDec& rd, u8* dst,
         // unpackEnd before reading a trailing marker (known-size+marker
         // streams, legal in LZMA ALONE, decode fine — tested); reaching
         // one *early* means the stream is short, i.e. corrupt.
-        if (sizeKnown) return ERR_CORRUPT;
+        if (sizeKnown) { SYNC(); return ERR_CORRUPT; }
         reps[0] = rep0; reps[1] = rep1; reps[2] = rep2; reps[3] = rep3;
         *statep = state;
+        SYNC();
         return (i64)op;
       }
       rep0++;
       state = state < 7 ? 7 : 10;
     }
-    if (rep0 > op - base) return ERR_CORRUPT;
-    if (op + (size_t)len > dstCap) return ERR_DST_SMALL;
+    if (rep0 > op - base) { SYNC(); return ERR_CORRUPT; }
+    if (op + (size_t)len > dstCap) { SYNC(); return ERR_DST_SMALL; }
     const u8* q = dst + op - rep0;
     u8* o = dst + op;
     op += (size_t)len;
@@ -364,6 +433,7 @@ static i64 lzma_decode_raw_state(Probs& P, RDec& rd, u8* dst,
   }
   reps[0] = rep0; reps[1] = rep1; reps[2] = rep2; reps[3] = rep3;
   *statep = state;
+  SYNC();
   return (i64)op;
 }
 
