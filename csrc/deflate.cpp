@@ -511,6 +511,7 @@ static void assign_codes(const u8* lens, int n, u16* codes) {
 // deflate encoder
 // ---------------------------------------------------------------------------
 struct LevelParams { int good, lazy, nice, chain; };
+static const int TOO_FAR = 4096;  // zlib deflate.c: max distance for len-3
 // semantics mirror the reference ladder (algos/zlib/deflate.c
 // configuration_table): good = shorten search above this, lazy = defer
 // threshold, nice = stop at this length, chain = max chain walk
@@ -778,7 +779,10 @@ static i64 deflate_raw(const u8* src, size_t n, u8* dst, size_t dstCap,
   Matcher* m = (Matcher*)malloc(sizeof(Matcher));
   if (!m) return ERR_CORRUPT;
   m->init();
-  const size_t TOKCAP = 1 << 16;
+  // ~16K symbols per block: matches the reference's lit_bufsize adaptivity
+  // (algos/zlib/deflate.c memLevel 8) — regime changes inside a buffer get
+  // their own Huffman tables / stored-block choice
+  const size_t TOKCAP = 1 << 14;
   Token* toks = (Token*)malloc(sizeof(Token) * TOKCAP);
   if (!toks) { free(m); return ERR_CORRUPT; }
   size_t ntok = 0;
@@ -826,12 +830,16 @@ static i64 deflate_raw(const u8* src, size_t n, u8* dst, size_t dstCap,
     } else {
       l1 = m->find(src, pos, n, lp, &d1);
       m->insert(src, pos);
+      // zlib's TOO_FAR rule (deflate.c): a minimum-length match far away
+      // costs more bits than the literals it replaces — demote it
+      if (l1 == MIN_MATCH && d1 > TOO_FAR) l1 = MIN_MATCH - 1;
     }
     if (l1 >= MIN_MATCH && lp.lazy && pos + 1 + MIN_MATCH <= n &&
         l1 < lp.lazy) {
       // lazy: peek the next position; emit a literal if it matches longer
       int d2;
       int l2 = m->find(src, pos + 1, n, lp, &d2, l1);
+      if (l2 == MIN_MATCH && d2 > TOO_FAR) l2 = MIN_MATCH - 1;
       if (l2 > l1) {
         toks[ntok++] = {(u16)src[pos], 0};
         pos++;
@@ -844,11 +852,15 @@ static i64 deflate_raw(const u8* src, size_t n, u8* dst, size_t dstCap,
     if (l1 >= MIN_MATCH) {
       missRun = 0;
       toks[ntok++] = {(u16)l1, (u16)d1};
-      // insert hash entries over the match span (bounded for speed)
+      // insert hash entries over the whole match span — skipping entries
+      // removes NEAR candidates from the chains and measurably pushes
+      // later matches to farther (more distance bits) copies
       size_t insEnd = pos + (size_t)l1;
-      size_t step = (l1 > lp.good * 8) ? 2 : 1;
-      for (size_t q = pos + 1; q + MIN_MATCH <= insEnd && q + MIN_MATCH <= n;
-           q += step)
+      // insert EVERY span position (deflate_slow inserts start+1..end-1
+      // across its visit + tally loop): any hole means the next occurrence
+      // of that substring is only findable one byte late — each missing
+      // rung measured ~0.5% ratio on C source
+      for (size_t q = pos + 1; q < insEnd && q + MIN_MATCH <= n; q++)
         m->insert(src, q);
       pos = insEnd;
     } else {
