@@ -118,23 +118,84 @@ static inline u64 bits_range(const u8* base, const u8* bend, i64 lo, int n) {
 struct BackReader {
   const u8* base;
   const u8* bend;
-  i64 pos;  // number of unread payload bits
+  i64 pos;     // number of unread payload bits
+  i64 safe8;   // lowest bit offset whose byte window [lo>>3, +8) is in-buffer
   bool ok;
 
   bool init(const u8* src, size_t size) {
     base = src;
     bend = src + size;
     ok = true;
+    safe8 = ((i64)size - 8) * 8;  // lo>>3 <= size-8  <=>  lo < (size-7)*8
     if (size == 0 || src[size - 1] == 0) { ok = false; pos = 0; return false; }
     pos = (i64)(size - 1) * 8 + highbit32(src[size - 1]);
     return true;
   }
-  u64 read(int n) {  // consume n bits (zero-filled past start)
-    pos -= n;
-    return bits_range(base, bend, pos, n);
+  // bits [lo, lo+n): one unaligned load when the 8-byte window fits; the
+  // bounded bits_range path only runs within the first 7 bytes of the
+  // buffer (stream end — it is read backwards) or past the start
+  inline u64 at(i64 lo, int n) const {
+    if (lo >= 0 && lo <= safe8) {
+      u64 v;
+      memcpy(&v, base + (lo >> 3), 8);
+      v >>= (lo & 7);
+      return v & ((1ULL << n) - 1);
+    }
+    return bits_range(base, bend, lo, n);
   }
-  u64 peek(int n) const { return bits_range(base, bend, pos - n, n); }
-  void skip(int n) { pos -= n; }
+  inline u64 read(int n) {  // consume n bits (zero-filled past start)
+    pos -= n;
+    return at(pos, n);
+  }
+  inline u64 peek(int n) const { return at(pos - n, n); }
+  inline void skip(int n) { pos -= n; }
+  bool finished() const { return pos == 0; }
+  bool overflowed() const { return pos < 0; }
+};
+
+// Backward reader with a register-resident 64-bit window: the sequence
+// loop reads up to ~9 bit fields per sequence, and each BackReader::at is
+// a guarded unaligned load — here the common read is two shifts and a
+// mask, with one reload per ~56 consumed bits (the reference's
+// BIT_DStream_t recast, lib/common/bitstream.h).
+struct RegBack {
+  const u8* base;
+  const u8* bend;
+  i64 pos;    // unread payload bits
+  u64 cache;  // bits [cbit, cbit + 64)
+  i64 cbit;
+  bool ok;
+
+  bool init(const u8* src, size_t size) {
+    base = src;
+    bend = src + size;
+    ok = true;
+    cache = 0;
+    if (size == 0 || src[size - 1] == 0) { ok = false; pos = 0; return false; }
+    pos = (i64)(size - 1) * 8 + highbit32(src[size - 1]);
+    cbit = pos + 1;  // force a reload on the first read
+    return true;
+  }
+  inline u64 read(int n) {  // n in [0, 56]
+    i64 lo = pos - n;
+    pos = lo;
+    if (lo < cbit) {
+      if (lo < 0) return 0;  // overflow: caller checks overflowed()
+      // re-center so the window covers the read's top bit (lo + n) and
+      // extends as far down as possible: [cbyte*8, cbyte*8 + 64)
+      i64 cbyte = ((lo + n) >> 3) - 7;
+      if (cbyte < 0) cbyte = 0;
+      if (base + cbyte + 8 <= bend) {
+        memcpy(&cache, base + cbyte, 8);
+      } else {
+        cache = 0;
+        size_t avail = (size_t)(bend - (base + cbyte));
+        memcpy(&cache, base + cbyte, avail > 8 ? 8 : avail);
+      }
+      cbit = cbyte * 8;
+    }
+    return (cache >> (lo - cbit)) & ((1ULL << n) - 1);
+  }
   bool finished() const { return pos == 0; }
   bool overflowed() const { return pos < 0; }
 };
@@ -162,6 +223,8 @@ struct FSEDec {
   u16 base[1 << FSE_MAX_LOG];   // new state base
   u8 sym[1 << FSE_MAX_LOG];
   u8 nb[1 << FSE_MAX_LOG];
+  u32 ent[1 << FSE_MAX_LOG];    // packed base<<16 | nb<<8 | sym: the
+                                // sequence loop reads one word per state
   int log = -1;
 };
 
@@ -250,6 +313,7 @@ static int fse_build(FSEDec* t, const short* norm, int lastSym, int tableLog) {
     int nb = tableLog - highbit32(next);
     t->nb[st] = (u8)nb;
     t->base[st] = (u16)((next << nb) - size);
+    t->ent[st] = ((u32)t->base[st] << 16) | ((u32)nb << 8) | sy;
   }
   t->log = tableLog;
   return 0;
@@ -260,6 +324,7 @@ static void fse_rle(FSEDec* t, u8 symbol) {
   t->sym[0] = symbol;
   t->nb[0] = 0;
   t->base[0] = 0;
+  t->ent[0] = symbol;
 }
 
 // ---------------------------------------------------------------------------
@@ -374,6 +439,53 @@ static int huf_decode_stream(const HufDec* h, const u8* src, size_t srcSize,
   return 0;
 }
 
+// Four independent bitstreams decoded in lockstep: each stream's
+// peek/advance chain is serial, but four chains issue in parallel —
+// the same ILP recast as the reference's 4-stream loop
+// (algos/zstd/lib/decompress/huf_decompress.c HUF_decompress4X1_usingDTable).
+static int huf_decode_4streams(const HufDec* h, const u8* sp,
+                               const size_t ss[4], u8* litBuf,
+                               const size_t lens[4]) {
+  BackReader br[4];
+  u8* out[4];
+  size_t off = 0;
+  const u8* p = sp;
+  for (int i = 0; i < 4; i++) {
+    if (!br[i].init(p, ss[i])) return ERR_CORRUPT;
+    out[i] = litBuf + off;
+    off += lens[i];
+    p += ss[i];
+  }
+  int log = h->log;
+  const u8* const sym = h->sym;
+  const u8* const nb = h->nb;
+  size_t n = lens[3];  // lens[0..2] == q >= lens[3]
+  for (int i = 0; i < 3; i++) if (lens[i] < n) n = lens[i];
+  size_t i = 0;
+  for (; i < n; i++) {
+    u32 i0 = (u32)br[0].peek(log);
+    u32 i1 = (u32)br[1].peek(log);
+    u32 i2 = (u32)br[2].peek(log);
+    u32 i3 = (u32)br[3].peek(log);
+    out[0][i] = sym[i0]; br[0].skip(nb[i0]);
+    out[1][i] = sym[i1]; br[1].skip(nb[i1]);
+    out[2][i] = sym[i2]; br[2].skip(nb[i2]);
+    out[3][i] = sym[i3]; br[3].skip(nb[i3]);
+  }
+  if (br[0].pos < 0 || br[1].pos < 0 || br[2].pos < 0 || br[3].pos < 0)
+    return ERR_CORRUPT;
+  for (int k = 0; k < 4; k++) {
+    for (size_t j = i; j < lens[k]; j++) {
+      u32 idx = (u32)br[k].peek(log);
+      out[k][j] = sym[idx];
+      br[k].skip(nb[idx]);
+      if (br[k].pos < 0) return ERR_CORRUPT;
+    }
+    if (!br[k].finished()) return ERR_CORRUPT;
+  }
+  return 0;
+}
+
 // ---------------------------------------------------------------------------
 // Sequences
 // ---------------------------------------------------------------------------
@@ -479,10 +591,31 @@ static int match_copy(u8* dst, size_t pos, size_t dstLen, u32 offset,
   }
   u8* op = dst + pos;
   const u8* ip = op - offset;
+  u8* const oend = op + len;
   if (offset >= 16) {
     while (len >= 16) { memcpy(op, ip, 16); op += 16; ip += 16; len -= 16; }
+    while (len--) *op++ = *ip++;
+    return 0;
   }
-  while (len--) *op++ = *ip++;
+  if (offset >= 8) {
+    // 8-byte wildcopy is overlap-safe at distance >= 8; the final partial
+    // chunk is done bytewise to stay inside dstCap
+    while (len >= 8) { memcpy(op, ip, 8); op += 8; ip += 8; len -= 8; }
+    while (len--) *op++ = *ip++;
+    return 0;
+  }
+  // small offset: materialize 8 bytes of the period bytewise, then read
+  // from the smallest multiple of the offset that is >= 8 back — that
+  // window repeats identically and no longer overlaps the 8-byte writes
+  {
+    int k = (8 + (int)offset - 1) / (int)offset;
+    size_t gap = (size_t)k * offset;
+    u8* bw_end = op + (len < 8 ? len : 8);
+    while (op < bw_end) { *op = *(op - offset); op++; }
+    const u8* ip2 = op - gap;
+    while (oend - op >= 8) { memcpy(op, ip2, 8); op += 8; ip2 += 8; }
+    while (op < oend) { *op = *(op - offset); op++; }
+  }
   return 0;
 }
 
@@ -569,13 +702,8 @@ static i64 decode_block(DCtx* ctx, const u8* src, size_t srcSize, u8* dst,
       if (3 * q > regen) return ERR_CORRUPT;  // 4-stream needs regen >= 6
       size_t lens[4] = {q, q, q, regen - 3 * q};
       size_t ss[4] = {s1, s2, s3, s4};
-      u8* outp = litBuf;
-      for (int i = 0; i < 4; i++) {
-        if (huf_decode_stream(&ctx->huf, sp, ss[i], outp, lens[i]) < 0)
-          return ERR_CORRUPT;
-        sp += ss[i];
-        outp += lens[i];
-      }
+      if (huf_decode_4streams(&ctx->huf, sp, ss, litBuf, lens) < 0)
+        return ERR_CORRUPT;
     }
     lit = litBuf;
   }
@@ -662,7 +790,7 @@ static i64 decode_block(DCtx* ctx, const u8* src, size_t srcSize, u8* dst,
   }
 
   // ---- interleaved sequence bitstream (backwards) ----
-  BackReader br;
+  RegBack br;
   if (!br.init(sp, srem)) return ERR_CORRUPT;
   int llS = (int)br.read(ctx->ll.log);
   int ofS = (int)br.read(ctx->of.log);
@@ -674,13 +802,15 @@ static i64 decode_block(DCtx* ctx, const u8* src, size_t srcSize, u8* dst,
   size_t outPos = pos;
 
   for (u32 s = 0; s < nbSeq; s++) {
-    int ofc = ctx->of.sym[ofS];
+    u32 ofE = ctx->of.ent[ofS], mlE = ctx->ml.ent[mlS],
+        llE = ctx->ll.ent[llS];
+    int ofc = (int)(ofE & 0xFF);
     if (ofc > 31) return ERR_CORRUPT;
     u32 ofv = (1u << ofc) + (u32)br.read(ofc);
-    int mlc = ctx->ml.sym[mlS];
+    int mlc = (int)(mlE & 0xFF);
     if (mlc > 52) return ERR_CORRUPT;
     u32 mlv = ML_BASE[mlc] + (u32)br.read(ML_BITS[mlc]);
-    int llc = ctx->ll.sym[llS];
+    int llc = (int)(llE & 0xFF);
     if (llc > 35) return ERR_CORRUPT;
     u32 llv = LL_BASE[llc] + (u32)br.read(LL_BITS[llc]);
     if (br.overflowed()) return ERR_CORRUPT;
@@ -706,22 +836,41 @@ static i64 decode_block(DCtx* ctx, const u8* src, size_t srcSize, u8* dst,
     }
 
     if (s + 1 < nbSeq) {  // update states LL, ML, OF (read order)
-      llS = ctx->ll.base[llS] + (int)br.read(ctx->ll.nb[llS]);
-      mlS = ctx->ml.base[mlS] + (int)br.read(ctx->ml.nb[mlS]);
-      ofS = ctx->of.base[ofS] + (int)br.read(ctx->of.nb[ofS]);
+      llS = (int)(llE >> 16) + (int)br.read((int)((llE >> 8) & 0xFF));
+      mlS = (int)(mlE >> 16) + (int)br.read((int)((mlE >> 8) & 0xFF));
+      ofS = (int)(ofE >> 16) + (int)br.read((int)((ofE >> 8) & 0xFF));
       if (br.overflowed()) return ERR_CORRUPT;
     }
 
-    // execute: literals then match
+    // execute: literals then match. Fast path (the common shape by far):
+    // both halves <= 16 bytes, match distance >= 16 and inside dst, and
+    // enough slack — two fixed-size 16-byte copies, no length loops.
+    // Fixed-size wildcopy past the logical end is overwritten by later
+    // sequences and stays inside dstCap (the reference's ZSTD_execSequence
+    // / ZSTD_wildcopy recast).
     if (litPos + llv > litRegen) return ERR_CORRUPT;
-    if (outPos + llv > dstCap) return ERR_DST_SMALL;
-    if (type == 1) memset(dst + outPos, rleByte, llv);
-    else memcpy(dst + outPos, lit + litPos, llv);
-    litPos += llv;
-    outPos += llv;
-    int mc = match_copy(dst, outPos, dstCap, offset, mlv, ctx);
-    if (mc < 0) return mc;
-    outPos += mlv;
+    if (llv <= 16 && mlv <= 16 && offset >= 8 && type != 1 &&
+        outPos + 48 <= dstCap && litPos + 16 <= litRegen &&
+        (size_t)offset <= outPos + llv) {
+      u8* op = dst + outPos;
+      memcpy(op, lit + litPos, 16);
+      litPos += llv;
+      op += llv;
+      // two 8-byte steps are overlap-safe at distance >= 8 and cover
+      // mlv <= 16
+      memcpy(op, op - offset, 8);
+      memcpy(op + 8, op + 8 - offset, 8);
+      outPos += llv + (size_t)mlv;
+    } else {
+      if (outPos + llv > dstCap) return ERR_DST_SMALL;
+      if (type == 1) memset(dst + outPos, rleByte, llv);
+      else memcpy(dst + outPos, lit + litPos, llv);
+      litPos += llv;
+      outPos += llv;
+      int mc = match_copy(dst, outPos, dstCap, offset, mlv, ctx);
+      if (mc < 0) return mc;
+      outPos += mlv;
+    }
   }
   if (!br.finished()) return ERR_CORRUPT;
 
