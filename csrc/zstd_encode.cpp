@@ -473,13 +473,34 @@ static const short OF_DEF[29] = {1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1,
   1, 1, 1, 1, 1, 1, 1, 1, 1, 1, -1, -1, -1, -1, -1};
 static const int LL_DEFLOG = 6, ML_DEFLOG = 6, OF_DEFLOG = 5;
 
+// LUT-backed code lookups: the reverse scans were 30% of fast-level
+// encode (one per sequence per stream plus the histogram pass)
+struct SeqCodeLut {
+  u8 ll[256];   // ll in [0, 256)
+  u8 ml[384];   // ml in [0, 384)
+  SeqCodeLut() {
+    for (u32 v = 0; v < 256; v++) {
+      int c = 35;
+      while (c > 0 && LL_BASE[c] > v) c--;
+      ll[v] = (u8)c;
+    }
+    for (u32 v = 0; v < 384; v++) {
+      int c = 52;
+      while (c > 0 && ML_BASE[c] > v) c--;
+      ml[v] = (u8)c;
+    }
+  }
+};
 static int ll_code(u32 ll) {
-  if (ll < 16) return (int)ll;
+  static const SeqCodeLut lut;
+  if (ll < 256) return lut.ll[ll];
   for (int c = 35; c >= 16; c--)
     if (ll >= LL_BASE[c]) return c;
   return 16;
 }
 static int ml_code(u32 ml) {
+  static const SeqCodeLut lut;
+  if (ml < 384) return lut.ml[ml];
   for (int c = 52; c >= 0; c--)
     if (ml >= ML_BASE[c]) return c;
   return 0;
@@ -538,6 +559,24 @@ static inline u32 zhash(const u8* p) {
   u32 v;
   memcpy(&v, p, 4);
   return (v * 2654435761u) >> (32 - ZHASH_BITS);
+}
+
+static inline u32 zhash6(const u8* p) {  // 6-byte hash: the fast loop's
+  // single probe then only surfaces candidates worth a sequence (matches
+  // the reference's mls=6 at the fast levels on larger windows)
+  u64 v;
+  memcpy(&v, p, 8);
+  return (u32)(((v & 0xFFFFFFFFFFFFULL) * 227718039650203ULL)
+               >> (64 - ZHASH_BITS));
+}
+
+static inline u32 zhash5(const u8* p) {  // 5-byte hash for the fast loop:
+  // fewer false positives than 4 bytes, so the single probe usually hits
+  // a real match (the reference's ZSTD_hash5 idea)
+  u64 v;
+  memcpy(&v, p, 8);
+  return (u32)(((v & 0xFFFFFFFFFFULL) * 889523592379ULL)
+               >> (64 - ZHASH_BITS));
 }
 
 static int zmatch_len(const u8* a, const u8* b, const u8* limit) {
@@ -981,11 +1020,18 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
   u8* scratch = nullptr;
   i64 result = ERR_CORRUPT;
   if (!mf.alloc(lp.window)) { free(buf); return ERR_CORRUPT; }
+  // fast loop uses mf.prev's first ZHASH_SIZE slots as second bucket
+  // entries — must start empty (alloc only clears head)
+  if (!lp.lazy) memset(mf.prev, -1, sizeof(int32_t) * (size_t)ZHASH_SIZE);
   seqs = (Seq*)malloc(sizeof(Seq) * (BLOCK_MAX / 3 + 16));
   lits = (u8*)malloc(BLOCK_MAX + 64);
   scratch = (u8*)malloc(BLOCK_MAX + (BLOCK_MAX >> 2) + 4096);
   if (!seqs || !lits || !scratch) goto done;
-  for (size_t i = 0; i + 4 <= pref; i++) mf.insert(base, i);
+  if (lp.lazy) {
+    for (size_t i = 0; i + 4 <= pref; i++) mf.insert(base, i);
+  } else {
+    for (size_t i = 0; i + 4 <= pref; i++) mf.insert(base, i);
+  }
 
   {
     size_t pos = pref;
@@ -1018,15 +1064,166 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
         return {0, 0};
       };
 
+      if (!lp.lazy && lp.depth <= 4 && pref == 0) {
+        // Fast-level scan: single-entry 5-byte-hash table, rep-check
+        // first, one probe per position with miss-stride acceleration,
+        // backward match extension, two table refreshes per match —
+        // the reference's ZSTD_fast loop shape
+        // (algos/zstd/lib/compress/zstd_fast.c), own code.
+        int32_t* tab = mf.head;
+        int32_t* tab2 = mf.prev;  // second bucket slot (window >= table size)
+        size_t anchor = pos;
+        while (pos < blockEnd) {
+          // tail becomes literals; the min-match baseline of 4 below must
+          // not cross blockEnd (a crossing match would re-encode the next
+          // block's first bytes)
+          if (pos + 8 > total || pos + 4 > blockEnd) break;
+          const u8* limit = base + (blockEnd - pos > 65538
+                                    ? pos + 65538 : blockEnd);
+          int len = 0;
+          u32 dist = 0;
+          bool isRep = false;
+          // ll == 0 shifts repcode meaning (offset_value 1 = rep1), so at
+          // a match boundary probe rep1 directly, then fall back to the
+          // one-literal rep0 trick (the reference's ZSTD_fast rep-at-ip+1)
+          if (pos == anchor) {
+            if ((size_t)rep[0] <= pos + 1 &&
+                pos + 1 + 8 <= total && pos + 1 + 4 <= blockEnd &&
+                rd32le_(base + pos + 1)
+                    == rd32le_(base + pos + 1 - rep[0])) {
+              tab[zhash6(base + pos)] = (int32_t)pos;
+              pos++;
+              continue;
+            }
+            if ((size_t)rep[1] <= pos && rep[1] != 0 &&
+                rd32le_(base + pos) == rd32le_(base + pos - rep[1])) {
+              len = 4 + zmatch_len(base + pos + 4, base + pos - rep[1] + 4,
+                                   limit);
+              dist = rep[1];
+              isRep = true;
+            }
+          }
+          if (!len && pos > anchor && (size_t)rep[0] <= pos &&
+              rd32le_(base + pos) == rd32le_(base + pos - rep[0])) {
+            len = 4 + zmatch_len(base + pos + 4, base + pos - rep[0] + 4,
+                                 limit);
+            dist = rep[0];
+            isRep = true;
+          } else {
+            u32 h = zhash6(base + pos);
+            int32_t cand = tab[h];
+            int32_t cand2 = tab2[h];
+            tab2[h] = cand;
+            tab[h] = (int32_t)pos;
+            if (cand >= 0 && pos - (size_t)cand <= lp.window &&
+                rd32le_(base + (size_t)cand) == rd32le_(base + pos)) {
+              len = 4 + zmatch_len(base + pos + 4, base + (size_t)cand + 4,
+                                   limit);
+              dist = (u32)(pos - (size_t)cand);
+            }
+            // second bucket entry: it is always FARTHER — switching
+            // offsets breaks rep chains and costs full offset codes, so
+            // require a meaningful length win (and never leave rep0)
+            if (cand2 >= 0 && cand2 != cand && dist != rep[0] &&
+                pos - (size_t)cand2 <= lp.window &&
+                rd32le_(base + (size_t)cand2) == rd32le_(base + pos)) {
+              int l2 = 4 + zmatch_len(base + pos + 4,
+                                      base + (size_t)cand2 + 4, limit);
+              u32 d2 = (u32)(pos - (size_t)cand2);
+              int gain = (d2 == rep[0]) ? 0 : 1;
+              if (l2 > len + gain) {
+                len = l2;
+                dist = d2;
+              }
+            }
+          }
+          if (!len) {
+            pos += 1 + ((pos - anchor) >> 8);
+            continue;
+          }
+          // extend backward over pending literals (rep0 emission needs
+          // ll >= 1 — offset_value 1 with ll == 0 means rep1)
+          size_t floorPos = isRep ? anchor + 1 : anchor;
+          while (pos > floorPos && (size_t)dist < pos &&
+                 base[pos - 1] == base[pos - 1 - dist]) {
+            pos--;
+            len++;
+          }
+          size_t run2 = pos - anchor;
+          memcpy(lits + nlit, base + anchor, run2);
+          nlit += run2;
+          // general repcode emission, mirroring the decoder's shifted
+          // semantics (repIdx = ofv-1 + (ll==0)); history updates per
+          // repIdx match the decoder exactly
+          u32 ofv;
+          if (run2 > 0) {
+            if (dist == rep[0]) {
+              ofv = 1;
+            } else if (dist == rep[1]) {
+              ofv = 2;
+              rep[1] = rep[0];
+              rep[0] = dist;
+            } else if (dist == rep[2]) {
+              ofv = 3;
+              rep[2] = rep[1];
+              rep[1] = rep[0];
+              rep[0] = dist;
+            } else {
+              ofv = dist + 3;
+              rep[2] = rep[1];
+              rep[1] = rep[0];
+              rep[0] = dist;
+            }
+          } else {
+            if (dist == rep[1]) {
+              ofv = 1;
+              rep[1] = rep[0];
+              rep[0] = dist;
+            } else if (dist == rep[2]) {
+              ofv = 2;
+              rep[2] = rep[1];
+              rep[1] = rep[0];
+              rep[0] = dist;
+            } else if (dist + 1 == rep[0]) {
+              ofv = 3;
+              rep[2] = rep[1];
+              rep[1] = rep[0];
+              rep[0] = dist;
+            } else {
+              ofv = dist + 3;
+              rep[2] = rep[1];
+              rep[1] = rep[0];
+              rep[0] = dist;
+            }
+          }
+          seqs[nseq].ll = (u32)run2;
+          seqs[nseq].ml = (u32)len;
+          seqs[nseq].ofv = ofv;
+          nseq++;
+          size_t endp = pos + (size_t)len;
+          if (pos + 1 + 8 <= total)
+            tab[zhash6(base + pos + 1)] = (int32_t)(pos + 1);
+          if (endp >= 2 && endp - 2 > pos + 1 && endp - 2 + 8 <= total)
+            tab[zhash6(base + endp - 2)] = (int32_t)(endp - 2);
+          pos = endp;
+          anchor = pos;
+        }
+        // trailing literals of this block
+        {
+          size_t tl = blockEnd - anchor;
+          memcpy(lits + nlit, base + anchor, tl);
+          nlit += tl;
+          run = (u32)tl;
+          pos = blockEnd;
+        }
+      } else
       while (pos < blockEnd) {
         EvalResult ev = evaluate(pos, true);
         if (ev.len < 3) {
           lits[nlit++] = base[pos++];
           run++;
-          // miss-skip acceleration for the fast levels: widen the probe
-          // stride on long literal runs (the reference's dynamic-step
-          // idea, algos/lz4/lz4.c:1447-1580; stock zstd dfast does the
-          // same via step increments)
+          // miss-skip acceleration for the chain fast levels: widen the
+          // probe stride on long literal runs
           if (!lp.lazy && run > 64) {
             size_t skip = (size_t)((run - 64) >> 5);
             if (skip > 16) skip = 16;
