@@ -19,6 +19,22 @@
 
 #define ATPU_EXPORT extern "C" __attribute__((visibility("default")))
 
+// Stage profiling (build with -DATPU_PROF; zero-cost otherwise). Cycle
+// totals for the literal-decode and sequence-execute halves of
+// decode_block, read back via atpu_zstd_prof().
+#ifdef ATPU_PROF
+#include <x86intrin.h>
+static unsigned long long g_prof[4];  // lit, seq, hufTable, fseTables
+#define PROF_T0() unsigned long long _t0 = __rdtsc()
+#define PROF_ADD(slot) (g_prof[slot] += __rdtsc() - _t0, _t0 = __rdtsc())
+ATPU_EXPORT void atpu_zstd_prof(unsigned long long* out) {
+  for (int i = 0; i < 4; i++) { out[i] = g_prof[i]; g_prof[i] = 0; }
+}
+#else
+#define PROF_T0() ((void)0)
+#define PROF_ADD(slot) ((void)0)
+#endif
+
 namespace {
 
 typedef uint8_t u8;
@@ -194,6 +210,19 @@ struct RegBack {
       }
       cbit = cbyte * 8;
     }
+    return (cache >> (lo - cbit)) & ((1ULL << n) - 1);
+  }
+  // Unconditional branch-free window refill. Caller guarantees pos >= 56;
+  // then bits [cbit, pos) with pos - cbit >= 56 are readable via readFast.
+  // In-bounds: pos <= size*8 - 1 always, so cbyte + 8 = (pos>>3)+1 <= size.
+  inline void refill() {
+    i64 cbyte = (pos >> 3) - 7;
+    memcpy(&cache, base + cbyte, 8);
+    cbit = cbyte * 8;
+  }
+  inline u64 readFast(int n) {  // requires a refill() window covering n bits
+    i64 lo = pos - n;
+    pos = lo;
     return (cache >> (lo - cbit)) & ((1ULL << n) - 1);
   }
   bool finished() const { return pos == 0; }
@@ -624,6 +653,7 @@ struct SeqTables { FSEDec* ll; FSEDec* of; FSEDec* ml; };
 // Decode one compressed block into dst at position *posInOut.
 static i64 decode_block(DCtx* ctx, const u8* src, size_t srcSize, u8* dst,
                         size_t dstCap, size_t pos, u8* litBuf) {
+  PROF_T0();
   // ---- literals section ----
   if (srcSize < 1) return ERR_CORRUPT;
   int type = src[0] & 3;
@@ -651,6 +681,13 @@ static i64 decode_block(DCtx* ctx, const u8* src, size_t srcSize, u8* dst,
       if (lhSize + 1 > srcSize) return ERR_CORRUPT;
       rleByte = src[lhSize];
       csize = 1;
+      if (regen <= (1u << 17)) {
+        // materialize small RLE literal runs once — the sequence loop
+        // then runs branch-free on `lit` like any other block type
+        memset(litBuf, rleByte, regen);
+        lit = litBuf;
+        type = 0;
+      }
     }
   } else {  // Huffman compressed (2) / treeless (3)
     treeless = (type == 3);
@@ -707,6 +744,7 @@ static i64 decode_block(DCtx* ctx, const u8* src, size_t srcSize, u8* dst,
     }
     lit = litBuf;
   }
+  PROF_ADD(0);
 
   // ---- sequences section ----
   const u8* sp = src + lhSize + csize;
@@ -789,6 +827,7 @@ static i64 decode_block(DCtx* ctx, const u8* src, size_t srcSize, u8* dst,
     }
   }
 
+  PROF_ADD(3);
   // ---- interleaved sequence bitstream (backwards) ----
   RegBack br;
   if (!br.init(sp, srem)) return ERR_CORRUPT;
@@ -801,66 +840,127 @@ static i64 decode_block(DCtx* ctx, const u8* src, size_t srcSize, u8* dst,
   size_t litRegen = regen;  // RLE literals are materialized via memset
   size_t outPos = pos;
 
-  for (u32 s = 0; s < nbSeq; s++) {
-    u32 ofE = ctx->of.ent[ofS], mlE = ctx->ml.ent[mlS],
-        llE = ctx->ll.ent[llS];
+  // rep codes live in registers for the whole loop (ctx->rep round-trips
+  // were on the critical path); repcode resolution is branch-free — the
+  // rep0/rep1/rep2 history select and update are cmov ladders, so the
+  // data-dependent repcode pattern costs no mispredicts.
+  u32 rep0 = ctx->rep[0], rep1 = ctx->rep[1], rep2 = ctx->rep[2];
+  u32 repErr = 0;
+  const u32* const llEnt = ctx->ll.ent;
+  const u32* const ofEnt = ctx->of.ent;
+  const u32* const mlEnt = ctx->ml.ent;
+
+  // Wildcopy-safe literal bound: fast-path copies may read up to 15 bytes
+  // past litPos + llv. litBuf-backed literals have 64 bytes of allocation
+  // slack (litRegen <= 1<<17); raw literals point into src, so the fast
+  // path stays 16 bytes short of the section end (the checked branch and
+  // the trailing-literal copy run exact). Big RLE blocks (> 128 KiB, not
+  // materialized) take the exact path throughout.
+  size_t litWild;
+  if (type == 1) litWild = 0;
+  else if (lit == litBuf) litWild = litRegen;
+  else litWild = litRegen >= 16 ? litRegen - 16 : 0;
+
+  u32 s = 0;
+  // Fast loop: one unconditional branch-free window refill per read group
+  // instead of a data-dependent reload check inside every bit read (the
+  // reload-taken pattern is irregular — it was a per-sequence mispredict).
+  // Bit budget per refill window is >= 56: OF extra (<=31) + ML extra
+  // (<=16) = 47 fits the first window; LL extra (<=16) + 3 state reloads
+  // (<= 9+9+8 = 26) = 42 fits the second. Symbol codes out of the FSE
+  // tables are bounded at build time (parse_ncount rejects lastSym >
+  // maxSym; predefined/RLE/dict tables are range-checked on load), so
+  // ofc<=31, mlc<=52, llc<=35 hold without per-sequence checks.
+  for (; s < nbSeq; s++) {
+    if (br.pos < 56) break;  // checked tail loop finishes the block
+    br.refill();
+    u32 ofE = ofEnt[ofS], mlE = mlEnt[mlS], llE = llEnt[llS];
     int ofc = (int)(ofE & 0xFF);
-    if (ofc > 31) return ERR_CORRUPT;
-    u32 ofv = (1u << ofc) + (u32)br.read(ofc);
+    u32 ofv = (1u << ofc) + (u32)br.readFast(ofc);
     int mlc = (int)(mlE & 0xFF);
-    if (mlc > 52) return ERR_CORRUPT;
-    u32 mlv = ML_BASE[mlc] + (u32)br.read(ML_BITS[mlc]);
+    u32 mlv = ML_BASE[mlc] + (u32)br.readFast(ML_BITS[mlc]);
     int llc = (int)(llE & 0xFF);
-    if (llc > 35) return ERR_CORRUPT;
-    u32 llv = LL_BASE[llc] + (u32)br.read(LL_BITS[llc]);
-    if (br.overflowed()) return ERR_CORRUPT;
-
-    // repcode resolution
-    u32 offset;
-    if (ofv > 3) {
-      offset = ofv - 3;
-      ctx->rep[2] = ctx->rep[1];
-      ctx->rep[1] = ctx->rep[0];
-      ctx->rep[0] = offset;
-    } else {
-      u32 repIdx = ofv - 1 + (llv == 0 ? 1 : 0);
-      if (repIdx == 0) {
-        offset = ctx->rep[0];
-      } else {
-        offset = repIdx < 3 ? ctx->rep[repIdx] : ctx->rep[0] - 1;
-        if (offset == 0) return ERR_CORRUPT;
-        if (repIdx != 1) ctx->rep[2] = ctx->rep[1];
-        ctx->rep[1] = ctx->rep[0];
-        ctx->rep[0] = offset;
+    u32 llv;
+    if (br.pos >= 56) {
+      br.refill();
+      llv = LL_BASE[llc] + (u32)br.readFast(LL_BITS[llc]);
+      if (s + 1 < nbSeq) {  // update states LL, ML, OF (read order)
+        llS = (int)(llE >> 16) + (int)br.readFast((int)((llE >> 8) & 0xFF));
+        mlS = (int)(mlE >> 16) + (int)br.readFast((int)((mlE >> 8) & 0xFF));
+        ofS = (int)(ofE >> 16) + (int)br.readFast((int)((ofE >> 8) & 0xFF));
       }
-    }
-
-    if (s + 1 < nbSeq) {  // update states LL, ML, OF (read order)
-      llS = (int)(llE >> 16) + (int)br.read((int)((llE >> 8) & 0xFF));
-      mlS = (int)(mlE >> 16) + (int)br.read((int)((mlE >> 8) & 0xFF));
-      ofS = (int)(ofE >> 16) + (int)br.read((int)((ofE >> 8) & 0xFF));
+    } else {  // stream nearly exhausted: checked reads for this group
+      llv = LL_BASE[llc] + (u32)br.read(LL_BITS[llc]);
+      if (s + 1 < nbSeq) {
+        llS = (int)(llE >> 16) + (int)br.read((int)((llE >> 8) & 0xFF));
+        mlS = (int)(mlE >> 16) + (int)br.read((int)((mlE >> 8) & 0xFF));
+        ofS = (int)(ofE >> 16) + (int)br.read((int)((ofE >> 8) & 0xFF));
+      }
       if (br.overflowed()) return ERR_CORRUPT;
     }
 
-    // execute: literals then match. Fast path (the common shape by far):
-    // both halves <= 16 bytes, match distance >= 16 and inside dst, and
-    // enough slack — two fixed-size 16-byte copies, no length loops.
-    // Fixed-size wildcopy past the logical end is overwritten by later
-    // sequences and stays inside dstCap (the reference's ZSTD_execSequence
-    // / ZSTD_wildcopy recast).
+    // repcode resolution (ofc>1 <=> ofv>3 <=> a real offset); the repcode
+    // history select/update is a cmov ladder — no data-dependent branch
+    u32 offset;
+    if (ofc > 1) {
+      offset = ofv - 3;
+      rep2 = rep1;
+      rep1 = rep0;
+      rep0 = offset;
+    } else {
+      u32 repIdx = ofv - 1 + (llv == 0 ? 1u : 0u);  // 0..3
+      u32 c12 = (repIdx == 1) ? rep1 : rep2;
+      offset = (repIdx == 3) ? rep0 - 1 : c12;
+      offset = (repIdx == 0) ? rep0 : offset;
+      repErr |= (offset == 0) & (repIdx != 0);
+      rep2 = (repIdx >= 2) ? rep1 : rep2;
+      rep1 = (repIdx != 0) ? rep0 : rep1;
+      rep0 = offset;
+    }
+
+    // execute: literals then match, 16-byte wildcopy chunks (the
+    // reference's ZSTD_execSequence / ZSTD_wildcopy recast). Writes past
+    // the logical end are overwritten by later sequences; the +32 slack
+    // gate keeps every wild write inside dstCap. (offset-1 < outPos+llv)
+    // is offset != 0 && offset <= outPos + llv in one compare.
     if (litPos + llv > litRegen) return ERR_CORRUPT;
-    if (llv <= 16 && mlv <= 16 && offset >= 8 && type != 1 &&
-        outPos + 48 <= dstCap && litPos + 16 <= litRegen &&
-        (size_t)offset <= outPos + llv) {
+    size_t need = outPos + llv + (size_t)mlv;
+    if (need + 32 <= dstCap && (size_t)(offset - 1) < outPos + llv &&
+        litPos + llv <= litWild) {
       u8* op = dst + outPos;
-      memcpy(op, lit + litPos, 16);
+      const u8* lp = lit + litPos;
+      memcpy(op, lp, 16);
+      if (llv > 16) {
+        u8* o = op + 16;
+        const u8* q = lp + 16;
+        i64 n = (i64)llv - 16;
+        do { memcpy(o, q, 16); o += 16; q += 16; n -= 16; } while (n > 0);
+      }
       litPos += llv;
-      op += llv;
-      // two 8-byte steps are overlap-safe at distance >= 8 and cover
-      // mlv <= 16
-      memcpy(op, op - offset, 8);
-      memcpy(op + 8, op + 8 - offset, 8);
-      outPos += llv + (size_t)mlv;
+      u8* op2 = op + llv;
+      if (offset >= 8) {
+        // consecutive 8-byte steps are overlap-safe at distance >= 8
+        memcpy(op2, op2 - offset, 8);
+        memcpy(op2 + 8, op2 + 8 - offset, 8);
+        if (mlv > 16) {
+          u8* o = op2 + 16;
+          i64 n = (i64)mlv - 16;
+          if (offset >= 16) {
+            do { memcpy(o, o - offset, 16); o += 16; n -= 16; } while (n > 0);
+          } else {
+            do {
+              memcpy(o, o - offset, 8);
+              memcpy(o + 8, o + 8 - offset, 8);
+              o += 16;
+              n -= 16;
+            } while (n > 0);
+          }
+        }
+      } else {  // small periodic offset: exact expansion
+        int mc = match_copy(dst, outPos + llv, dstCap, offset, mlv, ctx);
+        if (mc < 0) return mc;
+      }
+      outPos = need;
     } else {
       if (outPos + llv > dstCap) return ERR_DST_SMALL;
       if (type == 1) memset(dst + outPos, rleByte, llv);
@@ -872,6 +972,60 @@ static i64 decode_block(DCtx* ctx, const u8* src, size_t srcSize, u8* dst,
       outPos += mlv;
     }
   }
+
+  // Checked tail: the last few sequences (fewer than 56 bits left in the
+  // stream) decode with the per-read-checked reader and exact copies.
+  for (; s < nbSeq; s++) {
+    u32 ofE = ofEnt[ofS], mlE = mlEnt[mlS], llE = llEnt[llS];
+    int ofc = (int)(ofE & 0xFF);
+    u32 ofv = (1u << ofc) + (u32)br.read(ofc);
+    int mlc = (int)(mlE & 0xFF);
+    u32 mlv = ML_BASE[mlc] + (u32)br.read(ML_BITS[mlc]);
+    int llc = (int)(llE & 0xFF);
+    u32 llv = LL_BASE[llc] + (u32)br.read(LL_BITS[llc]);
+    if (br.overflowed()) return ERR_CORRUPT;
+
+    u32 offset;
+    if (ofc > 1) {
+      offset = ofv - 3;
+      rep2 = rep1;
+      rep1 = rep0;
+      rep0 = offset;
+    } else {
+      u32 repIdx = ofv - 1 + (llv == 0 ? 1u : 0u);
+      u32 c12 = (repIdx == 1) ? rep1 : rep2;
+      offset = (repIdx == 3) ? rep0 - 1 : c12;
+      offset = (repIdx == 0) ? rep0 : offset;
+      repErr |= (offset == 0) & (repIdx != 0);
+      rep2 = (repIdx >= 2) ? rep1 : rep2;
+      rep1 = (repIdx != 0) ? rep0 : rep1;
+      rep0 = offset;
+    }
+
+    if (s + 1 < nbSeq) {  // update states LL, ML, OF (read order)
+      llS = (int)(llE >> 16) + (int)br.read((int)((llE >> 8) & 0xFF));
+      mlS = (int)(mlE >> 16) + (int)br.read((int)((mlE >> 8) & 0xFF));
+      ofS = (int)(ofE >> 16) + (int)br.read((int)((ofE >> 8) & 0xFF));
+      if (br.overflowed()) return ERR_CORRUPT;
+    }
+
+    if (litPos + llv > litRegen) return ERR_CORRUPT;
+    if (outPos + llv > dstCap) return ERR_DST_SMALL;
+    if (type == 1) memset(dst + outPos, rleByte, llv);
+    else memcpy(dst + outPos, lit + litPos, llv);
+    litPos += llv;
+    outPos += llv;
+    int mc = match_copy(dst, outPos, dstCap, offset, mlv, ctx);
+    if (mc < 0) return mc;
+    outPos += mlv;
+  }
+  if (repErr) return ERR_CORRUPT;
+#ifdef ATPU_PROF
+  g_prof[2] += nbSeq;
+#endif
+  ctx->rep[0] = rep0;
+  ctx->rep[1] = rep1;
+  ctx->rep[2] = rep2;
   if (!br.finished()) return ERR_CORRUPT;
 
   // trailing literals
@@ -880,6 +1034,7 @@ static i64 decode_block(DCtx* ctx, const u8* src, size_t srcSize, u8* dst,
   if (type == 1) memset(dst + outPos, rleByte, rem);
   else memcpy(dst + outPos, lit + litPos, rem);
   outPos += rem;
+  PROF_ADD(1);
   return (i64)(outPos - pos);
 }
 
