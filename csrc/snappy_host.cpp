@@ -185,6 +185,96 @@ int64_t atpu_snappy_uncompress(const uint8_t* src, int64_t srcLen,
     if (!ip || (int64_t)expect > dstCap) return -1;
     uint8_t* op = dst;
     uint8_t* oend = dst + expect;
+
+    // Margin-gated fast loop: fixed-size copies (16B for short literals
+    // and 1-byte-offset copies, 64B in 16B chunks for tag-max literals and
+    // 2-byte-offset copies) that may write past the logical element end.
+    // Margins are held against the PHYSICAL capacity (dstCap — callers
+    // often allocate exactly `expect`), worst-case 64B wild write + 68B
+    // wild read; the exact checked loop below finishes the tail. A length
+    // that overruns the logical `oend` just advances op past it — the
+    // checked tail or the final op == oend test rejects the stream.
+    const uint8_t* const inLimit = srcLen > 68 ? iend - 68 : src;
+    uint8_t* const oendCap = dst + dstCap;
+    uint8_t* const outLimit = dstCap > 80 ? oendCap - 80 : dst;
+    while (ip < inLimit && op < outLimit) {
+        uint32_t tag = *ip++;
+        uint32_t type = tag & 3;
+        if (type == 0) {
+            int64_t len = (tag >> 2) + 1;
+            if (len <= 16) {
+                std::memcpy(op, ip, 16);
+            } else if (len <= 60) {
+                std::memcpy(op, ip, 16);
+                std::memcpy(op + 16, ip + 16, 16);
+                std::memcpy(op + 32, ip + 32, 16);
+                std::memcpy(op + 48, ip + 48, 16);
+            } else {  // 1-4 length bytes follow
+                int nb = (int)len - 60;
+                len = 0;
+                for (int i = 0; i < nb; i++) len |= (int64_t)ip[i] << (8 * i);
+                len += 1;
+                ip += nb;
+                if (len > iend - ip || len > oend - op) return -1;
+                std::memcpy(op, ip, (size_t)len);
+            }
+            ip += len;
+            op += len;
+            continue;
+        }
+        int64_t len, offset;
+        if (type == 1) {
+            len = ((tag >> 2) & 7) + 4;
+            offset = ((int64_t)(tag >> 5) << 8) | *ip++;
+        } else if (type == 2) {
+            len = (tag >> 2) + 1;
+            offset = (int64_t)ip[0] | ((int64_t)ip[1] << 8);
+            ip += 2;
+        } else {
+            len = (tag >> 2) + 1;
+            offset = (int64_t)read32(ip);
+            ip += 4;
+        }
+        // offset != 0 && offset <= op - dst, one unsigned compare
+        if ((uint64_t)(offset - 1) >= (uint64_t)(op - dst)) return -1;
+        const uint8_t* m = op - offset;
+        if (offset >= 16) {
+            // len <= 64: four ordered 16B chunks cover it, overlap-safe
+            std::memcpy(op, m, 16);
+            if (len > 16) {
+                std::memcpy(op + 16, m + 16, 16);
+                std::memcpy(op + 32, m + 32, 16);
+                std::memcpy(op + 48, m + 48, 16);
+            }
+        } else if (offset >= 8) {
+            uint8_t* o = op;
+            const uint8_t* q = m;
+            uint8_t* const e = op + len;
+            do {
+                std::memcpy(o, q, 8);
+                o += 8;
+                q += 8;
+            } while (o < e);
+        } else {
+            // small periodic offset: materialize 8 pattern bytes, then
+            // 8-byte steps from the first aligned repeat >= 8 back
+            uint8_t* o = op;
+            for (int i = 0; i < 8 && i < len; i++) o[i] = m[i];
+            if (len > 8) {
+                int64_t gap = ((8 + offset - 1) / offset) * offset;
+                const uint8_t* q = op + 8 - gap;
+                o = op + 8;
+                uint8_t* const e = op + len;
+                do {
+                    std::memcpy(o, q, 8);
+                    o += 8;
+                    q += 8;
+                } while (o < e);
+            }
+        }
+        op += len;
+    }
+
     while (ip < iend) {
         uint32_t tag = *ip++;
         uint32_t type = tag & 3;

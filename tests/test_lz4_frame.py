@@ -109,3 +109,18 @@ def test_unified_api_zstd_dictionary(corpus):
     h2 = actpu.setup("zstd", block_size=16384)
     c2 = actpu.compress(h2, data)
     assert actpu.decompress(h2, c2) == data
+
+
+def test_frame_default_path_obeys_measured_policy(corpus):
+    # compress_frame without an explicit max_tier must ride the calibrated
+    # (measured-speed) policy like the main API default — i.e. the host
+    # tier while it is the fastest measured — so frame encode works even
+    # when no JAX backend can initialize (axon relay down).
+    from aocl_compression_tpu.utils import dispatch
+    dispatch.enable_audit(True)
+    try:
+        f = lz4_frame.compress_frame(corpus["text_64k"])
+        assert lz4_frame.decompress_frame(f) == corpus["text_64k"]
+        assert dispatch.validate_tier_access(0)
+    finally:
+        dispatch.enable_audit(False)
