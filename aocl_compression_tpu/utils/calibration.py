@@ -34,12 +34,12 @@ MEASURED_MBPS: Dict[Tuple[str, str], Dict[int, float]] = {
     ("lz4", "compress_blocks"): {TIER_HOST: 409.0, TIER_XLA: 141.9,
                                  TIER_MESH: 141.9},
     ("lz4", "compress"): {TIER_HOST: 409.0, TIER_XLA: 141.9},
-    ("lz4", "decompress_blocks"): {TIER_HOST: 536.0, TIER_XLA: 45.0,
+    ("lz4", "decompress_blocks"): {TIER_HOST: 1780.0, TIER_XLA: 45.0,
                                    TIER_MESH: 45.0},
     ("lz4hc", "compress_blocks"): {TIER_HOST: 51.0, TIER_XLA: 17.8},
     ("snappy", "compress_blocks"): {TIER_HOST: 418.0, TIER_XLA: 25.6,
                                     TIER_MESH: 25.6},
-    ("snappy", "decompress_blocks"): {TIER_HOST: 639.0, TIER_XLA: 40.0},
+    ("snappy", "decompress_blocks"): {TIER_HOST: 880.0, TIER_XLA: 40.0},
     ("zlib", "compress_blocks"): {TIER_HOST: 100.0, TIER_XLA: 15.2,
                                   TIER_MESH: 15.2},
     ("zlib", "compress"): {TIER_HOST: 100.0, TIER_XLA: 15.2},
