@@ -554,6 +554,9 @@ static void choose_table(const u32* freq, int nsym, u32 total,
 // match finder: hash chains + lazy + repcode probe
 // ---------------------------------------------------------------------------
 static const int ZHASH_BITS = 17, ZHASH_SIZE = 1 << ZHASH_BITS;
+static const int ZFAST_BITS_FWD = 17;  // kept in sync with ZFAST_BITS below
+static const int HEAD_SLOTS = (2 << ZFAST_BITS_FWD) > ZHASH_SIZE
+                                  ? (2 << ZFAST_BITS_FWD) : ZHASH_SIZE;
 
 static inline u32 zhash(const u8* p) {
   u32 v;
@@ -568,6 +571,18 @@ static inline u32 zhash6(const u8* p) {  // 6-byte hash: the fast loop's
   memcpy(&v, p, 8);
   return (u32)(((v & 0xFFFFFFFFFFFFULL) * 227718039650203ULL)
                >> (64 - ZHASH_BITS));
+}
+
+// Fast-loop bucket hash: 16 bits indexing 2-entry interleaved buckets in
+// mf.head — both candidate slots land on ONE cache line (the split
+// head/prev layout cost two random lines per probe; the probe is
+// L2-bound, so halving the touched lines is the speed lever).
+static const int ZFAST_BITS = ZFAST_BITS_FWD;
+static inline u32 zhash6f(const u8* p) {
+  u64 v;
+  memcpy(&v, p, 8);
+  return (u32)(((v & 0xFFFFFFFFFFFFULL) * 227718039650203ULL)
+               >> (64 - ZFAST_BITS));
 }
 
 static inline u32 zhash5(const u8* p) {  // 5-byte hash for the fast loop:
@@ -635,10 +650,13 @@ struct ZMF {
 
   bool alloc(u32 win) {
     window = win;
-    head = (int32_t*)malloc(sizeof(int32_t) * ZHASH_SIZE);
+    // sized for BOTH layouts: the chain-level single-entry table
+    // (ZHASH_SIZE) and the fast loop's interleaved 2-entry buckets
+    // (2 << ZFAST_BITS)
+    head = (int32_t*)malloc(sizeof(int32_t) * HEAD_SLOTS);
     prev = (int32_t*)malloc(sizeof(int32_t) * (size_t)win);
     if (!head || !prev) return false;
-    memset(head, -1, sizeof(int32_t) * ZHASH_SIZE);
+    memset(head, -1, sizeof(int32_t) * HEAD_SLOTS);
     return true;
   }
   void release() { free(head); free(prev); }
@@ -1020,9 +1038,9 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
   u8* scratch = nullptr;
   i64 result = ERR_CORRUPT;
   if (!mf.alloc(lp.window)) { free(buf); return ERR_CORRUPT; }
-  // fast loop uses mf.prev's first ZHASH_SIZE slots as second bucket
-  // entries — must start empty (alloc only clears head)
-  if (!lp.lazy) memset(mf.prev, -1, sizeof(int32_t) * (size_t)ZHASH_SIZE);
+  // fast loop's interleaved 2-entry buckets live in mf.head (HEAD_SLOTS
+  // covers 2 << ZFAST_BITS), which alloc() already clears — mf.prev is
+  // untouched at the fast levels (no extra clear per call)
   seqs = (Seq*)malloc(sizeof(Seq) * (BLOCK_MAX / 3 + 16));
   lits = (u8*)malloc(BLOCK_MAX + 64);
   scratch = (u8*)malloc(BLOCK_MAX + (BLOCK_MAX >> 2) + 4096);
@@ -1070,8 +1088,7 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
         // backward match extension, two table refreshes per match —
         // the reference's ZSTD_fast loop shape
         // (algos/zstd/lib/compress/zstd_fast.c), own code.
-        int32_t* tab = mf.head;
-        int32_t* tab2 = mf.prev;  // second bucket slot (window >= table size)
+        int32_t* tab = mf.head;  // 2^ZFAST_BITS interleaved 2-entry buckets
         size_t anchor = pos;
         while (pos < blockEnd) {
           // tail becomes literals; the min-match baseline of 4 below must
@@ -1091,7 +1108,7 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
                 pos + 1 + 8 <= total && pos + 1 + 4 <= blockEnd &&
                 rd32le_(base + pos + 1)
                     == rd32le_(base + pos + 1 - rep[0])) {
-              tab[zhash6(base + pos)] = (int32_t)pos;
+              tab[zhash6f(base + pos) * 2] = (int32_t)pos;
               pos++;
               continue;
             }
@@ -1110,10 +1127,10 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
             dist = rep[0];
             isRep = true;
           } else {
-            u32 h = zhash6(base + pos);
+            u32 h = zhash6f(base + pos) * 2;
             int32_t cand = tab[h];
-            int32_t cand2 = tab2[h];
-            tab2[h] = cand;
+            int32_t cand2 = tab[h + 1];
+            tab[h + 1] = cand;
             tab[h] = (int32_t)pos;
             if (cand >= 0 && pos - (size_t)cand <= lp.window &&
                 rd32le_(base + (size_t)cand) == rd32le_(base + pos)) {
@@ -1123,8 +1140,14 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
             }
             // second bucket entry: it is always FARTHER — switching
             // offsets breaks rep chains and costs full offset codes, so
-            // require a meaningful length win (and never leave rep0)
-            if (cand2 >= 0 && cand2 != cand && dist != rep[0] &&
+            // require a meaningful length win (and never leave rep0).
+            // Only consulted when the first probe missed or stayed short:
+            // a >=16-byte primary hit is kept as-is, which removes the
+            // second compare chain from the common hit path (with the
+            // interleaved buckets and the >>6 miss stride: L1 ~+5%
+            // speed for ~0.4% ratio on the real-file corpus).
+            if (len < 16 &&
+                cand2 >= 0 && cand2 != cand && dist != rep[0] &&
                 pos - (size_t)cand2 <= lp.window &&
                 rd32le_(base + (size_t)cand2) == rd32le_(base + pos)) {
               int l2 = 4 + zmatch_len(base + pos + 4,
@@ -1138,7 +1161,9 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
             }
           }
           if (!len) {
-            pos += 1 + ((pos - anchor) >> 8);
+            // miss-stride acceleration through incompressible spans
+            // (the reference's kSearchStrength idiom)
+            pos += 1 + ((pos - anchor) >> 6);
             continue;
           }
           // extend backward over pending literals (rep0 emission needs
@@ -1202,9 +1227,9 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
           nseq++;
           size_t endp = pos + (size_t)len;
           if (pos + 1 + 8 <= total)
-            tab[zhash6(base + pos + 1)] = (int32_t)(pos + 1);
+            tab[zhash6f(base + pos + 1) * 2] = (int32_t)(pos + 1);
           if (endp >= 2 && endp - 2 > pos + 1 && endp - 2 + 8 <= total)
-            tab[zhash6(base + endp - 2)] = (int32_t)(endp - 2);
+            tab[zhash6f(base + endp - 2) * 2] = (int32_t)(endp - 2);
           pos = endp;
           anchor = pos;
         }
