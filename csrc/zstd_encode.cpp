@@ -137,6 +137,16 @@ struct FSEEnc {
     bw.put((u32)state, nbits);
     state = nxt[(state >> nbits) + dfs[sym]];
   }
+  // like encode() but returns the bits for the caller to pack into a
+  // fused put (write_sequences emits one put for all three state
+  // transitions instead of three)
+  inline u32 step(int sym, int* nOut) {
+    int nbits = (state + dnb[sym]) >> 16;
+    u32 bits = (u32)state & ((1u << nbits) - 1);
+    state = nxt[(state >> nbits) + dfs[sym]];
+    *nOut = nbits;
+    return bits;
+  }
   inline void flush(BitW& bw) { bw.put((u32)(state - (1 << log)), log); }
 };
 
@@ -856,22 +866,16 @@ static i64 write_sequences(const Seq* seqs, size_t nseq, u8* out,
   }
   if (nseq == 0) return (i64)len;
 
-  // histograms
+  // histograms (codes are LUT lookups — the encode pass below recomputes
+  // them instead of staging three per-sequence byte arrays)
   u32 llf[36] = {0}, mlf[53] = {0}, off[32] = {0};
-  u8* llc = (u8*)malloc(nseq * 3);
-  if (!llc) return ERR_CORRUPT;
-  u8* mlc = llc + nseq;
-  u8* ofc = llc + 2 * nseq;
   for (size_t i = 0; i < nseq; i++) {
     int lc = ll_code(seqs[i].ll);
     int mc = ml_code(seqs[i].ml);
     int oc = highbit32(seqs[i].ofv);
-    llc[i] = (u8)lc;
-    mlc[i] = (u8)mc;
-    ofc[i] = (u8)oc;
     llf[lc]++;
     mlf[mc]++;
-    if (oc > 30) { free(llc); return ERR_CORRUPT; }
+    if (oc > 30) return ERR_CORRUPT;
     off[oc]++;
   }
   TableChoice tcll, tcof, tcml;
@@ -884,10 +888,8 @@ static i64 write_sequences(const Seq* seqs, size_t nseq, u8* out,
     if (big) {
       int tl = 8;
       short norm[32];
-      if (normalize_counts(off, 32, (u32)nseq, tl, norm) != 0) {
-        free(llc);
+      if (normalize_counts(off, 32, (u32)nseq, tl, norm) != 0)
         return ERR_CORRUPT;
-      }
       tcof.mode = 2;
       tcof.tableLog = tl;
       memcpy(tcof.norm, norm, sizeof(short) * 32);
@@ -895,7 +897,7 @@ static i64 write_sequences(const Seq* seqs, size_t nseq, u8* out,
   }
   choose_table(mlf, 53, (u32)nseq, ML_DEF, ML_DEFLOG, 9, &tcml);
 
-  if (cap < len + 1) { free(llc); return ERR_DST_SMALL; }
+  if (cap < len + 1) return ERR_DST_SMALL;
   out[len++] = (u8)((tcll.mode << 6) | (tcof.mode << 4) | (tcml.mode << 2));
 
   FSEEnc ell, eof_, eml;
@@ -928,33 +930,46 @@ static i64 write_sequences(const Seq* seqs, size_t nseq, u8* out,
   };
   if (!setup(tcll, ell, LL_DEF, LL_DEFLOG, 36, 36) ||
       !setup(tcof, eof_, OF_DEF, OF_DEFLOG, 32, 29) ||
-      !setup(tcml, eml, ML_DEF, ML_DEFLOG, 53, 53)) {
-    free(llc);
+      !setup(tcml, eml, ML_DEF, ML_DEFLOG, 53, 53))
     return ERR_DST_SMALL;
-  }
 
   BitW bw(out + len, cap - len);
-  // encode backwards: init states from the LAST sequence, then loop
+  // encode backwards: init states from the LAST sequence, then loop.
+  // Per sequence: ONE fused put for the three state transitions
+  // (of|ml|ll, <= 27 bits) and one for the ll+ml extras (<= 32 bits) —
+  // the same bit layout as the former six puts, a third of the
+  // flush-check overhead.
   size_t n1 = nseq - 1;
-  ell.init_state(llc[n1]);
-  eof_.init_state(ofc[n1]);
-  eml.init_state(mlc[n1]);
-  bw.put(seqs[n1].ll - LL_BASE[llc[n1]], LL_BITS[llc[n1]]);
-  bw.put(seqs[n1].ml - ML_BASE[mlc[n1]], ML_BITS[mlc[n1]]);
-  bw.put(seqs[n1].ofv - (1u << ofc[n1]), ofc[n1]);
+  {
+    int lc = ll_code(seqs[n1].ll);
+    int mc = ml_code(seqs[n1].ml);
+    int oc = highbit32(seqs[n1].ofv);
+    ell.init_state(lc);
+    eof_.init_state(oc);
+    eml.init_state(mc);
+    int lb = LL_BITS[lc], mb = ML_BITS[mc];
+    bw.put((seqs[n1].ll - LL_BASE[lc])
+               | ((seqs[n1].ml - ML_BASE[mc]) << lb), lb + mb);
+    bw.put(seqs[n1].ofv - (1u << oc), oc);
+  }
   for (size_t i = n1; i-- > 0;) {
-    eof_.encode(bw, ofc[i]);
-    eml.encode(bw, mlc[i]);
-    ell.encode(bw, llc[i]);
-    bw.put(seqs[i].ll - LL_BASE[llc[i]], LL_BITS[llc[i]]);
-    bw.put(seqs[i].ml - ML_BASE[mlc[i]], ML_BITS[mlc[i]]);
-    bw.put(seqs[i].ofv - (1u << ofc[i]), ofc[i]);
+    int lc = ll_code(seqs[i].ll);
+    int mc = ml_code(seqs[i].ml);
+    int oc = highbit32(seqs[i].ofv);
+    int no, nm, nl;
+    u32 bo = eof_.step(oc, &no);
+    u32 bm = eml.step(mc, &nm);
+    u32 bl = ell.step(lc, &nl);
+    bw.put(bo | (bm << no) | (bl << (no + nm)), no + nm + nl);
+    int lb = LL_BITS[lc], mb = ML_BITS[mc];
+    bw.put((seqs[i].ll - LL_BASE[lc])
+               | ((seqs[i].ml - ML_BASE[mc]) << lb), lb + mb);
+    bw.put(seqs[i].ofv - (1u << oc), oc);
   }
   eml.flush(bw);
   eof_.flush(bw);
   ell.flush(bw);
   size_t sl = bw.close();
-  free(llc);
   if (bw.overflow) return ERR_DST_SMALL;
   return (i64)(len + sl);
 }
