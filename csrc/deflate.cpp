@@ -149,6 +149,16 @@ struct BitReader {
 
   BitReader(const u8* s, const u8* e) : p(s), end(e) {}
   void refill() {
+    if (end - p >= 8) {
+      // single 8-byte load; p += bytes absorbed. k + 8*((63-k)>>3) == k|56
+      // for k in [0,63], so nbits lands in [56,63] branch-free.
+      u64 w;
+      memcpy(&w, p, 8);
+      acc |= w << nbits;
+      p += (63 - nbits) >> 3;
+      nbits |= 56;
+      return;
+    }
     while (nbits <= 56 && p < end) { acc |= (u64)(*p++) << nbits; nbits += 8; }
   }
   u32 get(int n) {
@@ -222,6 +232,139 @@ struct HTable {
   }
 };
 
+// ---------------------------------------------------------------------------
+// Two-level Huffman decode table for the inflate hot loop (the zlib
+// inflate_table design class, own build): a 10-bit L1-resident root of
+// packed u32 entries + subtables for longer codes. The flat 15-bit
+// HTable costs two random loads over 96 KiB per symbol; this costs one
+// load in 4 KiB for the overwhelmingly common <=10-bit codes, and the
+// entry embeds base value + extra-bit count so there is no second
+// LEN_BASE/DIST_BASE lookup.
+//
+// Entry layout (u32):
+//   [0:5)   bits consumed (total code length; SUB pointer entries: root)
+//   [5:8)   kind: 0 literal, 1 match/dist code, 2 end-of-block,
+//           3 subtable pointer, 4 invalid
+//   [8:12)  extra bits (kind 1) / subtable index width (kind 3)
+//   [16:32) payload: literal byte / length-dist base / subtable offset
+// ---------------------------------------------------------------------------
+static const int FT_ROOT = 10;
+static const u32 FT_INV = 15u | (4u << 5);
+
+static inline u32 revbits(u32 c, int l) {
+  u32 rc = 0;
+  for (int b = 0; b < l; b++) rc |= ((c >> b) & 1) << (l - 1 - b);
+  return rc;
+}
+
+struct FTable {
+  u32 root[1 << FT_ROOT];
+  u32 sub[2048];  // >= the zlib ENOUGH bound for a 10-bit root
+
+  void make_invalid() {  // degenerate distance tree: any use is corrupt
+    for (int i = 0; i < (1 << FT_ROOT); i++) root[i] = FT_INV;
+  }
+
+  bool build(const u8* lens, int n, bool isDist, bool allow_incomplete) {
+    int bl_count[16] = {0};
+    int maxbits = 0;
+    for (int i = 0; i < n; i++) {
+      if (lens[i] > 15) return false;
+      bl_count[lens[i]]++;
+      if (lens[i] > maxbits) maxbits = lens[i];
+    }
+    if (maxbits == 0) return false;
+    int left = 1;
+    for (int b = 1; b <= 15; b++) {
+      left <<= 1;
+      left -= bl_count[b];
+      if (left < 0) return false;  // over-subscribed
+    }
+    if (left > 0 && !allow_incomplete
+        && !(maxbits == 1 && bl_count[1] == 1)) return false;
+    int code = 0, next_code[16];
+    bl_count[0] = 0;
+    for (int b = 1; b <= 15; b++) {
+      code = (code + bl_count[b - 1]) << 1;
+      next_code[b] = code;
+    }
+    for (int i = 0; i < (1 << FT_ROOT); i++) root[i] = FT_INV;
+
+    // pass A: per-root-prefix subtable widths for codes longer than root
+    u8 submax[1 << FT_ROOT];
+    u32 suboff[1 << FT_ROOT];
+    bool anyLong = maxbits > FT_ROOT;
+    if (anyLong) {
+      memset(submax, 0, sizeof(submax));
+      int nc[16];
+      memcpy(nc, next_code, sizeof(nc));
+      for (int s = 0; s < n; s++) {
+        int l = lens[s];
+        if (!l) continue;
+        u32 c = (u32)nc[l]++;
+        if (l <= FT_ROOT) continue;
+        u32 pref = revbits(c, l) & ((1u << FT_ROOT) - 1);
+        if (l - FT_ROOT > submax[pref]) submax[pref] = (u8)(l - FT_ROOT);
+      }
+      u32 off = 0;
+      for (int i = 0; i < (1 << FT_ROOT); i++) {
+        if (!submax[i]) continue;
+        suboff[i] = off;
+        off += 1u << submax[i];
+        if (off > 2048) return false;  // beyond any complete tree's need
+        root[i] = (u32)FT_ROOT | (3u << 5) | ((u32)submax[i] << 8)
+                  | (suboff[i] << 16);
+      }
+      for (u32 i = 0; i < off; i++) sub[i] = FT_INV;
+    }
+
+    // pass B: fill entries
+    for (int s = 0; s < n; s++) {
+      int l = lens[s];
+      if (!l) continue;
+      u32 c = (u32)next_code[l]++;
+      u32 rc = revbits(c, l);
+      u32 e;
+      if (!isDist) {
+        if (s < 256) e = (u32)l | ((u32)s << 16);
+        else if (s == 256) e = (u32)l | (2u << 5);
+        else if (s <= 285) {
+          int cx = s - 257;
+          e = (u32)l | (1u << 5) | ((u32)LEN_XBITS[cx] << 8)
+              | ((u32)LEN_BASE[cx] << 16);
+        } else {
+          e = (u32)l | (4u << 5);  // 286/287 reserved
+        }
+      } else {
+        if (s < 30)
+          e = (u32)l | (1u << 5) | ((u32)DIST_XBITS[s] << 8)
+              | ((u32)DIST_BASE[s] << 16);
+        else
+          e = (u32)l | (4u << 5);  // 30/31 reserved
+      }
+      if (l <= FT_ROOT) {
+        for (u32 idx = rc; idx < (1u << FT_ROOT); idx += (1u << l))
+          root[idx] = e;
+      } else {
+        u32 pref = rc & ((1u << FT_ROOT) - 1);
+        u32 sb = submax[pref];
+        for (u32 idx = rc >> FT_ROOT; idx < (1u << sb);
+             idx += (1u << (l - FT_ROOT)))
+          sub[suboff[pref] + idx] = e;
+      }
+    }
+    return true;
+  }
+
+  // resolve one entry from the low bits of `a` (no state change)
+  inline u32 look(u64 a) const {
+    u32 e = root[a & ((1u << FT_ROOT) - 1)];
+    if (((e >> 5) & 7) == 3)
+      e = sub[(e >> 16) + ((a >> FT_ROOT) & ((1u << ((e >> 8) & 15)) - 1))];
+    return e;
+  }
+};
+
 static int decode_sym(BitReader& br, const HTable& t) {
   u32 idx = br.peek(t.maxbits);
   int l = t.len[idx];
@@ -252,13 +395,29 @@ static void static_tables(HTable& lit, HTable& dist) {
 
 // inflate raw deflate; stops after the final block (mode 1) or when input
 // is exhausted on a block boundary (mode 2 chunks have no final block).
+// memoized static-tree decode tables (built once, 24 KiB)
+struct FStatic {
+  FTable lit, dist;
+  FStatic() {
+    u8 ll[288], dl[32];
+    for (int i = 0; i < 144; i++) ll[i] = 8;
+    for (int i = 144; i < 256; i++) ll[i] = 9;
+    for (int i = 256; i < 280; i++) ll[i] = 7;
+    for (int i = 280; i < 288; i++) ll[i] = 8;
+    for (int i = 0; i < 32; i++) dl[i] = 5;
+    lit.build(ll, 288, false, false);
+    dist.build(dl, 32, true, false);
+  }
+};
+
 static i64 inflate_raw(const u8* src, size_t srcSize, u8* dst, size_t dstCap,
                        size_t* consumed) {
   BitReader br(src, src + srcSize);
   size_t op = 0;
-  HTable* lit = (HTable*)malloc(sizeof(HTable) * 2);
+  FTable* lit = (FTable*)malloc(sizeof(FTable) * 2);
   if (!lit) return ERR_CORRUPT;
-  HTable* dist = lit + 1;
+  FTable* dist = lit + 1;
+  static const FStatic fstat;
   i64 result = ERR_CORRUPT;
   for (;;) {
     if (br.bytes_left() == 0 && br.nbits == 0) { result = (i64)op; break; }
@@ -283,12 +442,20 @@ static i64 inflate_raw(const u8* src, size_t srcSize, u8* dst, size_t dstCap,
       if (len) {
         if ((size_t)(br.end - br.p) < len) goto done;
         memcpy(dst + op, br.p, len);
+        // manual p advance invalidates the refill borrow: the branch-free
+        // refill leaves up to 7 bits of *p above nbits in acc (consistent
+        // only while p moves through refill). nbits is 0 here (the drain
+        // stopped below 8 on a byte boundary) — drop the remnants.
+        br.acc = 0;
         br.p += len;
         op += len;
       }
     } else if (btype == 1 || btype == 2) {
+      const FTable* flit;
+      const FTable* fdist;
       if (btype == 1) {
-        static_tables(*lit, *dist);
+        flit = &fstat.lit;
+        fdist = &fstat.dist;
       } else {
         int hlit = (int)br.get(5) + 257;
         int hdist = (int)br.get(5) + 1;
@@ -325,47 +492,138 @@ static i64 inflate_raw(const u8* src, size_t srcSize, u8* dst, size_t dstCap,
           }
           if (br.fail) goto done;
         }
-        if (!lit->build(lens, hlit)) goto done;
+        if (!lit->build(lens, hlit, false, false)) goto done;
         if (lens[hlit] == 0 && hdist == 1) {
-          // no distance codes: any match is corrupt; build degenerate
-          u8 one[2] = {1, 0};
-          dist->build(one, 2);
-          dist->maxbits = 0;  // mark invalid for matches
-        } else if (!dist->build(lens + hlit, hdist, true)) {
+          // no distance codes: any match is corrupt
+          dist->make_invalid();
+        } else if (!dist->build(lens + hlit, hdist, true, true)) {
           goto done;
         }
+        flit = lit;
+        fdist = dist;
       }
+      // Symbol loop (the reference's inffast_chunk axis): one branch-free
+      // 8-byte refill per iteration, then up to two literals + a match
+      // resolved from the buffered bits without per-read checks. Budget:
+      // lit(<=15) + lit(<=15) + len code(<=15) = 45 <= 48, length extra
+      // (<=5) brings the worst chain to 50 <= 56; the distance half
+      // refills once more. The <48-bit tail (last ~6 input bytes) steps
+      // through the same tables with explicit checks.
       for (;;) {
-        int s = decode_sym(br, *lit);
-        if (s < 0) goto done;
-        if (s < 256) {
+        br.refill();
+        u32 e, k;
+        if (br.nbits >= 48) {
+          e = flit->look(br.acc);
+          br.acc >>= (e & 31);
+          br.nbits -= (int)(e & 31);
+          k = (e >> 5) & 7;
+          if (k == 0) {
+            if (op >= dstCap) { result = ERR_DST_SMALL; goto done; }
+            dst[op++] = (u8)(e >> 16);
+            e = flit->look(br.acc);
+            br.acc >>= (e & 31);
+            br.nbits -= (int)(e & 31);
+            k = (e >> 5) & 7;
+            if (k == 0) {
+              if (op >= dstCap) { result = ERR_DST_SMALL; goto done; }
+              dst[op++] = (u8)(e >> 16);
+              continue;
+            }
+          }
+          if (k != 1) {
+            if (k == 2) break;
+            goto done;  // invalid code
+          }
+          int xb = (int)((e >> 8) & 15);
+          int len = (int)(e >> 16) + (int)(br.acc & ((1u << xb) - 1));
+          br.acc >>= xb;
+          br.nbits -= xb;
+          br.refill();
+          u32 de = fdist->look(br.acc);
+          int dnb = (int)(de & 31);
+          if (((de >> 5) & 7) != 1 || br.nbits < dnb) goto done;
+          br.acc >>= dnb;
+          br.nbits -= dnb;
+          int d = (int)(de >> 16) + (int)br.get((int)((de >> 8) & 15));
+          if (br.fail || (size_t)d > op) goto done;
+          size_t nend = op + (size_t)len;
+          if (nend > dstCap) { result = ERR_DST_SMALL; goto done; }
+          u8* o = dst + op;
+          const u8* q = o - d;
+          // copy ladder under a +32 slack margin (16-byte chunks may
+          // write past the logical end; later output overwrites)
+          if (nend + 32 <= dstCap && d >= 16) {
+            i64 nn = len;
+            do {
+              memcpy(o, q, 16);
+              o += 16;
+              q += 16;
+              nn -= 16;
+            } while (nn > 0);
+          } else if (d >= 8 && nend + 8 <= dstCap) {
+            u8* e2 = o + len;
+            do {
+              memcpy(o, q, 8);
+              o += 8;
+              q += 8;
+            } while (o < e2);
+          } else if (d < 8 && len >= 8 && nend + 16 <= dstCap) {
+            // periodic expansion: 8 pattern bytes bytewise, then 8-byte
+            // steps from the first aligned repeat >= 8 back
+            for (int i2 = 0; i2 < 8; i2++) o[i2] = q[i2];
+            int gap = ((8 + d - 1) / d) * d;
+            const u8* q2 = o + 8 - gap;
+            u8* oo = o + 8;
+            u8* e2 = o + len;
+            do {
+              memcpy(oo, q2, 8);
+              oo += 8;
+              q2 += 8;
+            } while (oo < e2);
+          } else {
+            for (int i2 = 0; i2 < len; i2++) o[i2] = q[i2];
+          }
+          op = nend;
+          continue;
+        }
+        // checked tail
+        e = flit->look(br.acc);
+        {
+          int nb = (int)(e & 31);
+          k = (e >> 5) & 7;
+          if (k == 4 || br.nbits < nb) goto done;
+          br.acc >>= nb;
+          br.nbits -= nb;
+        }
+        if (k == 0) {
           if (op >= dstCap) { result = ERR_DST_SMALL; goto done; }
-          dst[op++] = (u8)s;
-        } else if (s == 256) {
-          break;
-        } else {
-          int c = s - 257;
-          if (c >= 29 || dist->maxbits == 0) goto done;
-          int len = LEN_BASE[c] + (int)br.get(LEN_XBITS[c]);
-          int dc = decode_sym(br, *dist);
-          if (dc < 0 || dc >= 30) goto done;
-          int d = DIST_BASE[dc] + (int)br.get(DIST_XBITS[dc]);
+          dst[op++] = (u8)(e >> 16);
+          continue;
+        }
+        if (k == 2) break;
+        {
+          int len = (int)(e >> 16) + (int)br.get((int)((e >> 8) & 15));
+          br.refill();
+          u32 de = fdist->look(br.acc);
+          int dnb = (int)(de & 31);
+          if (((de >> 5) & 7) != 1 || br.nbits < dnb) goto done;
+          br.acc >>= dnb;
+          br.nbits -= dnb;
+          int d = (int)(de >> 16) + (int)br.get((int)((de >> 8) & 15));
           if (br.fail || (size_t)d > op) goto done;
           if (op + (size_t)len > dstCap) { result = ERR_DST_SMALL; goto done; }
           u8* o = dst + op;
           const u8* q = o - d;
           op += (size_t)len;
-          // wildcopy (the reference's chunkcopy.h axis): 8-byte chunks
-          // when the distance permits and slack bytes exist past the end
           if (d >= 8 && op + 8 <= dstCap) {
-            u8* e = o + len;
+            u8* e2 = o + len;
             do {
               memcpy(o, q, 8);
               o += 8;
               q += 8;
-            } while (o < e);
+            } while (o < e2);
           } else {
-            for (int i = 0; i < len; i++) o[i] = q[i];
+            for (int i2 = 0; i2 < len; i2++) o[i2] = q[i2];
           }
         }
       }
