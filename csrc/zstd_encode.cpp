@@ -619,36 +619,40 @@ static int zmatch_len(const u8* a, const u8* b, const u8* limit) {
   return (int)(a - s);
 }
 
-struct LevelP { u32 window; int depth; int lazy; int nice; };
+struct LevelP { u32 window; int depth; int lazy; int nice; int clog; };
 // level ladder in the spirit of ZSTD_defaultCParameters
 // (zstd_compress.c:7311-7405): window / chain depth / lazy steps
 static LevelP zparams(int level) {
   if (level < 1) level = 1;
   if (level > 22) level = 22;
+  // clog caps the chain-link table at 2^clog entries (the reference's
+  // chainLog axis): full-window prev tables put every chain step in
+  // DRAM at the mid levels; truncated chains alias rarely and find()
+  // already breaks on a non-monotonic link.
   static const LevelP t[23] = {
-    {0, 0, 0, 0},
-    {1u << 19, 4, 0, 16},    // 1
-    {1u << 20, 6, 0, 24},    // 2
-    {1u << 21, 8, 0, 32},    // 3
-    {1u << 20, 12, 1, 32},   // 4
-    {1u << 21, 16, 1, 48},   // 5
-    {1u << 21, 24, 1, 64},   // 6
-    {1u << 21, 32, 2, 96},   // 7
-    {1u << 22, 48, 2, 128},  // 8
-    {1u << 22, 64, 2, 128},  // 9
-    {1u << 22, 96, 2, 160},  // 10
-    {1u << 22, 128, 2, 192}, // 11
-    {1u << 22, 192, 2, 224}, // 12
-    {1u << 23, 256, 2, 256}, // 13
-    {1u << 23, 384, 2, 273}, // 14
-    {1u << 23, 512, 2, 273}, // 15
-    {1u << 23, 768, 2, 273}, // 16
-    {1u << 24, 1024, 2, 273},// 17
-    {1u << 24, 1536, 2, 273},// 18
-    {1u << 24, 2048, 2, 273},// 19
-    {1u << 25, 3072, 2, 273},// 20
-    {1u << 25, 4096, 2, 273},// 21
-    {1u << 26, 6144, 2, 273},// 22
+    {0, 0, 0, 0, 0},
+    {1u << 19, 4, 0, 16, 16},    // 1
+    {1u << 20, 6, 0, 24, 17},    // 2
+    {1u << 21, 8, 0, 32, 17},    // 3
+    {1u << 20, 12, 1, 32, 17},   // 4
+    {1u << 21, 16, 1, 48, 18},   // 5
+    {1u << 21, 24, 1, 64, 18},   // 6
+    {1u << 21, 32, 2, 96, 19},   // 7
+    {1u << 22, 48, 2, 128, 20},  // 8
+    {1u << 22, 64, 2, 128, 20},  // 9
+    {1u << 22, 96, 2, 160, 21},  // 10
+    {1u << 22, 128, 2, 192, 21}, // 11
+    {1u << 22, 192, 2, 224, 22}, // 12
+    {1u << 23, 256, 2, 256, 22}, // 13
+    {1u << 23, 384, 2, 273, 23}, // 14
+    {1u << 23, 512, 2, 273, 23}, // 15
+    {1u << 23, 768, 2, 273, 23}, // 16
+    {1u << 24, 1024, 2, 273, 24},// 17
+    {1u << 24, 1536, 2, 273, 24},// 18
+    {1u << 24, 2048, 2, 273, 24},// 19
+    {1u << 25, 3072, 2, 273, 24},// 20
+    {1u << 25, 4096, 2, 273, 24},// 21
+    {1u << 26, 6144, 2, 273, 24},// 22
   };
   return t[level];
 }
@@ -657,14 +661,18 @@ struct ZMF {
   int32_t* head;
   int32_t* prev;
   u32 window;
+  u32 cmask;  // chain-link table mask (2^clog - 1, <= window - 1)
 
-  bool alloc(u32 win) {
+  bool alloc(u32 win, int clog) {
     window = win;
+    u32 csize = (u32)1 << clog;
+    if (csize > win) csize = win;
+    cmask = csize - 1;
     // sized for BOTH layouts: the chain-level single-entry table
     // (ZHASH_SIZE) and the fast loop's interleaved 2-entry buckets
     // (2 << ZFAST_BITS)
     head = (int32_t*)malloc(sizeof(int32_t) * HEAD_SLOTS);
-    prev = (int32_t*)malloc(sizeof(int32_t) * (size_t)win);
+    prev = (int32_t*)malloc(sizeof(int32_t) * (size_t)csize);
     if (!head || !prev) return false;
     memset(head, -1, sizeof(int32_t) * HEAD_SLOTS);
     return true;
@@ -672,7 +680,7 @@ struct ZMF {
   void release() { free(head); free(prev); }
   inline void insert(const u8* base, size_t pos) {
     u32 h = zhash(base + pos);
-    prev[pos & (window - 1)] = head[h];
+    prev[pos & cmask] = head[h];
     head[h] = (int32_t)pos;
   }
   int find(const u8* base, size_t pos, size_t n, int depth, int nice,
@@ -694,7 +702,7 @@ struct ZMF {
         memcpy(&se, scan + best - 1, 2);
         memcpy(&me, mp + best - 1, 2);
         if (se != me) {
-          int32_t nx0 = prev[c & (window - 1)];
+          int32_t nx0 = prev[c & cmask];
           if (nx0 >= (int32_t)c) break;
           cand = nx0;
           continue;
@@ -706,7 +714,7 @@ struct ZMF {
         bestd = (u32)(pos - c);
         if (l >= nice) break;
       }
-      int32_t nx = prev[c & (window - 1)];
+      int32_t nx = prev[c & cmask];
       if (nx >= (int32_t)c) break;
       cand = nx;
     }
@@ -1052,7 +1060,7 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
   u8* lits = nullptr;
   u8* scratch = nullptr;
   i64 result = ERR_CORRUPT;
-  if (!mf.alloc(lp.window)) { free(buf); return ERR_CORRUPT; }
+  if (!mf.alloc(lp.window, lp.clog)) { free(buf); return ERR_CORRUPT; }
   // fast loop's interleaved 2-entry buckets live in mf.head (HEAD_SLOTS
   // covers 2 << ZFAST_BITS), which alloc() already clears — mf.prev is
   // untouched at the fast levels (no extra clear per call)
