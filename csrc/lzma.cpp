@@ -476,11 +476,15 @@ struct EncMF {
   int32_t* head;
   int32_t* prev;
   u32 window;
+  u32 cmask;
 
-  bool alloc(u32 win) {
+  bool alloc(u32 win, int clog) {
     window = win;
+    u32 csize = (u32)1 << clog;
+    if (csize > win) csize = win;
+    cmask = csize - 1;
     head = (int32_t*)malloc(sizeof(int32_t) * EHASH_SIZE);
-    prev = (int32_t*)malloc(sizeof(int32_t) * (size_t)win);
+    prev = (int32_t*)malloc(sizeof(int32_t) * (size_t)csize);
     if (!head || !prev) return false;
     memset(head, -1, sizeof(int32_t) * EHASH_SIZE);
     return true;
@@ -488,7 +492,7 @@ struct EncMF {
   void release() { free(head); free(prev); }
   void insert(const u8* base, size_t pos) {
     u32 h = ehash4(base + pos);
-    prev[pos & (window - 1)] = head[h];
+    prev[pos & cmask] = head[h];
     head[h] = (int32_t)pos;
   }
   int find(const u8* base, size_t pos, size_t n, int depth, u32* distOut) {
@@ -510,7 +514,7 @@ struct EncMF {
         memcpy(&se, scan + best - 1, 2);
         memcpy(&me, mp + best - 1, 2);
         if (se != me) {
-          int32_t nx0 = prev[c & (window - 1)];
+          int32_t nx0 = prev[c & cmask];
           if (nx0 >= (int32_t)c) break;
           cand = nx0;
           continue;
@@ -518,7 +522,7 @@ struct EncMF {
       }
       int l = ematch_len(scan, mp, limit);
       if (l > best) { best = l; bestd = (u32)(pos - c); }
-      int32_t nxt = prev[c & (window - 1)];
+      int32_t nxt = prev[c & cmask];
       if (nxt >= (int32_t)c) break;
       cand = nxt;
     }
@@ -527,19 +531,23 @@ struct EncMF {
   }
 };
 
-struct EncParams { u32 dict; int depth; };
+// clog caps the chain-link ring at 2^clog entries (same chainLog axis
+// as csrc/zstd_encode.cpp): a dict-sized prev ring (16 MB at -6) makes
+// every chain step a DRAM access; truncated chains alias rarely and
+// find() breaks on a non-monotonic link.
+struct EncParams { u32 dict; int depth; int clog; };
 static EncParams eparams(int level) {
   switch (level < 0 ? 0 : (level > 9 ? 9 : level)) {
-    case 0: return {1u << 16, 4};
-    case 1: return {1u << 17, 8};
-    case 2: return {1u << 18, 12};
-    case 3: return {1u << 19, 16};
-    case 4: return {1u << 20, 24};
-    case 5: return {1u << 21, 32};
-    case 6: return {1u << 22, 48};
-    case 7: return {1u << 22, 96};
-    case 8: return {1u << 23, 192};
-    default: return {1u << 23, 384};
+    case 0: return {1u << 16, 4, 16};
+    case 1: return {1u << 17, 8, 17};
+    case 2: return {1u << 18, 12, 17};
+    case 3: return {1u << 19, 16, 18};
+    case 4: return {1u << 20, 24, 18};
+    case 5: return {1u << 21, 32, 19};
+    case 6: return {1u << 22, 48, 20};
+    case 7: return {1u << 22, 96, 21};
+    case 8: return {1u << 23, 192, 22};
+    default: return {1u << 23, 384, 23};
   }
 }
 
@@ -613,7 +621,7 @@ static i64 lzma_encode(const u8* src, size_t n, u8* dst, size_t dstCap,
   Probs P;
   if (!P.alloc(lc, lp, pb)) return ERR_CORRUPT;
   EncMF mf;
-  if (!mf.alloc(ep.dict)) { P.release(); return ERR_CORRUPT; }
+  if (!mf.alloc(ep.dict, ep.clog)) { P.release(); return ERR_CORRUPT; }
   REnc re(dst + 13, dstCap - 13);
 
   u32 rep0 = 1, rep1 = 1, rep2 = 1, rep3 = 1;
