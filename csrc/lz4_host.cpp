@@ -36,6 +36,24 @@ inline uint32_t hash4(uint32_t v) {
     return (v * 2654435761u) >> (32 - kHashBits);
 }
 
+// match length by 8-byte XOR + ctz (upstream's LZ4_count class idiom);
+// limit applies to p (the input side)
+inline int64_t count_match(const uint8_t* p, const uint8_t* m,
+                           const uint8_t* limit) {
+    const uint8_t* s = p;
+    while (p + 8 <= limit) {
+        uint64_t x, y;
+        std::memcpy(&x, p, 8);
+        std::memcpy(&y, m, 8);
+        uint64_t d = x ^ y;
+        if (d) return (p - s) + (__builtin_ctzll(d) >> 3);
+        p += 8;
+        m += 8;
+    }
+    while (p < limit && *p == *m) { p++; m++; }
+    return p - s;
+}
+
 // Emit one sequence: [token][litlen ext][literals][offset][matchlen ext].
 // matchLen < kMinMatch means "final literal-only sequence" (no offset field).
 // exact output size of one sequence (token + lit ext + literals + offset
@@ -53,7 +71,8 @@ inline int64_t seq_out_size(int64_t litLen, int64_t matchLen) {
 }
 
 inline uint8_t* emit_sequence(uint8_t* op, const uint8_t* lit, int64_t litLen,
-                              int64_t offset, int64_t matchLen) {
+                              int64_t offset, int64_t matchLen,
+                              const uint8_t* oend = nullptr) {
     uint8_t* token = op++;
     if (litLen >= 15) {
         *token = 15 << 4;
@@ -63,7 +82,21 @@ inline uint8_t* emit_sequence(uint8_t* op, const uint8_t* lit, int64_t litLen,
     } else {
         *token = (uint8_t)(litLen << 4);
     }
-    std::memcpy(op, lit, (size_t)litLen);
+    // 16-byte wildcopy chunks when the caller passed slack room (the
+    // common case: bound-sized buffers); exact copy near the end
+    if (oend && op + litLen + 16 <= oend) {
+        uint8_t* o = op;
+        const uint8_t* q = lit;
+        int64_t n = litLen;
+        do {
+            std::memcpy(o, q, 16);
+            o += 16;
+            q += 16;
+            n -= 16;
+        } while (n > 0);
+    } else {
+        std::memcpy(op, lit, (size_t)litLen);
+    }
     op += litLen;
     if (matchLen >= kMinMatch) {
         *op++ = (uint8_t)(offset & 0xff);
@@ -141,13 +174,14 @@ int64_t atpu_lz4_compress_tail(const uint8_t* src, int64_t srcLen,
             // --- extend forwards (stop before the last-5-literals zone) ---
             {
                 const uint8_t* mlimit = iend - kLastLiterals;
-                int64_t mlen = kMinMatch;
-                while (ip + mlen < mlimit && ip[mlen] == match[mlen]) mlen++;
+                int64_t mlen = kMinMatch
+                    + count_match(ip + kMinMatch, match + kMinMatch, mlimit);
                 if (op + seq_out_size(ip - anchor, mlen) > oend) {
                     std::free(table);
                     return -1;
                 }
-                op = emit_sequence(op, anchor, ip - anchor, ip - match, mlen);
+                op = emit_sequence(op, anchor, ip - anchor, ip - match, mlen,
+                                   oend);
                 ip += mlen;
                 anchor = ip;
             }
@@ -438,8 +472,8 @@ int64_t atpu_lz4hc_compress_tail(const uint8_t* src, int64_t srcLen,
             while (cand >= 0 && pos - cand <= kMaxDistance && attempts--) {
                 const uint8_t* m = src + cand;
                 if (m[bestLen] == ip[bestLen] && read32(m) == read32(ip)) {
-                    int64_t len = kMinMatch;
-                    while (ip + len < mlimit && ip[len] == m[len]) len++;
+                    int64_t len = kMinMatch
+                        + count_match(ip + kMinMatch, m + kMinMatch, mlimit);
                     if (len > bestLen) {
                         bestLen = len;
                         bestOff = pos - cand;
@@ -462,7 +496,8 @@ int64_t atpu_lz4hc_compress_tail(const uint8_t* src, int64_t srcLen,
                     std::free(prev);
                     return -1;
                 }
-                op = emit_sequence(op, anchor, ip - anchor, bestOff, bestLen);
+                op = emit_sequence(op, anchor, ip - anchor, bestOff, bestLen,
+                                   oend);
                 ip += bestLen;
                 anchor = ip;
                 insert_upto(ip - src < (mflimit - src) ? ip - src

@@ -57,7 +57,25 @@ inline const uint8_t* get_varint32(const uint8_t* ip, const uint8_t* iend,
     return nullptr;
 }
 
-inline uint8_t* emit_literal(uint8_t* op, const uint8_t* lit, int64_t len) {
+// match length by 8-byte XOR + ctz (the upstream FindMatchLength idiom)
+inline int64_t count_match4(const uint8_t* p, const uint8_t* m,
+                            const uint8_t* limit) {
+    const uint8_t* s = p;
+    while (p + 8 <= limit) {
+        uint64_t x, y;
+        std::memcpy(&x, p, 8);
+        std::memcpy(&y, m, 8);
+        uint64_t d = x ^ y;
+        if (d) return (p - s) + (__builtin_ctzll(d) >> 3);
+        p += 8;
+        m += 8;
+    }
+    while (p < limit && *p == *m) { p++; m++; }
+    return p - s;
+}
+
+inline uint8_t* emit_literal(uint8_t* op, const uint8_t* lit, int64_t len,
+                             const uint8_t* wildEnd = nullptr) {
     while (len > 0) {
         int64_t n = len;  // snappy literals can be arbitrarily long
         int64_t l = n - 1;
@@ -82,7 +100,21 @@ inline uint8_t* emit_literal(uint8_t* op, const uint8_t* lit, int64_t len) {
             *op++ = (uint8_t)(l >> 16);
             *op++ = (uint8_t)(l >> 24);
         }
-        std::memcpy(op, lit, (size_t)n);
+        if (wildEnd && op + n + 16 <= wildEnd) {
+            // 16-byte wildcopy chunks (dstCap >= max_compressed_length is
+            // enforced at entry, so slack almost always exists)
+            uint8_t* o = op;
+            const uint8_t* q = lit;
+            int64_t r = n;
+            do {
+                std::memcpy(o, q, 16);
+                o += 16;
+                q += 16;
+                r -= 16;
+            } while (r > 0);
+        } else {
+            std::memcpy(op, lit, (size_t)n);
+        }
         op += n;
         lit += n;
         len -= n;
@@ -133,6 +165,7 @@ int64_t atpu_snappy_compress(const uint8_t* src, int64_t srcLen,
     const uint8_t* ip = src;
     const uint8_t* anchor = src;
     const uint8_t* iend = src + srcLen;
+    const uint8_t* const oend = dst + dstCap;
 
     if (srcLen >= 15) {
         uint16_t* table = (uint16_t*)std::calloc(kHashSize, sizeof(uint16_t));
@@ -141,6 +174,7 @@ int64_t atpu_snappy_compress(const uint8_t* src, int64_t srcLen,
         // keep entries 16-bit like classic snappy fragments
         const uint8_t* base = src;
         const uint8_t* mflimit = iend - 15;
+        int64_t skip = 32;
         ip++;
         while (ip < mflimit) {
             // rebase the window if we've moved 64KB past base
@@ -152,17 +186,18 @@ int64_t atpu_snappy_compress(const uint8_t* src, int64_t srcLen,
             const uint8_t* match = base + table[h];
             table[h] = (uint16_t)(ip - base);
             if (match < ip && read32(match) == read32(ip)) {
-                int64_t mlen = 4;
-                const uint8_t* mend = iend;
-                while (ip + mlen < mend && ip[mlen] == match[mlen]) mlen++;
-                op = emit_literal(op, anchor, ip - anchor);
+                int64_t mlen = 4 + count_match4(ip + 4, match + 4, iend);
+                op = emit_literal(op, anchor, ip - anchor, oend);
                 op = emit_copy(op, ip - match, mlen);
                 ip += mlen;
                 anchor = ip;
+                skip = 32;
                 if (ip < mflimit)
                     table[shash(read32(ip - 1))] = (uint16_t)(ip - 1 - base);
             } else {
-                ip++;
+                // miss-stride through incompressible spans (the upstream
+                // bytes_between_hash_lookups heuristic)
+                ip += (skip++) >> 5;
             }
         }
         std::free(table);
