@@ -413,9 +413,31 @@ def zstd_decompress(data: bytes, expected_size: Optional[int] = None,
     if expected_size is not None:
         cap = max(1, expected_size)
     else:
-        probe = lib.atpu_zstd_frame_content_size(_as_u8p(src), len(data))
-        cap = max(64, int(probe) * 2 + 64) if probe > 0 else \
-            max(64, 4 * len(data))
+        # Walk the frame chain summing declared content sizes: an exact
+        # capacity makes the decode zero-copy (no shrink) and kills the
+        # former 2x over-allocation. Any unknown-size frame falls back to
+        # the grow-and-retry heuristic.
+        total, off = 0, 0
+        while off < len(data):
+            view = src[off:]
+            fsz = lib.atpu_zstd_frame_compressed_size(_as_u8p(view),
+                                                      len(data) - off)
+            if fsz <= 0:
+                total = -1
+                break
+            csz = lib.atpu_zstd_frame_content_size(_as_u8p(view),
+                                                   len(data) - off)
+            if csz < 0:
+                total = -1
+                break
+            total += int(csz)
+            off += int(fsz)
+        if total >= 0 and off == len(data):
+            cap = max(1, total)
+        else:
+            probe = lib.atpu_zstd_frame_content_size(_as_u8p(src), len(data))
+            cap = max(64, int(probe) * 2 + 64) if probe > 0 else \
+                max(64, 4 * len(data))
     while True:
         ref, outp = _alloc_out(cap)
         n = lib.atpu_zstd_decompress(_as_u8p(src), len(data), outp,
