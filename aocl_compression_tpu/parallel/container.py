@@ -19,6 +19,12 @@ per-entry using the recorded {offset, length, decoded length} triplets.
 
 from __future__ import annotations
 
+import os
+
+# core count cannot change within a process; a per-call os.cpu_count()
+# syscall cost ~4 us on every compress (visible on sub-100 KiB inputs)
+_HOST_CORES = os.cpu_count() or 1
+
 from typing import Callable, List, Optional, Sequence, Tuple
 
 from ..runtime import native
@@ -62,8 +68,7 @@ def st_fallback(handle, device_opted: bool) -> bool:
         return False
     if handle.block_size:  # an explicit chunking request = container use
         return False
-    import os
-    return (os.cpu_count() or 1) == 1
+    return _HOST_CORES == 1
 
 
 def compress_rapped(data: bytes, block_size: int,
