@@ -669,18 +669,25 @@ static bool looks_repetitive(const u8* s, int n);
 // on ELF data). Returns origPtr >= 0, -1 on OOM, -2 on unresolved;
 // *needK receives an overshoot floor for escalation. k == n needs no
 // validation (exact).
+// C is the working symbol type: u8 when the block leaves a byte value
+// free (all text blocks — the +1 sentinel shift is absorbed by an
+// order-preserving remap into the hole), u16 otherwise. The narrow
+// alphabet halves the symbol-array traffic through SA-IS, the dominant
+// half of bzip2 encode. remap[v] maps source bytes to working symbols
+// (> 0; 0 is the sentinel); identity+1 for u16.
+template <typename C>
 static int bwt_overshoot_attempt(const u8* s, int n, int k, u8* L,
-                                 int* needK) {
+                                 int* needK, const C* remap) {
   int m = n + k + 1;
   const bool exact = (k >= n);
-  u16* x = (u16*)malloc(sizeof(u16) * (size_t)m);
+  C* x = (C*)malloc(sizeof(C) * (size_t)m);
   int* SA = (int*)malloc(sizeof(int) * (size_t)m);
   if (!x || !SA) {
     free(x); free(SA);
     return -1;
   }
-  for (int i = 0; i < n; i++) x[i] = (u16)(s[i] + 1);
-  for (int i = 0; i < k; i++) x[n + i] = (u16)(s[i] + 1);
+  for (int i = 0; i < n; i++) x[i] = remap[s[i]];
+  for (int i = 0; i < k; i++) x[n + i] = remap[s[i]];
   x[m - 1] = 0;
   int ret = -1;
   if (sais::run(x, SA, m, 256)) {
@@ -693,16 +700,20 @@ static int bwt_overshoot_attempt(const u8* s, int n, int k, u8* L,
       if (prev >= 0 && !exact) {
         int mx = j > prev ? j : prev;
         int shorter = n + k - mx;
-        const u16 *a = x + prev, *b = x + j;
+        const C *a = x + prev, *b = x + j;
+        const int perWord = (int)(8 / sizeof(C));
         int d = 0;
-        while (d + 4 <= shorter) {
+        while (d + perWord <= shorter) {
           u64 wa, wb;
           memcpy(&wa, a + d, 8);
           memcpy(&wb, b + d, 8);
-          if (wa != wb) { d += __builtin_ctzll(wa ^ wb) >> 4; break; }
-          d += 4;
+          if (wa != wb) {
+            d += __builtin_ctzll(wa ^ wb) >> (sizeof(C) == 2 ? 4 : 3);
+            break;
+          }
+          d += perWord;
         }
-        if (d + 4 > shorter)
+        if (d + perWord > shorter)
           while (d < shorter && a[d] == b[d]) d++;
         budget -= d;
         if (d >= shorter) {       // decided by $: unresolved
@@ -736,9 +747,29 @@ static int bwt_forward_sais(const u8* s, int n, u8* L) {
   // sort (the former s·s·$ doubling); in between, escalation jumps
   // directly to the tie depth the failed attempt measured.
   int k = (n <= 8192 || looks_repetitive(s, n)) ? n : 4096;
+  // u8 working alphabet when some byte value never occurs: remap
+  // v -> v+1 for v below the first hole, v -> v at/above it — order
+  // preserving, yields symbols in [1, 255] with 0 free for the sentinel
+  u16 remap16[256];
+  u8 remap8[256];
+  int hole = -1;
+  {
+    u32 seen[256] = {0};
+    for (int i = 0; i < n; i++) seen[s[i]] = 1;
+    for (int v = 0; v < 256; v++)
+      if (!seen[v]) { hole = v; break; }
+    if (hole >= 0) {
+      for (int v = 0; v < 256; v++)
+        remap8[v] = (u8)(v < hole ? v + 1 : v);
+    } else {
+      for (int v = 0; v < 256; v++) remap16[v] = (u16)(v + 1);
+    }
+  }
   for (;;) {
     int need = 0;
-    int r = bwt_overshoot_attempt(s, n, k, L, &need);
+    int r = hole >= 0
+        ? bwt_overshoot_attempt<u8>(s, n, k, L, &need, remap8)
+        : bwt_overshoot_attempt<u16>(s, n, k, L, &need, remap16);
     if (r != -2) return r;
     if (k >= n) return -1;  // cannot happen (k==n is exact); belt+braces
     // `need` is measured against TRUNCATED suffixes, so it can

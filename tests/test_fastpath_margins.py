@@ -202,3 +202,17 @@ def test_truncated_streams_rejected():
                 if out == data:
                     return
                 raise ValueError("short decode")
+
+
+def test_bz2_u8_alphabet_remap_paths():
+    # blocks with a free byte value ride the u8-alphabet SA-IS (order-
+    # preserving remap into the hole); full-alphabet blocks keep u16
+    rng = random.Random(99)
+    with_hole = bytes(rng.choice(range(1, 256)) for _ in range(200000))
+    full = bytes(rng.randrange(256) for _ in range(200000)) + bytes(range(256))
+    hole_mid = bytes(rng.choice([v for v in range(256) if v != 117])
+                     for _ in range(150000))
+    for payload in (with_hole, full, hole_mid):
+        c = native.bz2_compress(payload, 9)
+        assert bz2.decompress(c) == payload
+        assert native.bz2_decompress(c, len(payload)) == payload
