@@ -212,6 +212,37 @@ int64_t atpu_snappy_uncompressed_length(const uint8_t* src, int64_t srcLen) {
     return p ? (int64_t)n : -1;
 }
 
+
+// Per-tag decode metadata (the upstream char_table idea, own layout):
+// one lookup replaces the 4-way element-type branch and the per-type
+// length/offset extraction branches. Entry (u32):
+//   [0:8)   element length (0 = long literal, length bytes follow)
+//   [8:11)  extra input bytes after the tag (length bytes / offset bytes)
+//   [11]    literal flag
+//   [16:32) offset addend from the tag bits (1-byte-offset copies)
+struct SnTagTable {
+    uint32_t e[256];
+    SnTagTable() {
+        for (int t = 0; t < 256; t++) {
+            int type = t & 3;
+            if (type == 0) {
+                int l = t >> 2;
+                e[t] = l < 60 ? ((uint32_t)(l + 1) | (1u << 11))
+                              : (((uint32_t)(l - 59) << 8) | (1u << 11));
+            } else if (type == 1) {
+                e[t] = (uint32_t)(((t >> 2) & 7) + 4) | (1u << 8)
+                       | ((uint32_t)(t >> 5) << 16 << 8);
+            } else if (type == 2) {
+                e[t] = (uint32_t)((t >> 2) + 1) | (2u << 8);
+            } else {
+                e[t] = (uint32_t)((t >> 2) + 1) | (4u << 8);
+            }
+        }
+    }
+};
+static const uint32_t SN_MASK[5] = {0, 0xFFu, 0xFFFFu, 0xFFFFFFu,
+                                    0xFFFFFFFFu};
+
 int64_t atpu_snappy_uncompress(const uint8_t* src, int64_t srcLen,
                                uint8_t* dst, int64_t dstCap) {
     const uint8_t* iend = src + srcLen;
@@ -232,44 +263,32 @@ int64_t atpu_snappy_uncompress(const uint8_t* src, int64_t srcLen,
     const uint8_t* const inLimit = srcLen > 68 ? iend - 68 : src;
     uint8_t* const oendCap = dst + dstCap;
     uint8_t* const outLimit = dstCap > 80 ? oendCap - 80 : dst;
+    static const SnTagTable SNT;
     while (ip < inLimit && op < outLimit) {
         uint32_t tag = *ip++;
-        uint32_t type = tag & 3;
-        if (type == 0) {
-            int64_t len = (tag >> 2) + 1;
-            if (len <= 16) {
+        uint32_t e = SNT.e[tag];
+        uint32_t w = read32(ip);  // wild 4-byte read, inside the margin
+        uint32_t extra = (e >> 8) & 7;
+        int64_t len = e & 0xFF;
+        ip += extra;
+        if (e & (1u << 11)) {  // literal
+            if (len == 0) {    // long literal: length bytes were in w
+                len = (int64_t)(w & SN_MASK[extra]) + 1;
+                if (len > iend - ip || len > oend - op) return -1;
+                std::memcpy(op, ip, (size_t)len);
+            } else if (len <= 16) {
                 std::memcpy(op, ip, 16);
-            } else if (len <= 60) {
+            } else {
                 std::memcpy(op, ip, 16);
                 std::memcpy(op + 16, ip + 16, 16);
                 std::memcpy(op + 32, ip + 32, 16);
                 std::memcpy(op + 48, ip + 48, 16);
-            } else {  // 1-4 length bytes follow
-                int nb = (int)len - 60;
-                len = 0;
-                for (int i = 0; i < nb; i++) len |= (int64_t)ip[i] << (8 * i);
-                len += 1;
-                ip += nb;
-                if (len > iend - ip || len > oend - op) return -1;
-                std::memcpy(op, ip, (size_t)len);
             }
             ip += len;
             op += len;
             continue;
         }
-        int64_t len, offset;
-        if (type == 1) {
-            len = ((tag >> 2) & 7) + 4;
-            offset = ((int64_t)(tag >> 5) << 8) | *ip++;
-        } else if (type == 2) {
-            len = (tag >> 2) + 1;
-            offset = (int64_t)ip[0] | ((int64_t)ip[1] << 8);
-            ip += 2;
-        } else {
-            len = (tag >> 2) + 1;
-            offset = (int64_t)read32(ip);
-            ip += 4;
-        }
+        int64_t offset = (int64_t)(e >> 16) + (int64_t)(w & SN_MASK[extra]);
         // offset != 0 && offset <= op - dst, one unsigned compare
         if ((uint64_t)(offset - 1) >= (uint64_t)(op - dst)) return -1;
         const uint8_t* m = op - offset;
