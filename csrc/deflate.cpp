@@ -1451,11 +1451,13 @@ ATPU_EXPORT i64 atpu_inflate_stream_run(void* p, u8* dst, size_t cap,
   BitReader br(z->in + (z->bitpos >> 3), z->in + z->in_len);
   if (z->bitpos & 7) br.get((int)(z->bitpos & 7));  // skip partial byte
 
-  auto emit = [&](u8 b) {
-    dst[op++] = b;
-    z->win[z->total_out & 32767] = b;
-    z->total_out++;
-  };
+  // Ring-window maintenance is deferred: the loop writes dst only, and
+  // the last <=32K bytes fold into the ring ONCE per call (two memcpys)
+  // instead of a masked store per output byte. Matches whose source lies
+  // inside this call's dst copy with the same ladder as one-shot inflate;
+  // only the (rare) head reaching before this call reads the ring.
+  const u64 baseOut = z->total_out;
+  auto emit = [&](u8 b) { dst[op++] = b; };
   i64 result = -1000;  // sentinel: keep looping
   while (result == -1000) {
     BrSnap s = snap(br);
@@ -1499,7 +1501,8 @@ ATPU_EXPORT i64 atpu_inflate_stream_run(void* p, u8* dst, size_t cap,
       }
       case IST_HUFF: {
         for (;;) {
-          if (cap - op < 258) { result = (i64)op; break; }  // refill dst
+          // 258 max match + 16 wildcopy slack
+          if (cap - op < 274) { result = (i64)op; break; }  // refill dst
           BrSnap b2 = snap(br);
           int sy = decode_sym(br, z->lit);
           if (sy < 0) { restore(br, b2);
@@ -1520,9 +1523,44 @@ ATPU_EXPORT i64 atpu_inflate_stream_run(void* p, u8* dst, size_t cap,
           int d = DIST_BASE[dc] + (int)br.get(DIST_XBITS[dc]);
           if (br.fail) { restore(br, b2);
             result = final_in ? ERR_CORRUPT : (i64)op; break; }
-          if ((u64)d > z->total_out) { result = ERR_CORRUPT; break; }
-          for (int i = 0; i < len; i++)
-            emit(z->win[(z->total_out - (u64)d) & 32767]);
+          if ((u64)d > baseOut + (u64)op) { result = ERR_CORRUPT; break; }
+          if ((i64)(u64)d <= op) {
+            // source inside this call's output: wildcopy ladder
+            u8* o = dst + op;
+            const u8* q = o - d;
+            if (d >= 16) {
+              i64 nn = len;
+              do {
+                memcpy(o, q, 16);
+                o += 16;
+                q += 16;
+                nn -= 16;
+              } while (nn > 0);
+            } else if (d >= 8) {
+              u8* e2 = dst + op + len;
+              do {
+                memcpy(o, q, 8);
+                o += 8;
+                q += 8;
+              } while (o < e2);
+            } else {
+              for (int i = 0; i < len; i++) o[i] = q[i];
+            }
+            op += (size_t)len;
+          } else {
+            // head reaches before this call: bytes from the ring (state
+            // as of call entry), remainder continues inside dst
+            u64 start = baseOut + (u64)op - (u64)d;
+            i64 hw = (i64)((u64)d - (u64)op);
+            if (hw > len) hw = len;
+            for (i64 i = 0; i < hw; i++)
+              dst[op + (size_t)i] = z->win[(start + (u64)i) & 32767];
+            op += (size_t)hw;
+            for (i64 i = hw; i < len; i++) {
+              dst[op] = dst[op - (size_t)d];
+              op++;
+            }
+          }
         }
         break;
       }
@@ -1546,6 +1584,16 @@ ATPU_EXPORT i64 atpu_inflate_stream_run(void* p, u8* dst, size_t cap,
     }
   }
   if (result >= 0) {
+    // fold this call's tail into the ring window and advance total_out
+    if (op > 0) {
+      size_t n = op < 32768 ? op : 32768;
+      u64 startAbs = baseOut + (u64)op - n;
+      size_t r0 = (size_t)(startAbs & 32767);
+      size_t first = 32768 - r0 < n ? 32768 - r0 : n;
+      memcpy(z->win + r0, dst + op - n, first);
+      if (n - first) memcpy(z->win, dst + op - n + first, n - first);
+      z->total_out = baseOut + (u64)op;
+    }
     // running adler over everything emitted this call (unless the CHECK
     // state already folded it in)
     if (!z->raw && z->state != IST_DONE)
