@@ -126,6 +126,7 @@ def get_lib() -> ctypes.CDLL:
             ("atpu_inflate_stream_feed", _i64,
              [ctypes.c_void_p, _u8p, ctypes.c_size_t]),
             ("atpu_inflate_stream_pending", _i64, [ctypes.c_void_p]),
+            ("atpu_inflate_stream_tail", _i64, [ctypes.c_void_p]),
             ("atpu_inflate_stream_run", _i64,
              [ctypes.c_void_p, _u8p, ctypes.c_size_t, _i32,
               ctypes.POINTER(_i32)]),
@@ -760,6 +761,12 @@ class InflateStream:
     def pending_input(self) -> int:
         """Bytes of compressed input buffered (bounded-memory assert hook)."""
         return int(self._lib.atpu_inflate_stream_pending(self._ctx))
+
+    def tail_bytes(self) -> int:
+        """Unconsumed WHOLE input bytes (excludes a partially consumed
+        byte when the deflate stream ended mid-byte) — lets framing
+        layers locate the member trailer."""
+        return int(self._lib.atpu_inflate_stream_tail(self._ctx))
 
     def decode(self, data: bytes, final: bool = False) -> bytes:
         """Feed ``data`` and return whatever decodes now."""

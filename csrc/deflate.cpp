@@ -1438,6 +1438,15 @@ ATPU_EXPORT i64 atpu_inflate_stream_pending(void* p) {
   return z ? (i64)z->in_len : 0;
 }
 
+// Unconsumed WHOLE input bytes: like pending, but excludes a partially
+// consumed byte when the deflate stream ended mid-byte — what a framing
+// layer (gzip member trailer) needs to locate the next section.
+ATPU_EXPORT i64 atpu_inflate_stream_tail(void* p) {
+  InflateStream* z = (InflateStream*)p;
+  if (!z) return 0;
+  return (i64)z->in_len - ((z->bitpos & 7) ? 1 : 0);
+}
+
 // Decode as much as possible into dst (cap must be >= 64 KiB). final_in=1
 // once no more input will arrive. *done set when the stream is complete.
 // Returns bytes written or ERR_*; call again while it returns cap-limited

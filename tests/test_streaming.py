@@ -174,3 +174,64 @@ def test_stream_decode_corrupt_checksum_raises():
     with pytest.raises(ValueError):
         ds.write(bytes(bad))
         ds.finish()
+
+
+# --- gzip member streaming (round-3 continuation) ---------------------------
+
+def test_gzip_compress_stream_stock_decodable(corpus):
+    import gzip as _gz
+    from aocl_compression_tpu.streaming import CompressStream
+    data = corpus["text_300k"]
+    cs = CompressStream("gzip")
+    enc = cs.write(data[:99999]) + cs.write(data[99999:]) + cs.finish()
+    assert _gz.decompress(enc) == data
+
+
+def test_gzip_decompress_stream_stock_members(corpus):
+    import gzip as _gz
+    import io
+    import random
+    from aocl_compression_tpu.streaming import DecompressStream
+    data = corpus["text_300k"]
+    buf = io.BytesIO()
+    with _gz.GzipFile(fileobj=buf, mode="wb", filename="name.bin") as f:
+        f.write(data)
+    stream = buf.getvalue() + _gz.compress(data[:7777])  # two members
+    ds = DecompressStream("gzip")
+    out = b""
+    rng = random.Random(2)
+    i = 0
+    while i < len(stream):
+        step = rng.randrange(1, 5000)
+        out += ds.write(stream[i:i + step])
+        i += step
+    out += ds.finish()
+    assert out == data + data[:7777]
+
+
+def test_gzip_stream_roundtrip_empty_and_truncation():
+    import gzip as _gz
+    import pytest
+    from aocl_compression_tpu.streaming import (CompressStream,
+                                                DecompressStream)
+    e = CompressStream("gzip").finish()
+    assert _gz.decompress(e) == b""
+    ds = DecompressStream("gzip")
+    assert ds.write(e) + ds.finish() == b""
+    g = _gz.compress(b"payload" * 1000)
+    ds = DecompressStream("gzip")
+    ds.write(g[:len(g) // 2])
+    with pytest.raises(ValueError):
+        ds.finish()
+
+
+def test_gzip_stream_crc_mismatch_detected():
+    import gzip as _gz
+    import pytest
+    from aocl_compression_tpu.streaming import DecompressStream
+    g = bytearray(_gz.compress(b"hello world" * 500))
+    g[-6] ^= 0xFF  # corrupt CRC32 field
+    ds = DecompressStream("gzip")
+    with pytest.raises(ValueError):
+        ds.write(bytes(g))
+        ds.finish()
