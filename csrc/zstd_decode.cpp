@@ -363,8 +363,9 @@ static void fse_rle(FSEDec* t, u8 symbol) {
 static const int HUF_MAX_LOG = 11;
 
 struct HufDec {
-  u8 sym[1 << HUF_MAX_LOG];
-  u8 nb[1 << HUF_MAX_LOG];
+  // packed entries: symbol | (bits << 8) — one load per decoded symbol
+  // (split sym[]/nb[] arrays cost two)
+  u16 ent[1 << HUF_MAX_LOG];
   int log = -1;
 };
 
@@ -443,8 +444,8 @@ static int huf_read_table(HufDec* h, const u8* src, size_t srcSize) {
     for (int sy = 0; sy < nsym; sy++) {
       if (wts[sy] != w) continue;
       if (pos + span > (1 << tableLog)) return ERR_CORRUPT;
-      memset(h->sym + pos, sy, span);
-      memset(h->nb + pos, tableLog + 1 - w, span);
+      u16 e = (u16)sy | ((u16)(tableLog + 1 - w) << 8);
+      for (int q = 0; q < span; q++) h->ent[pos + q] = e;
       pos += span;
     }
   }
@@ -459,9 +460,9 @@ static int huf_decode_stream(const HufDec* h, const u8* src, size_t srcSize,
   if (!br.init(src, srcSize)) return ERR_CORRUPT;
   int log = h->log;
   for (size_t i = 0; i < outLen; i++) {
-    u32 idx = (u32)br.peek(log);
-    dst[i] = h->sym[idx];
-    br.skip(h->nb[idx]);
+    u16 e = h->ent[br.peek(log)];
+    dst[i] = (u8)e;
+    br.skip(e >> 8);
     if (br.pos < 0) return ERR_CORRUPT;
   }
   if (!br.finished()) return ERR_CORRUPT;
@@ -486,28 +487,27 @@ static int huf_decode_4streams(const HufDec* h, const u8* sp,
     p += ss[i];
   }
   int log = h->log;
-  const u8* const sym = h->sym;
-  const u8* const nb = h->nb;
+  const u16* const ent = h->ent;
   size_t n = lens[3];  // lens[0..2] == q >= lens[3]
   for (int i = 0; i < 3; i++) if (lens[i] < n) n = lens[i];
   size_t i = 0;
   for (; i < n; i++) {
-    u32 i0 = (u32)br[0].peek(log);
-    u32 i1 = (u32)br[1].peek(log);
-    u32 i2 = (u32)br[2].peek(log);
-    u32 i3 = (u32)br[3].peek(log);
-    out[0][i] = sym[i0]; br[0].skip(nb[i0]);
-    out[1][i] = sym[i1]; br[1].skip(nb[i1]);
-    out[2][i] = sym[i2]; br[2].skip(nb[i2]);
-    out[3][i] = sym[i3]; br[3].skip(nb[i3]);
+    u16 e0 = ent[br[0].peek(log)];
+    u16 e1 = ent[br[1].peek(log)];
+    u16 e2 = ent[br[2].peek(log)];
+    u16 e3 = ent[br[3].peek(log)];
+    out[0][i] = (u8)e0; br[0].skip(e0 >> 8);
+    out[1][i] = (u8)e1; br[1].skip(e1 >> 8);
+    out[2][i] = (u8)e2; br[2].skip(e2 >> 8);
+    out[3][i] = (u8)e3; br[3].skip(e3 >> 8);
   }
   if (br[0].pos < 0 || br[1].pos < 0 || br[2].pos < 0 || br[3].pos < 0)
     return ERR_CORRUPT;
   for (int k = 0; k < 4; k++) {
     for (size_t j = i; j < lens[k]; j++) {
-      u32 idx = (u32)br[k].peek(log);
-      out[k][j] = sym[idx];
-      br[k].skip(nb[idx]);
+      u16 e = ent[br[k].peek(log)];
+      out[k][j] = (u8)e;
+      br[k].skip(e >> 8);
       if (br[k].pos < 0) return ERR_CORRUPT;
     }
     if (!br[k].finished()) return ERR_CORRUPT;
@@ -1403,7 +1403,8 @@ ATPU_EXPORT i64 atpu_zstd_frame_plan(const u8* src, size_t srcSize,
         return ERR_CORRUPT;
       }
       for (int i = 0; i < (1 << HUF_MAX_LOG); i++)
-        hout[i] = (u16)(((u16)hufState.sym[i] << 4) | hufState.nb[i]);
+        hout[i] = (u16)(((u16)(hufState.ent[i] & 0xFF) << 4)
+                        | (hufState.ent[i] >> 8));
       m[PM_LITTYPE] = 2;
       m[PM_LITREGEN] = (i32)regen;
       m[PM_HUFLOG] = hufState.log;
