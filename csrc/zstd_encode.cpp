@@ -20,6 +20,7 @@
 #include <cstring>
 #include <cstdlib>
 #include <cstddef>
+#include <cmath>
 
 #define ATPU_EXPORT extern "C" __attribute__((visibility("default")))
 
@@ -37,6 +38,7 @@ static inline int highbit32(u32 v) { return 31 - __builtin_clz(v); }
 static inline void wr32le(u8* p, u32 v) { memcpy(p, &v, 4); }
 static inline void wr16le(u8* p, u16 v) { memcpy(p, &v, 2); }
 static inline u32 rd32le_(const u8* p) { u32 v; memcpy(&v, p, 4); return v; }
+static inline u64 rd64le_(const u8* p) { u64 v; memcpy(&v, p, 8); return v; }
 
 static const int BLOCK_MAX = 1 << 17;  // 128 KiB
 static const int MIN_MATCH = 3;
@@ -518,6 +520,48 @@ static int ml_code(u32 ml) {
 
 struct Seq { u32 ll, ml, ofv; };  // ofv = offset_value (repcodes 1-3, else off+3)
 
+// general repcode emission, mirroring the decoder's shifted semantics
+// (repIdx = ofv-1 + (ll==0)); history updates per repIdx match the
+// decoder exactly. Returns the offset_value for (dist, litRun).
+static inline u32 zofv_emit(u32 rep[3], u32 dist, size_t litRun) {
+  if (litRun > 0) {
+    if (dist == rep[0]) return 1;
+    if (dist == rep[1]) {
+      rep[1] = rep[0];
+      rep[0] = dist;
+      return 2;
+    }
+    if (dist == rep[2]) {
+      rep[2] = rep[1];
+      rep[1] = rep[0];
+      rep[0] = dist;
+      return 3;
+    }
+  } else {
+    if (dist == rep[1]) {
+      rep[1] = rep[0];
+      rep[0] = dist;
+      return 1;
+    }
+    if (dist == rep[2]) {
+      rep[2] = rep[1];
+      rep[1] = rep[0];
+      rep[0] = dist;
+      return 2;
+    }
+    if (dist + 1 == rep[0]) {
+      rep[2] = rep[1];
+      rep[1] = rep[0];
+      rep[0] = dist;
+      return 3;
+    }
+  }
+  rep[2] = rep[1];
+  rep[1] = rep[0];
+  rep[0] = dist;
+  return dist + 3;
+}
+
 // pick the cheapest mode for one code stream: 0 predefined, 1 RLE, 2 FSE
 struct TableChoice {
   int mode;
@@ -595,6 +639,13 @@ static inline u32 zhash6f(const u8* p) {
                >> (64 - ZFAST_BITS));
 }
 
+static inline u32 zhash8d(const u8* p) {  // 8-byte "long" hash (dfast):
+  // a hit confirms 8 matching bytes in one 64-bit compare
+  u64 v;
+  memcpy(&v, p, 8);
+  return (u32)((v * 0x9E3779B185EBCA87ULL) >> (64 - ZFAST_BITS));
+}
+
 static inline u32 zhash5(const u8* p) {  // 5-byte hash for the fast loop:
   // fewer false positives than 4 bytes, so the single probe usually hits
   // a real match (the reference's ZSTD_hash5 idea)
@@ -619,7 +670,15 @@ static int zmatch_len(const u8* a, const u8* b, const u8* limit) {
   return (int)(a - s);
 }
 
-struct LevelP { u32 window; int depth; int lazy; int nice; int clog; };
+// match-finder strategy per level (the reference's ZSTD_strategy axis):
+// fast = single-probe bucket table; dfast = two tables (8-byte long hash
+// + 5-byte short hash, no chain walking); chain = hash chains (+ lazy)
+enum { ZSTRAT_CHAIN = 0, ZSTRAT_FAST = 1, ZSTRAT_DFAST = 2 };
+// dstep: dfast interior-insertion stride inside matches (ratio/speed
+// trade measured on text+ELF: 4 -> -1.6% output, 2 -> -2.9%, vs ~15%
+// speed cost per halving); unused by the other strategies
+struct LevelP { u32 window; int depth; int lazy; int nice; int clog;
+                int strat; int dstep; };
 // level ladder in the spirit of ZSTD_defaultCParameters
 // (zstd_compress.c:7311-7405): window / chain depth / lazy steps
 static LevelP zparams(int level) {
@@ -630,29 +689,29 @@ static LevelP zparams(int level) {
   // DRAM at the mid levels; truncated chains alias rarely and find()
   // already breaks on a non-monotonic link.
   static const LevelP t[23] = {
-    {0, 0, 0, 0, 0},
-    {1u << 19, 4, 0, 16, 16},    // 1
-    {1u << 20, 6, 0, 24, 17},    // 2
-    {1u << 21, 8, 0, 32, 17},    // 3
-    {1u << 20, 12, 1, 32, 17},   // 4
-    {1u << 21, 16, 1, 48, 18},   // 5
-    {1u << 21, 24, 1, 64, 18},   // 6
-    {1u << 21, 32, 2, 96, 19},   // 7
-    {1u << 22, 48, 2, 128, 20},  // 8
-    {1u << 22, 64, 2, 128, 20},  // 9
-    {1u << 22, 96, 2, 160, 21},  // 10
-    {1u << 22, 128, 2, 192, 21}, // 11
-    {1u << 22, 192, 2, 224, 22}, // 12
-    {1u << 23, 256, 2, 256, 22}, // 13
-    {1u << 23, 384, 2, 273, 23}, // 14
-    {1u << 23, 512, 2, 273, 23}, // 15
-    {1u << 23, 768, 2, 273, 23}, // 16
-    {1u << 24, 1024, 2, 273, 24},// 17
-    {1u << 24, 1536, 2, 273, 24},// 18
-    {1u << 24, 2048, 2, 273, 24},// 19
-    {1u << 25, 3072, 2, 273, 24},// 20
-    {1u << 25, 4096, 2, 273, 24},// 21
-    {1u << 26, 6144, 2, 273, 24},// 22
+    {0, 0, 0, 0, 0, 0, 0},
+    {1u << 19, 4, 0, 16, 16, ZSTRAT_FAST, 0},  // 1
+    {1u << 20, 6, 0, 24, 17, ZSTRAT_DFAST, 4}, // 2
+    {1u << 21, 8, 0, 32, 17, ZSTRAT_DFAST, 2}, // 3
+    {1u << 20, 12, 1, 32, 17, ZSTRAT_CHAIN, 0},  // 4
+    {1u << 21, 16, 1, 48, 18, ZSTRAT_CHAIN, 0},  // 5
+    {1u << 21, 24, 1, 64, 18, ZSTRAT_CHAIN, 0},  // 6
+    {1u << 21, 32, 2, 96, 19, ZSTRAT_CHAIN, 0},  // 7
+    {1u << 22, 48, 2, 128, 20, ZSTRAT_CHAIN, 0}, // 8
+    {1u << 22, 64, 2, 128, 20, ZSTRAT_CHAIN, 0}, // 9
+    {1u << 22, 96, 2, 160, 21, ZSTRAT_CHAIN, 0}, // 10
+    {1u << 22, 128, 2, 192, 21, ZSTRAT_CHAIN, 0},// 11
+    {1u << 22, 192, 2, 224, 22, ZSTRAT_CHAIN, 0},// 12
+    {1u << 23, 256, 2, 256, 22, ZSTRAT_CHAIN, 0},// 13
+    {1u << 23, 384, 2, 273, 23, ZSTRAT_CHAIN, 0},// 14
+    {1u << 23, 512, 2, 273, 23, ZSTRAT_CHAIN, 0},// 15
+    {1u << 23, 768, 2, 273, 23, ZSTRAT_CHAIN, 0},// 16
+    {1u << 24, 1024, 2, 273, 24, ZSTRAT_CHAIN, 0},// 17
+    {1u << 24, 1536, 2, 273, 24, ZSTRAT_CHAIN, 0},// 18
+    {1u << 24, 2048, 2, 273, 24, ZSTRAT_CHAIN, 0},// 19
+    {1u << 25, 3072, 2, 273, 24, ZSTRAT_CHAIN, 0},// 20
+    {1u << 25, 4096, 2, 273, 24, ZSTRAT_CHAIN, 0},// 21
+    {1u << 26, 6144, 2, 273, 24, ZSTRAT_CHAIN, 0},// 22
   };
   return t[level];
 }
@@ -733,8 +792,14 @@ static i64 write_literals(const u8* lit, size_t n, u8* out, size_t cap) {
   if (n >= 32) {
     u32 freq[256] = {0};
     for (size_t i = 0; i < n; i++) freq[lit[i]]++;
+    // Shannon pre-reject: skip the table build + encode pass when even
+    // the entropy bound cannot beat raw (incompressible literal blocks
+    // paid a full doomed Huffman attempt per 128 KiB block)
+    double bits = 0.0;
+    for (int s = 0; s < 256; s++)
+      if (freq[s]) bits += (double)freq[s] * log2((double)n / freq[s]);
     HufEnc he;
-    if (he.build(freq)) {
+    if ((size_t)(bits / 8.0) + 64 < n && he.build(freq)) {
       u8 desc[300];
       int ds = he.write_desc(desc, sizeof(desc));
       if (ds > 0) {
@@ -1105,7 +1170,7 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
         return {0, 0};
       };
 
-      if (!lp.lazy && lp.depth <= 4 && pref == 0) {
+      if (lp.strat == ZSTRAT_FAST && pref == 0) {
         // Fast-level scan: single-entry 5-byte-hash table, rep-check
         // first, one probe per position with miss-stride acceleration,
         // backward match extension, two table refreshes per match —
@@ -1200,50 +1265,7 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
           size_t run2 = pos - anchor;
           memcpy(lits + nlit, base + anchor, run2);
           nlit += run2;
-          // general repcode emission, mirroring the decoder's shifted
-          // semantics (repIdx = ofv-1 + (ll==0)); history updates per
-          // repIdx match the decoder exactly
-          u32 ofv;
-          if (run2 > 0) {
-            if (dist == rep[0]) {
-              ofv = 1;
-            } else if (dist == rep[1]) {
-              ofv = 2;
-              rep[1] = rep[0];
-              rep[0] = dist;
-            } else if (dist == rep[2]) {
-              ofv = 3;
-              rep[2] = rep[1];
-              rep[1] = rep[0];
-              rep[0] = dist;
-            } else {
-              ofv = dist + 3;
-              rep[2] = rep[1];
-              rep[1] = rep[0];
-              rep[0] = dist;
-            }
-          } else {
-            if (dist == rep[1]) {
-              ofv = 1;
-              rep[1] = rep[0];
-              rep[0] = dist;
-            } else if (dist == rep[2]) {
-              ofv = 2;
-              rep[2] = rep[1];
-              rep[1] = rep[0];
-              rep[0] = dist;
-            } else if (dist + 1 == rep[0]) {
-              ofv = 3;
-              rep[2] = rep[1];
-              rep[1] = rep[0];
-              rep[0] = dist;
-            } else {
-              ofv = dist + 3;
-              rep[2] = rep[1];
-              rep[1] = rep[0];
-              rep[0] = dist;
-            }
-          }
+          u32 ofv = zofv_emit(rep, dist, run2);
           seqs[nseq].ll = (u32)run2;
           seqs[nseq].ml = (u32)len;
           seqs[nseq].ofv = ofv;
@@ -1257,6 +1279,141 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
           anchor = pos;
         }
         // trailing literals of this block
+        {
+          size_t tl = blockEnd - anchor;
+          memcpy(lits + nlit, base + anchor, tl);
+          nlit += tl;
+          run = (u32)tl;
+          pos = blockEnd;
+        }
+      } else if (lp.strat == ZSTRAT_DFAST && pref == 0) {
+        // Double-fast scan — the reference's ZSTD_dfast strategy shape
+        // (algos/zstd/lib/compress/zstd_double_fast.c), own code: two
+        // tables, an 8-byte "long" hash whose hit confirms 8 matching
+        // bytes in one compare and a 5-byte "short" hash whose hits get
+        // one chance to upgrade to a long match one byte ahead. No chain
+        // walking: at most three probes per position, so the mid levels
+        // run at fast-loop speed while the long-hash confirms keep the
+        // ratio near the chain matcher's.
+        int32_t* tabL = mf.head;                     // 1<<ZFAST_BITS slots
+        int32_t* tabS = mf.head + (1 << ZFAST_BITS); // 1<<ZFAST_BITS slots
+        size_t anchor = pos;
+        while (pos < blockEnd) {
+          if (pos + 8 > total || pos + 4 > blockEnd) break;
+          const u8* limit = base + (blockEnd - pos > 65538
+                                    ? pos + 65538 : blockEnd);
+          int len = 0;
+          u32 dist = 0;
+          bool isRep = false;
+          if (pos == anchor) {
+            // boundary rep probes, same shifted-repcode shape as the
+            // fast loop: rep0 one literal ahead, then rep1 here
+            if ((size_t)rep[0] <= pos + 1 &&
+                pos + 1 + 8 <= total && pos + 1 + 4 <= blockEnd &&
+                rd32le_(base + pos + 1)
+                    == rd32le_(base + pos + 1 - rep[0])) {
+              tabL[zhash8d(base + pos)] = (int32_t)pos;
+              tabS[zhash5(base + pos)] = (int32_t)pos;
+              pos++;
+              continue;
+            }
+            if ((size_t)rep[1] <= pos && rep[1] != 0 &&
+                rd32le_(base + pos) == rd32le_(base + pos - rep[1])) {
+              len = 4 + zmatch_len(base + pos + 4, base + pos - rep[1] + 4,
+                                   limit);
+              dist = rep[1];
+              isRep = true;
+            }
+          }
+          if (!len && pos > anchor && (size_t)rep[0] <= pos &&
+              rd32le_(base + pos) == rd32le_(base + pos - rep[0])) {
+            len = 4 + zmatch_len(base + pos + 4, base + pos - rep[0] + 4,
+                                 limit);
+            dist = rep[0];
+            isRep = true;
+          } else if (!len) {
+            u32 hl = zhash8d(base + pos);
+            u32 hs = zhash5(base + pos);
+            int32_t cl = tabL[hl];
+            int32_t cs = tabS[hs];
+            tabL[hl] = (int32_t)pos;
+            tabS[hs] = (int32_t)pos;
+            if (cl >= 0 && pos - (size_t)cl <= lp.window &&
+                rd64le_(base + (size_t)cl) == rd64le_(base + pos)) {
+              len = 8 + zmatch_len(base + pos + 8, base + (size_t)cl + 8,
+                                   limit);
+              // the 8-byte confirm may cross blockEnd (the loop only
+              // guarantees pos+4 <= blockEnd); clamp to the block
+              int maxl = (int)(limit - (base + pos));
+              if (len > maxl) len = maxl;
+              dist = (u32)(pos - (size_t)cl);
+            } else if (cs >= 0 && pos - (size_t)cs <= lp.window &&
+                       rd32le_(base + (size_t)cs) == rd32le_(base + pos)) {
+              len = 4 + zmatch_len(base + pos + 4, base + (size_t)cs + 4,
+                                   limit);
+              dist = (u32)(pos - (size_t)cs);
+              // short hit: one shot at a longer long-hash match one byte
+              // ahead (the dfast upgrade probe)
+              if (pos + 1 + 8 <= total && pos + 1 + 4 <= blockEnd) {
+                u32 hl1 = zhash8d(base + pos + 1);
+                int32_t cl1 = tabL[hl1];
+                tabL[hl1] = (int32_t)(pos + 1);
+                if (cl1 >= 0 && pos + 1 - (size_t)cl1 <= lp.window &&
+                    rd64le_(base + (size_t)cl1) == rd64le_(base + pos + 1)) {
+                  int l1 = 8 + zmatch_len(base + pos + 1 + 8,
+                                          base + (size_t)cl1 + 8, limit);
+                  int maxl1 = (int)(limit - (base + pos + 1));
+                  if (l1 > maxl1) l1 = maxl1;
+                  if (l1 > len) {
+                    pos++;
+                    len = l1;
+                    dist = (u32)(pos - (size_t)cl1);
+                  }
+                }
+              }
+            }
+          }
+          if (!len) {
+            pos += 1 + ((pos - anchor) >> 7);
+            continue;
+          }
+          // extend backward over pending literals (rep0 emission needs
+          // ll >= 1 — offset_value 1 with ll == 0 means rep1)
+          size_t floorPos = isRep ? anchor + 1 : anchor;
+          while (pos > floorPos && (size_t)dist < pos &&
+                 base[pos - 1] == base[pos - 1 - dist]) {
+            pos--;
+            len++;
+          }
+          size_t run2 = pos - anchor;
+          memcpy(lits + nlit, base + anchor, run2);
+          nlit += run2;
+          u32 ofv = zofv_emit(rep, dist, run2);
+          seqs[nseq].ll = (u32)run2;
+          seqs[nseq].ml = (u32)len;
+          seqs[nseq].ofv = ofv;
+          nseq++;
+          size_t endp = pos + (size_t)len;
+          if (pos + 1 + 8 <= total) {
+            tabL[zhash8d(base + pos + 1)] = (int32_t)(pos + 1);
+            tabS[zhash5(base + pos + 1)] = (int32_t)(pos + 1);
+          }
+          for (size_t q = pos + 2; q + 8 <= total && q < endp;
+               q += (size_t)lp.dstep) {
+            tabL[zhash8d(base + q)] = (int32_t)q;
+            tabS[zhash5(base + q)] = (int32_t)q;
+          }
+          if (endp >= 2 && endp - 2 > pos + 2 && endp - 2 + 8 <= total) {
+            tabL[zhash8d(base + endp - 2)] = (int32_t)(endp - 2);
+            tabS[zhash5(base + endp - 2)] = (int32_t)(endp - 2);
+          }
+          if (endp >= 1 && endp - 1 > pos + 2 && endp - 1 + 8 <= total) {
+            tabL[zhash8d(base + endp - 1)] = (int32_t)(endp - 1);
+            tabS[zhash5(base + endp - 1)] = (int32_t)(endp - 1);
+          }
+          pos = endp;
+          anchor = pos;
+        }
         {
           size_t tl = blockEnd - anchor;
           memcpy(lits + nlit, base + anchor, tl);
@@ -1332,7 +1489,10 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
       }
       int last = blockEnd == total ? 1 : 0;
       size_t content = ok ? (size_t)(litSz + seqSz) : (size_t)-1;
-      if (ok && content < blockRaw && nseq > 0) {
+      // nseq == 0 is a legal compressed block (literals section + a
+      // single 0x00 sequence count): literal-only blocks still get
+      // Huffman gains (skewed-literal payloads went raw before this)
+      if (ok && content < blockRaw) {
         if (op + 3 + content > dstCap) { result = ERR_DST_SMALL; goto done; }
         u32 bh = ((u32)content << 3) | (2u << 1) | (u32)last;
         dst[op++] = (u8)bh;
