@@ -788,6 +788,7 @@ static int bwt_forward_sais(const u8* s, int n, u8* L) {
 static bool looks_repetitive(const u8* s, int n) {
   if (n < (1 << 15)) return false;
   const int W = 2048;
+  int votes = 0;
   for (int w = 0; w < 3; w++) {
     size_t start = (size_t)(n - W - 8) * (2 * w + 1) / 6;
     u32 seen[512];
@@ -801,9 +802,12 @@ static bool looks_repetitive(const u8* s, int n) {
       if (seen[slot] == h) dup++;
       else seen[slot] = h;
     }
-    if (dup > W / 2) return true;
+    votes += dup > W / 2;
   }
-  return false;
+  // 2-of-3: one locally periodic window (ELF zero padding, embedded
+  // tables) must not condemn the whole block to the 2x-cost exact sort —
+  // the escalation ladder handles localized ties far cheaper
+  return votes >= 2;
 }
 
 // dispatcher: SA-IS is the main sort (linear, no pathological inputs);
