@@ -129,3 +129,43 @@ def test_train_dictionary_keeps_highest_scoring_fragments():
     d = train_dictionary(samples, dict_size=1024)
     assert len(d) <= 1024
     assert hot in d[-256:], "hottest fragment must sit near the tail"
+
+
+def test_dfast_block_boundary_no_crossing_match():
+    """The dfast long-hash confirm is 8 bytes but the scan loop only
+    guarantees pos+4 <= blockEnd: an unclamped long match at the 128 KiB
+    block boundary re-encoded the next block's first bytes (found as a
+    corrupt stream at exactly 2*BLOCK_MAX+1 input)."""
+    base = open("/root/reference/algos/zstd/lib/compress/zstd_compress.c",
+                "rb").read()
+    d = zstandard.ZstdDecompressor()
+    for level in (2, 3):
+        for n in (262143, 262144, 262145, 262152, 393217):
+            p = (base * 2)[:n]
+            c = native.zstd_compress(p, level)
+            assert native.zstd_decompress(c, len(p)) == p, (level, n)
+            assert d.decompress(c, max_output_size=len(p)) == p, (level, n)
+
+
+def test_literal_only_blocks_get_huffman():
+    """nseq == 0 is a legal compressed block (literals section + 0x00
+    sequence count); skewed match-free literals must not be stored raw."""
+    import random as _r
+    rng = _r.Random(11)
+    w = [i for i in range(64) for _ in range(64 - i)]
+    p = bytes(rng.choice(w) for _ in range(1 << 18))
+    for level in (1, 3):
+        c = native.zstd_compress(p, level)
+        assert len(c) < len(p) * 0.85, (level, len(c))
+        assert native.zstd_decompress(c, len(p)) == p
+        assert zstandard.ZstdDecompressor().decompress(
+            c, max_output_size=len(p)) == p
+
+
+def test_ratio_beats_stock_l2_point():
+    """L2 is the speed-leaning dfast point; it must still beat stock L2's
+    output size on text."""
+    p = _payloads()["text"]
+    own = len(native.zstd_compress(p, 2))
+    stock = len(zstandard.ZstdCompressor(level=2).compress(p))
+    assert own <= stock, (own, stock)
