@@ -76,11 +76,32 @@ def _host_metrics(data: bytes) -> dict:
         lambda: native.snappy_compress(data))
     _, out["snappy_host_decode_MBps"] = best(
         lambda: native.snappy_uncompress(c))
+    c, out["zstd_host_encode_l1_MBps"] = best(
+        lambda: native.zstd_compress(data, 1))
+    out["zstd_host_ratio_l1"] = round(len(data) / len(c), 3)
+    c, out["zstd_host_encode_l2_MBps"] = best(
+        lambda: native.zstd_compress(data, 2))
+    out["zstd_host_ratio_l2"] = round(len(data) / len(c), 3)
     c, out["zstd_host_encode_l3_MBps"] = best(
         lambda: native.zstd_compress(data, 3))
     _, out["zstd_host_decode_MBps"] = best(
         lambda: native.zstd_decompress(c, len(data)))
     out["zstd_host_ratio_l3"] = round(len(data) / len(c), 3)
+    c, out["lz4hc_host_encode_l9_MBps"] = best(
+        lambda: native.lz4hc_compress(data, 9))
+    out["lz4hc_host_ratio_l9"] = round(len(data) / len(c), 3)
+    sample = data[: 2 << 20]
+    smb = len(sample) / 1e6
+    c, spd = best(lambda: native.bz2_compress(sample, 9))
+    out["bzip2_host_encode_l9_MBps"] = spd * smb / mb
+    _, spd = best(lambda: native.bz2_decompress(c, len(sample)))
+    out["bzip2_host_decode_MBps"] = spd * smb / mb
+    out["bzip2_host_ratio_l9"] = round(len(sample) / len(c), 3)
+    c, spd = best(lambda: native.lzma_compress(sample, 6))
+    out["lzma_host_encode_l6_MBps"] = spd * smb / mb
+    _, spd = best(lambda: native.lzma_decompress(c, len(sample)))
+    out["lzma_host_decode_MBps"] = spd * smb / mb
+    out["lzma_host_ratio_l6"] = round(len(sample) / len(c), 3)
     c, out["deflate_host_encode_l6_MBps"] = best(
         lambda: native.deflate(data, 6, native.DEFLATE_ZLIB))
     _, out["inflate_host_decode_MBps"] = best(
