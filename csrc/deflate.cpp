@@ -1474,7 +1474,7 @@ ATPU_EXPORT i64 atpu_inflate_stream_run(void* p, u8* dst, size_t cap,
       case IST_ZHDR: {
         u32 h0 = br.get(8), h1 = br.get(8);
         if (br.fail) { restore(br, s);
-          result = final_in ? ERR_CORRUPT : (i64)op; break; }
+          result = final_in ? (i64)ERR_CORRUPT : (i64)op; break; }
         if ((h0 & 0x0F) != 8 || ((h0 << 8 | h1) % 31) != 0 || (h1 & 0x20)) {
           result = ERR_CORRUPT; break; }
         z->state = IST_BLOCK;
@@ -1499,7 +1499,7 @@ ATPU_EXPORT i64 atpu_inflate_stream_run(void* p, u8* dst, size_t cap,
           BrSnap b2 = snap(br);
           u32 b = br.get(8);
           if (br.fail) { restore(br, b2);
-            result = final_in ? ERR_CORRUPT : (i64)op; break; }
+            result = final_in ? (i64)ERR_CORRUPT : (i64)op; break; }
           emit((u8)b);
           z->stored_left--;
         }
@@ -1515,7 +1515,7 @@ ATPU_EXPORT i64 atpu_inflate_stream_run(void* p, u8* dst, size_t cap,
           BrSnap b2 = snap(br);
           int sy = decode_sym(br, z->lit);
           if (sy < 0) { restore(br, b2);
-            result = final_in ? ERR_CORRUPT : (i64)op; break; }
+            result = final_in ? (i64)ERR_CORRUPT : (i64)op; break; }
           if (sy < 256) { emit((u8)sy); continue; }
           if (sy == 256) {
             z->state = z->final_block ? IST_CHECK : IST_BLOCK;
@@ -1527,13 +1527,13 @@ ATPU_EXPORT i64 atpu_inflate_stream_run(void* p, u8* dst, size_t cap,
           int len = LEN_BASE[c] + (int)br.get(LEN_XBITS[c]);
           int dc = decode_sym(br, z->dist);
           if (dc < 0) { restore(br, b2);
-            result = final_in ? ERR_CORRUPT : (i64)op; break; }
+            result = final_in ? (i64)ERR_CORRUPT : (i64)op; break; }
           if (dc >= 30) { result = ERR_CORRUPT; break; }
           int d = DIST_BASE[dc] + (int)br.get(DIST_XBITS[dc]);
           if (br.fail) { restore(br, b2);
-            result = final_in ? ERR_CORRUPT : (i64)op; break; }
+            result = final_in ? (i64)ERR_CORRUPT : (i64)op; break; }
           if ((u64)d > baseOut + (u64)op) { result = ERR_CORRUPT; break; }
-          if ((i64)(u64)d <= op) {
+          if ((u64)d <= (u64)op) {
             // source inside this call's output: wildcopy ladder
             u8* o = dst + op;
             const u8* q = o - d;
@@ -1578,7 +1578,7 @@ ATPU_EXPORT i64 atpu_inflate_stream_run(void* p, u8* dst, size_t cap,
         br.align();
         u32 a3 = br.get(8), a2 = br.get(8), a1 = br.get(8), a0 = br.get(8);
         if (br.fail) { restore(br, s);
-          result = final_in ? ERR_CORRUPT : (i64)op; break; }
+          result = final_in ? (i64)ERR_CORRUPT : (i64)op; break; }
         u32 want = (a3 << 24) | (a2 << 16) | (a1 << 8) | a0;
         u32 got = adler32(dst, op, z->adler);  // fold the tail below too
         z->adler = got;

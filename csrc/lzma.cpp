@@ -145,14 +145,6 @@ struct RDec {
   }
 };
 
-static int dec_len(RDec& rd, LenProbs& lp2, int posState) {
-  if (!rd.bit(&lp2.choice))
-    return MATCH_LEN_MIN + (int)rd.tree(lp2.low[posState], 3);
-  if (!rd.bit(&lp2.choice2))
-    return MATCH_LEN_MIN + 8 + (int)rd.tree(lp2.mid[posState], 3);
-  return MATCH_LEN_MIN + 16 + (int)rd.tree(lp2.high, 8);
-}
-
 // ---------------------------------------------------------------------------
 // range encoder
 // ---------------------------------------------------------------------------
