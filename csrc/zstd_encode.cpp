@@ -1421,9 +1421,20 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
           run = (u32)tl;
           pos = blockEnd;
         }
-      } else
+      } else {
+      // deferred-lookahead cache: when lazy evaluation defers to pos+1,
+      // the next iteration reuses that search instead of re-walking the
+      // chain (every deferral cost two full finds at the same position)
+      size_t cachePos = (size_t)-1;
+      EvalResult cacheEv{0, 0};
       while (pos < blockEnd) {
-        EvalResult ev = evaluate(pos, true);
+        EvalResult ev;
+        if (pos == cachePos) {
+          ev = cacheEv;
+          if (pos + 4 <= total) mf.insert(base, pos);
+        } else {
+          ev = evaluate(pos, true);
+        }
         if (ev.len < 3) {
           lits[nlit++] = base[pos++];
           run++;
@@ -1442,6 +1453,8 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
         if (lp.lazy && ev.len < lp.nice && pos + 1 < blockEnd) {
           EvalResult ev2 = evaluate(pos + 1, false);
           if (ev2.len > ev.len + (lp.lazy >= 2 ? 0 : 1)) {
+            cachePos = pos + 1;
+            cacheEv = ev2;
             lits[nlit++] = base[pos++];
             run++;
             continue;
@@ -1473,6 +1486,7 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
         if (istep > 1 && endp >= 2 && endp - 2 > pos && endp + 2 <= total)
           mf.insert(base, endp - 2);
         pos = endp;
+      }
       }
 
       // ---- write the block ----
