@@ -21,6 +21,7 @@
 #include <cstdlib>
 #include <cstddef>
 #include <cmath>
+#include <emmintrin.h>
 
 #define ATPU_EXPORT extern "C" __attribute__((visibility("default")))
 
@@ -673,14 +674,114 @@ static int zmatch_len(const u8* a, const u8* b, const u8* limit) {
 // match-finder strategy per level (the reference's ZSTD_strategy axis):
 // fast = single-probe bucket table; dfast = two tables (8-byte long hash
 // + 5-byte short hash, no chain walking); chain = hash chains (+ lazy)
-enum { ZSTRAT_CHAIN = 0, ZSTRAT_FAST = 1, ZSTRAT_DFAST = 2 };
+enum { ZSTRAT_CHAIN = 0, ZSTRAT_FAST = 1, ZSTRAT_DFAST = 2,
+       ZSTRAT_ROW = 3 };
 // dstep: dfast interior-insertion stride inside matches (ratio/speed
 // trade measured on text+ELF: 4 -> -1.6% output, 2 -> -2.9%, vs ~15%
 // speed cost per halving); unused by the other strategies
 struct LevelP { u32 window; int depth; int lazy; int nice; int clog;
                 int strat; int dstep; };
+// Row-hash match finder for the lazy mid levels — the same axis the
+// reference invests in (AOCL_ZSTD_compressBlock_{greedy,lazy,lazy2}_row,
+// algos/zstd/lib/compress/zstd_compress.c:3119-3144), own design: a row
+// of 16 one-byte tags per hash bucket, probed with ONE SIMD compare, so
+// a "chain walk" is a movemask loop over at most 16 in-cache candidates
+// instead of a pointer chase through a window-sized prev ring.
+static const int ZROW_BITS = 15;  // 32K rows
+struct RowMF {
+  u8* tags;       // [nrows][entries], 16-byte-aligned (SSE loads)
+  int32_t* posr;  // [nrows][entries]
+  u8* heads;      // [nrows] circular insert cursor
+  u32 window;
+  u32 entries;    // 16/32/64 per level — the depth analog
+  u32 emask;
+
+  bool alloc(u32 win, u32 nent) {
+    window = win;
+    entries = nent;
+    emask = nent - 1;
+    size_t nrows = (size_t)1 << ZROW_BITS;
+    tags = (u8*)aligned_alloc(16, nrows * nent);
+    posr = (int32_t*)malloc(sizeof(int32_t) * nrows * nent);
+    heads = (u8*)calloc(nrows, 1);
+    if (!tags || !posr || !heads) return false;
+    memset(tags, 0, nrows * nent);
+    // position slots start at -1 so stale tag hits validate out
+    for (size_t i = 0; i < nrows * nent; i++) posr[i] = -1;
+    return true;
+  }
+  void release() { free(tags); free(posr); free(heads); }
+
+  static inline u64 rhash(const u8* p) {
+    u64 v;
+    memcpy(&v, p, 8);
+    return (v & 0xFFFFFFFFFFFFULL) * 227718039650203ULL;
+  }
+  inline void insert(const u8* base, size_t pos) {
+    u64 h = rhash(base + pos);
+    u32 row = (u32)(h >> (64 - ZROW_BITS));
+    u8 tag = (u8)(h >> (64 - ZROW_BITS - 8));
+    u32 slot = (u32)(heads[row] = (u8)((heads[row] + 1) & emask));
+    tags[row * entries + slot] = tag;
+    posr[row * entries + slot] = (int32_t)pos;
+  }
+  int find(const u8* base, size_t pos, size_t n, int depth, int nice,
+           u32* distOut) {
+    const u8* limit = base + n;
+    const u8* scan = base + pos;
+    u64 h = rhash(base + pos);
+    u32 row = (u32)(h >> (64 - ZROW_BITS));
+    u8 tag = (u8)(h >> (64 - ZROW_BITS - 8));
+    const u8* trow = tags + (size_t)row * entries;
+    const int32_t* prow = posr + (size_t)row * entries;
+    __m128i tv = _mm_set1_epi8((char)tag);
+    u64 mask = 0;
+    for (u32 b = 0; b < entries; b += 16) {
+      __m128i rv = _mm_load_si128((const __m128i*)(trow + b));
+      mask |= (u64)(u32)_mm_movemask_epi8(_mm_cmpeq_epi8(rv, tv)) << b;
+    }
+    int best = 0;
+    u32 bestd = 0;
+    // newest-first: walk slots backward from the insert cursor so the
+    // nice-length cutoff lands on the closest (cheapest) offset
+    u32 head = heads[row];
+    u64 rot = (entries == 64 && head == 63)
+                  ? mask
+                  : ((mask >> (head + 1)) | (mask << (entries - head - 1)));
+    if (entries < 64) rot &= ((u64)1 << entries) - 1;
+    while (rot && depth > 0) {
+      int rb = 63 - __builtin_clzll(rot);  // highest bit = most recent
+      rot &= ~((u64)1 << rb);
+      u32 slot = (u32)(rb + head + 1) & emask;
+      int32_t cand = prow[slot];
+      if (cand < 0) continue;
+      size_t c = (size_t)cand;
+      if (c >= pos || pos - c > window) continue;
+      depth--;
+      const u8* mp = base + c;
+      if (best >= 2 && scan + best < limit) {
+        u16 se, me;
+        memcpy(&se, scan + best - 1, 2);
+        memcpy(&me, mp + best - 1, 2);
+        if (se != me) continue;
+      }
+      int l = zmatch_len(scan, mp, limit);
+      if (l > best || (l == best && (u32)(pos - c) < bestd)) {
+        best = l;
+        bestd = (u32)(pos - c);
+        if (l >= nice) break;
+      }
+    }
+    *distOut = bestd;
+    return best;
+  }
+};
+
 // level ladder in the spirit of ZSTD_defaultCParameters
-// (zstd_compress.c:7311-7405): window / chain depth / lazy steps
+// (zstd_compress.c:7311-7405): window / depth / lazy steps / strategy.
+// Strategy axis mirrors the reference's: fast (L1), dfast (L2-3),
+// row-lazy (L5-12: SIMD tag rows + 4-byte assist, the
+// AOCL_ZSTD_compressBlock_*_row analog), hash chains (L4, L13+)
 static LevelP zparams(int level) {
   if (level < 1) level = 1;
   if (level > 22) level = 22;
@@ -693,15 +794,15 @@ static LevelP zparams(int level) {
     {1u << 19, 4, 0, 16, 16, ZSTRAT_FAST, 0},  // 1
     {1u << 20, 6, 0, 24, 17, ZSTRAT_DFAST, 4}, // 2
     {1u << 21, 8, 0, 32, 17, ZSTRAT_DFAST, 2}, // 3
-    {1u << 20, 12, 1, 32, 17, ZSTRAT_CHAIN, 0},  // 4
-    {1u << 21, 16, 1, 48, 18, ZSTRAT_CHAIN, 0},  // 5
-    {1u << 21, 24, 1, 64, 18, ZSTRAT_CHAIN, 0},  // 6
-    {1u << 21, 32, 2, 96, 19, ZSTRAT_CHAIN, 0},  // 7
-    {1u << 22, 48, 2, 128, 20, ZSTRAT_CHAIN, 0}, // 8
-    {1u << 22, 64, 2, 128, 20, ZSTRAT_CHAIN, 0}, // 9
-    {1u << 22, 96, 2, 160, 21, ZSTRAT_CHAIN, 0}, // 10
-    {1u << 22, 128, 2, 192, 21, ZSTRAT_CHAIN, 0},// 11
-    {1u << 22, 192, 2, 224, 22, ZSTRAT_CHAIN, 0},// 12
+    {1u << 20, 12, 1, 32, 17, ZSTRAT_ROW, 0},  // 4
+    {1u << 21, 16, 1, 48, 18, ZSTRAT_ROW, 0},  // 5
+    {1u << 21, 24, 1, 64, 18, ZSTRAT_ROW, 0},  // 6
+    {1u << 21, 32, 2, 96, 19, ZSTRAT_ROW, 0},  // 7
+    {1u << 22, 48, 2, 128, 20, ZSTRAT_ROW, 0}, // 8
+    {1u << 22, 64, 2, 128, 20, ZSTRAT_ROW, 0}, // 9
+    {1u << 22, 96, 2, 160, 21, ZSTRAT_ROW, 0}, // 10
+    {1u << 22, 128, 2, 192, 21, ZSTRAT_ROW, 0},// 11
+    {1u << 22, 192, 2, 224, 22, ZSTRAT_ROW, 0},// 12
     {1u << 23, 256, 2, 256, 22, ZSTRAT_CHAIN, 0},// 13
     {1u << 23, 384, 2, 273, 23, ZSTRAT_CHAIN, 0},// 14
     {1u << 23, 512, 2, 273, 23, ZSTRAT_CHAIN, 0},// 15
@@ -1125,7 +1226,20 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
   u8* lits = nullptr;
   u8* scratch = nullptr;
   i64 result = ERR_CORRUPT;
-  if (!mf.alloc(lp.window, lp.clog)) { free(buf); return ERR_CORRUPT; }
+  RowMF rmf{};
+  bool useRow = lp.strat == ZSTRAT_ROW;
+  if (!mf.alloc(lp.window, useRow ? 4 : lp.clog)) {
+    free(buf);
+    return ERR_CORRUPT;
+  }
+  // row width = the depth analog: 16 at L5-6, 32 at L7-8, 64 at L9+
+  u32 rowEnt = lp.depth <= 24 ? 16 : (lp.depth <= 48 ? 32 : 64);
+  if (useRow && !rmf.alloc(lp.window, rowEnt)) {
+    mf.release();
+  if (useRow) rmf.release();
+    free(buf);
+    return ERR_CORRUPT;
+  }
   // fast loop's interleaved 2-entry buckets live in mf.head (HEAD_SLOTS
   // covers 2 << ZFAST_BITS), which alloc() already clears — mf.prev is
   // untouched at the fast levels (no extra clear per call)
@@ -1133,8 +1247,11 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
   lits = (u8*)malloc(BLOCK_MAX + 64);
   scratch = (u8*)malloc(BLOCK_MAX + (BLOCK_MAX >> 2) + 4096);
   if (!seqs || !lits || !scratch) goto done;
-  if (lp.lazy) {
-    for (size_t i = 0; i + 4 <= pref; i++) mf.insert(base, i);
+  if (useRow) {
+    for (size_t i = 0; i + 8 <= pref; i++) {
+      rmf.insert(base, i);
+      mf.head[zhash(base + i)] = (int32_t)i;
+    }
   } else {
     for (size_t i = 0; i + 4 <= pref; i++) mf.insert(base, i);
   }
@@ -1159,9 +1276,32 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
         u32 nd = 0;
         int nl = 0;
         if (p + 4 <= total) {
-          nl = mf.find(base, p, (size_t)(limit - base), lp.depth, lp.nice,
-                       &nd);
-          if (insert) mf.insert(base, p);
+          if (useRow && p + 8 <= total) {
+            nl = rmf.find(base, p, (size_t)(limit - base), lp.depth,
+                          lp.nice, &nd);
+            // 4-byte single-entry assist (mf.head is idle at row levels):
+            // the 6-byte row hash cannot see len-4/5 matches, which cost
+            // 3-4% ratio on ELF-class data
+            int32_t c4 = nl < 8 ? mf.head[zhash(base + p)] : -1;
+            if (c4 >= 0 && (size_t)c4 < p && p - (size_t)c4 <= lp.window &&
+                rd32le_(base + (size_t)c4) == rd32le_(base + p)) {
+              int l4 = 4 + zmatch_len(base + p + 4, base + (size_t)c4 + 4,
+                                      limit);
+              u32 d4 = (u32)(p - (size_t)c4);
+              if (l4 > nl || (l4 == nl && d4 < nd)) {
+                nl = l4;
+                nd = d4;
+              }
+            }
+            if (insert) {
+              rmf.insert(base, p);
+              mf.head[zhash(base + p)] = (int32_t)p;
+            }
+          } else if (!useRow) {
+            nl = mf.find(base, p, (size_t)(limit - base), lp.depth, lp.nice,
+                         &nd);
+            if (insert) mf.insert(base, p);
+          }
         }
         if (nl < 4) nl = 0;  // 3-byte far matches rarely pay
         if (repLen >= 3 && repLen + 1 >= nl) return {repLen, rep[0]};
@@ -1431,7 +1571,14 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
         EvalResult ev;
         if (pos == cachePos) {
           ev = cacheEv;
-          if (pos + 4 <= total) mf.insert(base, pos);
+          if (useRow) {
+            if (pos + 8 <= total) {
+              rmf.insert(base, pos);
+              mf.head[zhash(base + pos)] = (int32_t)pos;
+            }
+          } else if (pos + 4 <= total) {
+            mf.insert(base, pos);
+          }
         } else {
           ev = evaluate(pos, true);
         }
@@ -1481,10 +1628,17 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
         // before the match end for chain continuity, like LZ4's
         // table[hash(ip-2)] refresh)
         size_t istep = lp.lazy ? 1 : (lp.depth <= 6 ? 3 : 2);
-        for (size_t q = pos + 1; q + 4 <= total && q < endp; q += istep)
-          mf.insert(base, q);
-        if (istep > 1 && endp >= 2 && endp - 2 > pos && endp + 2 <= total)
-          mf.insert(base, endp - 2);
+        if (useRow) {
+          for (size_t q = pos + 1; q + 8 <= total && q < endp; q += istep) {
+            rmf.insert(base, q);
+            mf.head[zhash(base + q)] = (int32_t)q;
+          }
+        } else {
+          for (size_t q = pos + 1; q + 4 <= total && q < endp; q += istep)
+            mf.insert(base, q);
+          if (istep > 1 && endp >= 2 && endp - 2 > pos && endp + 2 <= total)
+            mf.insert(base, endp - 2);
+        }
         pos = endp;
       }
       }
@@ -1553,6 +1707,7 @@ done:
   free(lits);
   free(scratch);
   mf.release();
+  if (useRow) rmf.release();
   return result;
 }
 
