@@ -622,36 +622,96 @@ static i64 lzma_encode(const u8* src, size_t n, u8* dst, size_t dstCap,
   size_t pos = 0;
   size_t missRun = 0;  // miss-skip acceleration (fast levels)
 
-  while (pos < n) {
-    int posState = (int)((u32)pos & posMask);
-    // candidate: rep matches (len >= 2)
-    int bestRepLen = 0, bestRepIdx = -1;
-    if (pos >= 1) {
+  // one-position evaluation: best rep match + best chain match. Used by
+  // the main loop and (at depth >= 16) the lazy lookahead.
+  struct LzEval { int repLen, repIdx, nl; u32 nd; };
+  auto evalPos = [&](size_t p, bool insert, int depth) -> LzEval {
+    LzEval e{0, -1, 0, 0};
+    if (p >= 1) {
       u32 reps[4] = {rep0, rep1, rep2, rep3};
-      const u8* limit = src + (n - pos > MATCH_LEN_MAX
-                               ? pos + MATCH_LEN_MAX : n);
+      const u8* limit = src + (n - p > MATCH_LEN_MAX
+                               ? p + MATCH_LEN_MAX : n);
       for (int r = 0; r < 4; r++) {
-        if (reps[r] > pos) continue;
-        int l = ematch_len(src + pos, src + pos - reps[r], limit);
+        if (reps[r] > p) continue;
+        int l = ematch_len(src + p, src + p - reps[r], limit);
         // longer rep wins; prefer low rep index on ties
-        if (l >= 2 && l > bestRepLen) { bestRepLen = l; bestRepIdx = r; }
+        if (l >= 2 && l > e.repLen) { e.repLen = l; e.repIdx = r; }
       }
     }
-    // candidate: new match
-    u32 nd = 0;
-    int nl = 0;
-    // miss-skip: on long literal runs at fast levels, probe the chain
-    // only every 2nd/4th position (the zstd/lz4 dynamic-step idea —
-    // rep probes above still run everywhere, so short periodic data
-    // keeps its rep matches)
-    bool probe = true;
-    if (ep.depth <= 12 && missRun > 64)
-      probe = (pos % (missRun > 512 ? 4 : 2)) == 0;
-    if (pos + 4 <= n && probe) {
-      nl = mf.find(src, pos, n, ep.depth, &nd);
-      mf.insert(src, pos);
+    if (p + 4 <= n) {
+      e.nl = mf.find(src, p, n, depth, &e.nd);
+      if (insert) mf.insert(src, p);
     }
-    if (nl < 3) nl = 0;  // new matches below 3 rarely pay for the distance
+    if (e.nl < 3) e.nl = 0;  // new matches below 3 rarely pay the distance
+    return e;
+  };
+  const bool lazy = ep.depth >= 16;
+  size_t cachePos = (size_t)-1;
+  LzEval cacheEv{0, -1, 0, 0};
+
+  while (pos < n) {
+    int posState = (int)((u32)pos & posMask);
+    int bestRepLen, bestRepIdx, nl;
+    u32 nd;
+    if (lazy) {
+      LzEval e;
+      if (pos == cachePos) {
+        e = cacheEv;
+        if (pos + 4 <= n) mf.insert(src, pos);
+      } else {
+        e = evalPos(pos, true, ep.depth);
+      }
+      // one-step lookahead: a longer candidate one byte ahead means this
+      // position is better spent as a literal (the SDK's GetOptimum does
+      // this with bit prices; length with a rep bonus is the cheap proxy)
+      int eff = e.nl > e.repLen + 1 ? e.nl : e.repLen + 1;
+      int niceGate = ep.depth >= 192 ? 48 : 32;
+      if ((e.repLen >= 2 || e.nl >= 3) && eff < niceGate && pos + 1 < n) {
+        LzEval e2 = evalPos(pos + 1, false, ep.depth);
+        int eff2 = e2.nl > e2.repLen + 1 ? e2.nl : e2.repLen + 1;
+        if (eff2 > eff + 1 || (e2.repLen > e.nl && e2.repLen + 1 > eff)) {
+          cachePos = pos + 1;
+          cacheEv = e2;
+          re.bit(&P.isMatch[state][posState], 0);
+          enc_literal(re, P, src, pos, state, rep0, src[pos]);
+          state = state_after_lit(state);
+          pos++;
+          continue;
+        }
+      }
+      bestRepLen = e.repLen;
+      bestRepIdx = e.repIdx;
+      nl = e.nl;
+      nd = e.nd;
+    } else {
+      // greedy fast path with miss-skip: on long literal runs probe the
+      // chain only every 2nd/4th position (the zstd/lz4 dynamic-step
+      // idea — rep probes still run everywhere, so short periodic data
+      // keeps its rep matches)
+      int bestRepLen0 = 0, bestRepIdx0 = -1;
+      if (pos >= 1) {
+        u32 reps[4] = {rep0, rep1, rep2, rep3};
+        const u8* limit = src + (n - pos > MATCH_LEN_MAX
+                                 ? pos + MATCH_LEN_MAX : n);
+        for (int r = 0; r < 4; r++) {
+          if (reps[r] > pos) continue;
+          int l = ematch_len(src + pos, src + pos - reps[r], limit);
+          if (l >= 2 && l > bestRepLen0) { bestRepLen0 = l; bestRepIdx0 = r; }
+        }
+      }
+      nd = 0;
+      nl = 0;
+      bool probe = true;
+      if (ep.depth <= 12 && missRun > 64)
+        probe = (pos % (missRun > 512 ? 4 : 2)) == 0;
+      if (pos + 4 <= n && probe) {
+        nl = mf.find(src, pos, n, ep.depth, &nd);
+        mf.insert(src, pos);
+      }
+      if (nl < 3) nl = 0;
+      bestRepLen = bestRepLen0;
+      bestRepIdx = bestRepIdx0;
+    }
 
     bool useRep = bestRepLen >= 2 &&
                   (bestRepLen + 1 >= nl || (bestRepIdx == 0 &&
