@@ -13,6 +13,7 @@
 // 8B LE uncompressed size (we write the real size; we decode both real
 // and unknown-size + end-marker streams).
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <cstdlib>
@@ -521,6 +522,143 @@ struct EncMF {
     *distOut = bestd;
     return best;
   }
+
+  // pair walk for the optimal parse: record (len, dist) each time the
+  // chain improves the best length, so every length in [2, maxLen] has
+  // its cheapest (closest) achieving distance
+  struct MPair { int len; u32 dist; };
+  int find_pairs(const u8* base, size_t pos, size_t n, int depth,
+                 MPair* out, int maxPairs) {
+    const u8* limit = base + (n - pos > MATCH_LEN_MAX
+                              ? pos + MATCH_LEN_MAX : n);
+    const u8* scan = base + pos;
+    int best = 1;
+    int cnt = 0;
+    int32_t cand = head[ehash4(base + pos)];
+    while (cand >= 0 && depth-- > 0 && cnt < maxPairs) {
+      size_t c = (size_t)cand;
+      if (pos - c >= window) break;
+      const u8* mp = base + c;
+      if (scan + best < limit) {
+        u16 se, me;
+        memcpy(&se, scan + best - 1, 2);
+        memcpy(&me, mp + best - 1, 2);
+        if (se != me) {
+          int32_t nx0 = prev[c & cmask];
+          if (nx0 >= (int32_t)c) break;
+          cand = nx0;
+          continue;
+        }
+      }
+      int l = ematch_len(scan, mp, limit);
+      if (l > best) {
+        out[cnt].len = l;
+        out[cnt].dist = (u32)(pos - c);
+        cnt++;
+        best = l;
+      }
+      int32_t nxt = prev[c & cmask];
+      if (nxt >= (int32_t)c) break;
+      cand = nxt;
+    }
+    return cnt;
+  }
+};
+
+// ---------------------------------------------------------------------------
+// bit prices (1/16-bit units) for the optimal parse — the LZMA SDK's
+// GetPrice idea (algos/lzma/LzmaEnc.c price machinery), own tables
+// ---------------------------------------------------------------------------
+struct PriceTab {
+  u16 t[128];
+  PriceTab() {
+    for (int i = 0; i < 128; i++) {
+      double p = (i * 16 + 8) / 2048.0;
+      t[i] = (u16)(-std::log2(p) * 16.0 + 0.5);
+    }
+  }
+};
+static const PriceTab PT;
+static inline u32 prc0(u16 p) { return PT.t[p >> 4]; }
+static inline u32 prc1(u16 p) { return PT.t[(2048 - p) >> 4]; }
+static inline u32 prcBit(u16 p, u32 b) { return b ? prc1(p) : prc0(p); }
+static inline u32 prcTree(const u16* probs, int nb, u32 sym) {
+  u32 price = 0, m = 1;
+  for (int i = nb - 1; i >= 0; i--) {
+    u32 b = (sym >> i) & 1;
+    price += prcBit(probs[m], b);
+    m = (m << 1) | b;
+  }
+  return price;
+}
+static inline u32 prcTreeRev(const u16* probs, int nb, u32 sym) {
+  u32 price = 0, m = 1;
+  for (int i = 0; i < nb; i++) {
+    u32 b = (sym >> i) & 1;
+    price += prcBit(probs[m], b);
+    m = (m << 1) | b;
+  }
+  return price;
+}
+
+// chunk-static price tables, refreshed from the adaptive probs at every
+// chunk boundary (prices guide choices; the replay coder stays adaptive)
+struct ChunkPrices {
+  u32 lenM[NPOSSTATES][MATCH_LEN_MAX - MATCH_LEN_MIN + 1];
+  u32 lenR[NPOSSTATES][MATCH_LEN_MAX - MATCH_LEN_MIN + 1];
+  u32 fullDist[4][128];   // dist-1 < 128: exact tree price
+  u32 posSlot[4][64];
+  u32 align_[16];
+
+  static void lenTable(const LenProbs& lp2, int pb,
+                       u32 out[NPOSSTATES][MATCH_LEN_MAX - MATCH_LEN_MIN
+                                           + 1]) {
+    u32 c0 = prc0(lp2.choice), c1 = prc1(lp2.choice);
+    u32 c20 = prc0(lp2.choice2), c21 = prc1(lp2.choice2);
+    for (int ps = 0; ps < (1 << pb); ps++) {
+      for (int v = 0; v <= MATCH_LEN_MAX - MATCH_LEN_MIN; v++) {
+        u32 p;
+        if (v < 8) p = c0 + prcTree(lp2.low[ps], 3, (u32)v);
+        else if (v < 16) p = c1 + c20 + prcTree(lp2.mid[ps], 3,
+                                                (u32)(v - 8));
+        else p = c1 + c21 + prcTree(lp2.high, 8, (u32)(v - 16));
+        out[ps][v] = p;
+      }
+    }
+  }
+  void refresh(const Probs& P) {
+    lenTable(P.matchLen, P.pb, lenM);
+    lenTable(P.repLen, P.pb, lenR);
+    for (int lps = 0; lps < 4; lps++) {
+      for (int slot = 0; slot < 64; slot++)
+        posSlot[lps][slot] = prcTree(P.posSlot[lps], 6, (u32)slot);
+      for (u32 d = 0; d < 128; d++) {
+        u32 slot;
+        if (d < 4) slot = d;
+        else {
+          int nb = 31 - __builtin_clz(d);
+          slot = (u32)(nb * 2) + ((d >> (nb - 1)) & 1);
+        }
+        u32 p = posSlot[lps][slot];
+        if (slot >= 4) {
+          int ndr = (int)(slot >> 1) - 1;
+          u32 bse = (2 | (slot & 1)) << ndr;
+          p += prcTreeRev(P.specPos + bse - slot, ndr, d - bse);
+        }
+        fullDist[lps][d] = p;
+      }
+    }
+    for (u32 a = 0; a < 16; a++)
+      align_[a] = prcTreeRev(P.align_, 4, a);
+  }
+  inline u32 dist(int len, u32 d) const {  // d = dist - 1
+    int lps = len - 2 < 3 ? len - 2 : 3;
+    if (d < 128) return fullDist[lps][d];
+    int nb = 31 - __builtin_clz(d);
+    u32 slot = (u32)(nb * 2) + ((d >> (nb - 1)) & 1);
+    int ndr = (int)(slot >> 1) - 1;
+    return posSlot[lps][slot] + (u32)(ndr - 4) * 16 + align_[d & 15];
+  }
 };
 
 // clog caps the chain-link ring at 2^clog entries (same chainLog axis
@@ -600,6 +738,301 @@ static void enc_dist(REnc& re, Probs& P, int len, u32 dist) {
   }
 }
 
+
+// ---------------------------------------------------------------------------
+// Optimal parse (levels 7+) — chunked shortest-path over bit prices, the
+// LZMA SDK GetOptimum idea (algos/lzma/LzmaEnc.c) re-done as a plain
+// forward DP: prices are frozen per 4 KiB chunk (refreshed from the
+// adaptive probs at every boundary), every node carries the state and
+// rep history of its best predecessor, and the winning path is replayed
+// through the real adaptive coder — so pricing is approximate but the
+// emitted stream is exact.
+// ---------------------------------------------------------------------------
+static u32 lit_price(const Probs& P, const u8* src, size_t absPos, int st,
+                     u32 r0) {
+  u8 prev = absPos ? src[absPos - 1] : 0;
+  u32 litPosMask = (1u << P.lp) - 1;
+  const u16* probs = P.lit + 0x300 * ((((u32)absPos & litPosMask) << P.lc)
+                                      + (prev >> (8 - P.lc)));
+  u32 symbol = 0x100 | src[absPos];
+  u32 price = 0;
+  if (st >= 7 && r0 <= absPos) {
+    u8 matchByte = src[absPos - r0];
+    u32 m = 1;
+    int i = 7;
+    for (; i >= 0; i--) {
+      u32 matchBit = (matchByte >> i) & 1;
+      u32 b = (symbol >> i) & 1;
+      price += prcBit(probs[((1 + matchBit) << 8) + m], b);
+      m = (m << 1) | b;
+      if (matchBit != b) { i--; break; }
+    }
+    for (; i >= 0; i--) {
+      u32 b = (symbol >> i) & 1;
+      price += prcBit(probs[m], b);
+      m = (m << 1) | b;
+    }
+  } else {
+    u32 m = 1;
+    for (int i = 7; i >= 0; i--) {
+      u32 b = (symbol >> i) & 1;
+      price += prcBit(probs[m], b);
+      m = (m << 1) | b;
+    }
+  }
+  return price;
+}
+
+static const int OPT_CHUNK = 4096;
+static const int OPT_SLACK = MATCH_LEN_MAX;
+static const u32 REP_MARK = 0xFFFFFFFCu;  // dist >= REP_MARK => rep idx
+
+struct OptNode {
+  u32 price;
+  i32 from;   // predecessor index, -1 = unreachable
+  i32 len;    // bytes produced by the entering op (1 for lit/shortrep)
+  u32 dist;   // 0 = literal; REP_MARK+r = rep; else match distance
+  u8 state;
+  u32 reps[4];
+};
+
+static bool lzma_run_optimal(const u8* src, size_t n, REnc& re, Probs& P,
+                             EncMF& mf, const EncParams& ep) {
+  u32 posMask = (1u << P.pb) - 1;
+  const int NN = OPT_CHUNK + OPT_SLACK + 1;
+  OptNode* nd = (OptNode*)malloc(sizeof(OptNode) * (size_t)NN);
+  EncMF::MPair pairs[48];
+  i32* path = (i32*)malloc(sizeof(i32) * (size_t)NN);
+  ChunkPrices* cp = (ChunkPrices*)malloc(sizeof(ChunkPrices));
+  if (!nd || !path || !cp) { free(nd); free(path); free(cp); return false; }
+
+  size_t pos = 0;
+  int state = 0;
+  u32 reps[4] = {1, 1, 1, 1};
+
+  while (pos < n) {
+    cp->refresh(P);
+    size_t base = pos;
+    size_t tgt = n - base < OPT_CHUNK ? n - base : OPT_CHUNK;
+    size_t maxo = n - base < (size_t)(OPT_CHUNK + OPT_SLACK)
+                      ? n - base : (size_t)(OPT_CHUNK + OPT_SLACK);
+    for (size_t i = 0; i <= maxo; i++) {
+      nd[i].price = 0xFFFFFFFFu;
+      nd[i].from = -1;
+    }
+    nd[0].price = 0;
+    nd[0].from = 0;
+    nd[0].state = (u8)state;
+    memcpy(nd[0].reps, reps, sizeof(reps));
+
+    auto relax = [&](size_t j, u32 p, size_t i, i32 len, u32 dist, u8 st,
+                     const u32* rp) {
+      if (p >= nd[j].price) return;
+      nd[j].price = p;
+      nd[j].from = (i32)i;
+      nd[j].len = len;
+      nd[j].dist = dist;
+      nd[j].state = st;
+      memcpy(nd[j].reps, rp, 4 * sizeof(u32));
+    };
+
+    size_t skipUntil = 0;  // long-match jump (the SDK returns from
+                           // GetOptimum at nice length; nodes inside the
+                           // jump keep chain continuity only)
+    for (size_t i = 0; i < tgt; i++) {
+      if (nd[i].from < 0) continue;
+      if (i < skipUntil) {
+        if (base + i + 4 <= n) mf.insert(src, base + i);
+        continue;
+      }
+      u32 basePrice = nd[i].price;
+      int st = nd[i].state;
+      const u32* rp = nd[i].reps;
+      size_t abs = base + i;
+      int ps = (int)((u32)abs & posMask);
+      size_t room = maxo - i;
+      int maxLen = room < (size_t)MATCH_LEN_MAX ? (int)room : MATCH_LEN_MAX;
+      const u8* limit = src + abs + (size_t)maxLen;
+
+      // literal
+      if (i + 1 <= maxo) {
+        u32 p = basePrice + prc0(P.isMatch[st][ps])
+                + lit_price(P, src, abs, st, rp[0]);
+        relax(i + 1, p, i, 1, 0, (u8)state_after_lit(st), rp);
+      }
+      if (maxLen < 2) continue;
+      u32 pM = basePrice + prc1(P.isMatch[st][ps]);
+      u32 pRep = pM + prc1(P.isRep[st]);
+
+      // nice-length shortcut (the SDK's GetOptimum early-out): when a
+      // candidate is already long, relax ONLY the longest arrival — the
+      // exhaustive per-length loops buy nothing on long matches and
+      // dominated the DP's cost on matchy data
+      const int NICE = 64;
+      int repLens[4];
+      int bestRepL = 0;
+      for (int r = 0; r < 4; r++) {
+        u32 rd = rp[r];
+        repLens[r] = 0;
+        if ((size_t)rd > abs) continue;
+        repLens[r] = ematch_len(src + abs, src + abs - rd, limit);
+        if (repLens[r] > bestRepL) bestRepL = repLens[r];
+      }
+
+      // rep matches (and the short rep)
+      for (int r = 0; r < 4; r++) {
+        u32 rd = rp[r];
+        if ((size_t)rd > abs) continue;
+        int rl = repLens[r];
+        if (rl <= 0) continue;
+        u32 selP;
+        u32 nreps[4] = {rp[0], rp[1], rp[2], rp[3]};
+        if (r == 0) {
+          selP = prc0(P.isRepG0[st]);
+        } else {
+          selP = prc1(P.isRepG0[st]);
+          if (r == 1) {
+            selP += prc0(P.isRepG1[st]);
+          } else {
+            selP += prc1(P.isRepG1[st])
+                    + prcBit(P.isRepG2[st], r == 2 ? 0u : 1u);
+            if (r == 3) nreps[3] = nreps[2];
+            nreps[2] = nreps[1];
+          }
+          nreps[1] = nreps[0];
+          nreps[0] = rd;
+        }
+        if (r == 0) {
+          // short rep: one byte via rep0
+          u32 p = pRep + selP + prc0(P.isRep0Long[st][ps]);
+          relax(i + 1, p, i, 1, REP_MARK + 0, (u8)(st < 7 ? 9 : 11), rp);
+        }
+        if (rl >= 2) {
+          u32 lp2 = pRep + selP
+                    + (r == 0 ? prc1(P.isRep0Long[st][ps]) : 0);
+          u8 nst = (u8)(st < 7 ? 8 : 11);
+          int L0 = 2;
+          if (bestRepL >= NICE) {
+            if (rl < bestRepL) continue;  // only the longest rep
+            L0 = rl;                      // and only its full length
+            skipUntil = i + (size_t)rl;
+          }
+          for (int L = L0; L <= rl; L++)
+            relax(i + (size_t)L,
+                  lp2 + cp->lenR[ps][L - MATCH_LEN_MIN], i, L,
+                  REP_MARK + (u32)r, nst, nreps);
+        }
+      }
+
+      // new matches
+      if (abs + 4 <= n && bestRepL < NICE) {
+        int dpDepth = ep.depth >> 2;  // 24/48/96 at L7/8/9
+        int cnt = mf.find_pairs(src, abs, n, dpDepth, pairs, 48);
+        mf.insert(src, abs);
+        if (cnt > 0) {
+          u32 pNew = pM + prc0(P.isRep[st]);
+          u8 nst = (u8)(st < 7 ? 7 : 10);
+          int longest = pairs[cnt - 1].len < maxLen ? pairs[cnt - 1].len
+                                                    : maxLen;
+          int L = 2;
+          if (longest >= NICE) {  // shortcut: only the longest arrival
+            u32 d = pairs[cnt - 1].dist;
+            u32 nreps[4] = {d, rp[0], rp[1], rp[2]};
+            relax(i + (size_t)longest,
+                  pNew + cp->lenM[ps][longest - MATCH_LEN_MIN]
+                      + cp->dist(longest, d - 1),
+                  i, longest, d, nst, nreps);
+            skipUntil = i + (size_t)longest;
+          } else {
+            for (int k = 0; k < cnt; k++) {
+              int kl = pairs[k].len < maxLen ? pairs[k].len : maxLen;
+              u32 d = pairs[k].dist;
+              u32 nreps[4] = {d, rp[0], rp[1], rp[2]};
+              for (; L <= kl; L++)
+                relax(i + (size_t)L,
+                      pNew + cp->lenM[ps][L - MATCH_LEN_MIN]
+                          + cp->dist(L, d - 1),
+                      i, L, d, nst, nreps);
+              if (pairs[k].len >= maxLen) break;
+            }
+          }
+        }
+      } else if (abs + 4 <= n) {
+        mf.insert(src, abs);  // long rep shortcut: skip the chain walk
+      }
+    }
+
+    // chunk end: cheapest reachable node at or past the target
+    size_t end = tgt;
+    u32 bestP = 0xFFFFFFFFu;
+    for (size_t i = tgt; i <= maxo; i++) {
+      if (nd[i].from >= 0 && nd[i].price < bestP) {
+        bestP = nd[i].price;
+        end = i;
+      }
+    }
+
+    // backtrack, then replay through the adaptive coder
+    int steps = 0;
+    for (size_t i = end; i > 0; i = (size_t)nd[i].from) path[steps++] = (i32)i;
+    for (int k = steps - 1; k >= 0; k--) {
+      OptNode& o = nd[path[k]];
+      size_t abs = base + (size_t)nd[path[k]].from;
+      int ps = (int)((u32)abs & posMask);
+      if (o.dist == 0) {  // literal
+        re.bit(&P.isMatch[state][ps], 0);
+        enc_literal(re, P, src, abs, state, reps[0], src[abs]);
+        state = state_after_lit(state);
+      } else if (o.dist >= REP_MARK) {
+        int r = (int)(o.dist - REP_MARK);
+        re.bit(&P.isMatch[state][ps], 1);
+        re.bit(&P.isRep[state], 1);
+        if (r == 0) {
+          re.bit(&P.isRepG0[state], 0);
+          re.bit(&P.isRep0Long[state][ps], o.len == 1 ? 0 : 1);
+        } else {
+          re.bit(&P.isRepG0[state], 1);
+          u32 d = reps[r];
+          if (r == 1) {
+            re.bit(&P.isRepG1[state], 0);
+          } else {
+            re.bit(&P.isRepG1[state], 1);
+            re.bit(&P.isRepG2[state], r == 2 ? 0 : 1);
+            if (r == 3) reps[3] = reps[2];
+            reps[2] = reps[1];
+          }
+          reps[1] = reps[0];
+          reps[0] = d;
+        }
+        if (o.len == 1) {
+          state = state < 7 ? 9 : 11;
+        } else {
+          enc_len(re, P.repLen, ps, o.len);
+          state = state < 7 ? 8 : 11;
+        }
+      } else {  // new match
+        re.bit(&P.isMatch[state][ps], 1);
+        re.bit(&P.isRep[state], 0);
+        reps[3] = reps[2];
+        reps[2] = reps[1];
+        reps[1] = reps[0];
+        reps[0] = o.dist;
+        enc_len(re, P.matchLen, ps, o.len);
+        enc_dist(re, P, o.len, o.dist - 1);
+        state = state < 7 ? 7 : 10;
+      }
+    }
+    // match-finder continuity for positions the DP never probed
+    for (size_t q = tgt; q < end; q++)
+      if (base + q + 4 <= n) mf.insert(src, base + q);
+    pos = base + end;
+  }
+  free(nd);
+  free(path);
+  free(cp);
+  return true;
+}
+
 static i64 lzma_encode(const u8* src, size_t n, u8* dst, size_t dstCap,
                        int level) {
   const int lc = 3, lp = 0, pb = 2;
@@ -615,6 +1048,16 @@ static i64 lzma_encode(const u8* src, size_t n, u8* dst, size_t dstCap,
   EncMF mf;
   if (!mf.alloc(ep.dict, ep.clog)) { P.release(); return ERR_CORRUPT; }
   REnc re(dst + 13, dstCap - 13);
+
+  if (ep.depth >= 48) {  // levels 6+: price-based optimal parse
+    bool ok = lzma_run_optimal(src, n, re, P, mf, ep);
+    re.flush();
+    mf.release();
+    P.release();
+    if (!ok) return ERR_CORRUPT;
+    if (re.overflow) return ERR_DST_SMALL;
+    return (i64)(13 + re.len);
+  }
 
   u32 rep0 = 1, rep1 = 1, rep2 = 1, rep3 = 1;
   int state = 0;
