@@ -190,3 +190,57 @@ class TestDeviceAssist:
             dispatch.enable_audit(False)
             actpu.destroy(h)
         assert any("lzma_compress_host" in k for k in hits), hits
+
+
+class TestOptimalParse:
+    """Levels 6+ run the price-based DP parse (csrc/lzma.cpp
+    lzma_run_optimal); these pin its edges: chunk boundaries, the
+    nice-length jump, periodic data, and the ratio win itself."""
+
+    @pytest.mark.parametrize("level", [6, 7, 8, 9])
+    def test_all_optimal_levels_roundtrip_and_stock(self, level):
+        base = open("/root/reference/algos/zstd/lib/compress/"
+                    "zstd_compress.c", "rb").read()[:120000]
+        c = native.lzma_compress(base, level)
+        assert native.lzma_decompress(c, len(base)) == base
+        assert stock.decompress(c, format=stock.FORMAT_ALONE) == base
+
+    def test_chunk_boundary_sizes(self):
+        # DP chunks are 4096 + 273 slack; exercise exact/straddling sizes
+        base = open("/root/reference/algos/zstd/lib/compress/"
+                    "zstd_compress.c", "rb").read()
+        for n in (4095, 4096, 4097, 4369, 4370, 8191, 8192, 8193, 12561):
+            p = base[:n]
+            c = native.lzma_compress(p, 7)
+            assert native.lzma_decompress(c, len(p)) == p, n
+            assert stock.decompress(c, format=stock.FORMAT_ALONE) == p, n
+
+    def test_tiny_and_edge_inputs(self):
+        for p in (b"", b"A", b"AB", b"ABC", b"ABCD", b"A" * 5,
+                  bytes(range(256)) * 2):
+            c = native.lzma_compress(p, 9)
+            assert native.lzma_decompress(c, len(p)) == p, p[:8]
+            assert stock.decompress(c, format=stock.FORMAT_ALONE) == p
+
+    def test_periodic_nice_jump(self):
+        # long rep candidates fire the nice-length DP jump every node
+        p = b"abcdefgh" * 4096 + b"tail-literals"
+        c = native.lzma_compress(p, 8)
+        assert len(c) < len(p) // 100  # periodic must compress hard
+        assert native.lzma_decompress(c, len(p)) == p
+        assert stock.decompress(c, format=stock.FORMAT_ALONE) == p
+
+    def test_optimal_beats_lazy_ratio(self):
+        base = open("/root/reference/algos/zstd/lib/compress/"
+                    "zstd_compress.c", "rb").read()[:300000]
+        lazy = len(native.lzma_compress(base, 5))
+        opt = len(native.lzma_compress(base, 7))
+        assert opt < lazy * 0.97, (opt, lazy)
+
+    def test_incompressible_random(self):
+        import random as _r
+        rng = _r.Random(17)
+        p = bytes(rng.randrange(256) for _ in range(50000))
+        c = native.lzma_compress(p, 9)
+        assert native.lzma_decompress(c, len(p)) == p
+        assert stock.decompress(c, format=stock.FORMAT_ALONE) == p
