@@ -524,43 +524,56 @@ struct Seq { u32 ll, ml, ofv; };  // ofv = offset_value (repcodes 1-3, else off+
 // general repcode emission, mirroring the decoder's shifted semantics
 // (repIdx = ofv-1 + (ll==0)); history updates per repIdx match the
 // decoder exactly. Returns the offset_value for (dist, litRun).
-static inline u32 zofv_emit(u32 rep[3], u32 dist, size_t litRun) {
+static inline u32 zofv_map(const u32 rep[3], u32 dist, size_t litRun,
+                           u32 nrep[3]) {
+  nrep[0] = rep[0];
+  nrep[1] = rep[1];
+  nrep[2] = rep[2];
   if (litRun > 0) {
     if (dist == rep[0]) return 1;
     if (dist == rep[1]) {
-      rep[1] = rep[0];
-      rep[0] = dist;
+      nrep[1] = rep[0];
+      nrep[0] = dist;
       return 2;
     }
     if (dist == rep[2]) {
-      rep[2] = rep[1];
-      rep[1] = rep[0];
-      rep[0] = dist;
+      nrep[2] = rep[1];
+      nrep[1] = rep[0];
+      nrep[0] = dist;
       return 3;
     }
   } else {
     if (dist == rep[1]) {
-      rep[1] = rep[0];
-      rep[0] = dist;
+      nrep[1] = rep[0];
+      nrep[0] = dist;
       return 1;
     }
     if (dist == rep[2]) {
-      rep[2] = rep[1];
-      rep[1] = rep[0];
-      rep[0] = dist;
+      nrep[2] = rep[1];
+      nrep[1] = rep[0];
+      nrep[0] = dist;
       return 2;
     }
     if (dist + 1 == rep[0]) {
-      rep[2] = rep[1];
-      rep[1] = rep[0];
-      rep[0] = dist;
+      nrep[2] = rep[1];
+      nrep[1] = rep[0];
+      nrep[0] = dist;
       return 3;
     }
   }
-  rep[2] = rep[1];
-  rep[1] = rep[0];
-  rep[0] = dist;
+  nrep[2] = rep[1];
+  nrep[1] = rep[0];
+  nrep[0] = dist;
   return dist + 3;
+}
+
+static inline u32 zofv_emit(u32 rep[3], u32 dist, size_t litRun) {
+  u32 nr[3];
+  u32 ofv = zofv_map(rep, dist, litRun, nr);
+  rep[0] = nr[0];
+  rep[1] = nr[1];
+  rep[2] = nr[2];
+  return ofv;
 }
 
 // pick the cheapest mode for one code stream: 0 predefined, 1 RLE, 2 FSE
@@ -675,7 +688,7 @@ static int zmatch_len(const u8* a, const u8* b, const u8* limit) {
 // fast = single-probe bucket table; dfast = two tables (8-byte long hash
 // + 5-byte short hash, no chain walking); chain = hash chains (+ lazy)
 enum { ZSTRAT_CHAIN = 0, ZSTRAT_FAST = 1, ZSTRAT_DFAST = 2,
-       ZSTRAT_ROW = 3 };
+       ZSTRAT_ROW = 3, ZSTRAT_OPT = 4 };
 // dstep: dfast interior-insertion stride inside matches (ratio/speed
 // trade measured on text+ELF: 4 -> -1.6% output, 2 -> -2.9%, vs ~15%
 // speed cost per halving); unused by the other strategies
@@ -777,6 +790,76 @@ struct RowMF {
   }
 };
 
+// ---------------------------------------------------------------------------
+// Optimal parse (levels 16+) — shortest path over approximate bit prices.
+// The reference's btopt/btultra axis (zstd_opt.c idea, own structure):
+// literal and ll/ml/of code prices are refreshed per block from the
+// PREVIOUS block's emitted symbols (first block: flat defaults), nodes
+// carry the repcode history and pending literal run of their best
+// predecessor, and the winning path is replayed into the ordinary
+// seqs/lits arrays — the block writer is unchanged, so the stream stays
+// format-exact whatever the price model says.
+// ---------------------------------------------------------------------------
+struct ZOptPrices {
+  u32 lit[256];  // 1/16-bit units
+  u32 ll[36], ml[53], of[32];
+
+  void defaults() {
+    for (int i = 0; i < 256; i++) lit[i] = 6 * 16;
+    for (int i = 0; i < 36; i++) ll[i] = 5 * 16 + (u32)LL_BITS[i] * 16;
+    for (int i = 0; i < 53; i++) ml[i] = 5 * 16 + (u32)ML_BITS[i] * 16;
+    for (int i = 0; i < 32; i++) of[i] = 5 * 16 + (u32)i * 16;
+  }
+  static void hist_prices(const u32* freq, u32* out, int nsym,
+                          const u8* extraBits) {
+    u64 total = 0;
+    for (int i = 0; i < nsym; i++) total += freq[i];
+    if (total == 0) return;  // keep previous prices
+    double lt = std::log2((double)total);
+    for (int i = 0; i < nsym; i++) {
+      // unseen symbols get ~"1 occurrence" so they stay representable
+      double f = freq[i] ? (double)freq[i] : 0.5;
+      u32 p = (u32)((lt - std::log2(f)) * 16.0 + 0.5);
+      if (p < 16) p = 16;
+      out[i] = p + (extraBits ? (u32)extraBits[i] * 16 : 0);
+    }
+  }
+  void refresh(const u8* lits, size_t nlit, const Seq* seqs, size_t nseq) {
+    if (nlit >= 64) {
+      u32 f[256] = {0};
+      for (size_t i = 0; i < nlit; i++) f[lits[i]]++;
+      hist_prices(f, lit, 256, nullptr);
+    }
+    if (nseq >= 16) {
+      u32 fl[36] = {0}, fm[53] = {0}, fo[32] = {0};
+      for (size_t i = 0; i < nseq; i++) {
+        fl[ll_code(seqs[i].ll)]++;
+        fm[ml_code(seqs[i].ml)]++;
+        fo[highbit32(seqs[i].ofv)]++;
+      }
+      hist_prices(fl, ll, 36, LL_BITS);
+      hist_prices(fm, ml, 53, ML_BITS);
+      static const u8 ofExtra[32] = {0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11,
+                                     12, 13, 14, 15, 16, 17, 18, 19, 20,
+                                     21, 22, 23, 24, 25, 26, 27, 28, 29,
+                                     30, 31};
+      hist_prices(fo, of, 32, ofExtra);
+    }
+  }
+  inline u32 seq(u32 litRun, u32 mlv, u32 ofv) const {
+    return ll[ll_code(litRun)] + ml[ml_code(mlv)] + of[highbit32(ofv)];
+  }
+};
+
+struct ZOptNode {
+  u32 price;
+  int32_t from;
+  int32_t len;    // bytes of the entering op (1 for literal)
+  u32 dist;   // 0 = literal, else match distance
+  u32 reps[3];
+  u32 litRun;
+};
+
 // level ladder in the spirit of ZSTD_defaultCParameters
 // (zstd_compress.c:7311-7405): window / depth / lazy steps / strategy.
 // Strategy axis mirrors the reference's: fast (L1), dfast (L2-3),
@@ -806,13 +889,13 @@ static LevelP zparams(int level) {
     {1u << 23, 256, 2, 256, 22, ZSTRAT_CHAIN, 0},// 13
     {1u << 23, 384, 2, 273, 23, ZSTRAT_CHAIN, 0},// 14
     {1u << 23, 512, 2, 273, 23, ZSTRAT_CHAIN, 0},// 15
-    {1u << 23, 768, 2, 273, 23, ZSTRAT_CHAIN, 0},// 16
-    {1u << 24, 1024, 2, 273, 24, ZSTRAT_CHAIN, 0},// 17
-    {1u << 24, 1536, 2, 273, 24, ZSTRAT_CHAIN, 0},// 18
-    {1u << 24, 2048, 2, 273, 24, ZSTRAT_CHAIN, 0},// 19
-    {1u << 25, 3072, 2, 273, 24, ZSTRAT_CHAIN, 0},// 20
-    {1u << 25, 4096, 2, 273, 24, ZSTRAT_CHAIN, 0},// 21
-    {1u << 26, 6144, 2, 273, 24, ZSTRAT_CHAIN, 0},// 22
+    {1u << 23, 768, 2, 273, 23, ZSTRAT_OPT, 0},// 16
+    {1u << 24, 1024, 2, 273, 24, ZSTRAT_OPT, 0},// 17
+    {1u << 24, 1536, 2, 273, 24, ZSTRAT_OPT, 0},// 18
+    {1u << 24, 2048, 2, 273, 24, ZSTRAT_OPT, 0},// 19
+    {1u << 25, 3072, 2, 273, 24, ZSTRAT_OPT, 0},// 20
+    {1u << 25, 4096, 2, 273, 24, ZSTRAT_OPT, 0},// 21
+    {1u << 26, 6144, 2, 273, 24, ZSTRAT_OPT, 0},// 22
   };
   return t[level];
 }
@@ -880,6 +963,54 @@ struct ZMF {
     }
     *distOut = bestd;
     return best;
+  }
+
+  // pair walk for the optimal parse: record (len, dist) on every length
+  // improvement so each length gets its closest achieving distance
+  struct MPair { int len; u32 dist; };
+  int find_pairs(const u8* base, size_t pos, size_t n, int depth,
+                 MPair* out, int maxPairs) {
+    const u8* limit = base + n;
+    const u8* scan = base + pos;
+    int best = 2;  // pairs start at len 3 (zstd min match)
+    int cnt = 0;
+    int fskip = depth * 4;  // future-skip budget, not charged to depth
+    int32_t cand = head[zhash(base + pos)];
+    while (cand >= 0 && cnt < maxPairs) {
+      size_t c = (size_t)cand;
+      if (c >= pos) {  // the two-pass DP pre-inserts positions ahead
+        if (fskip-- <= 0) break;
+        int32_t nxf = prev[c & cmask];
+        if (nxf >= (int32_t)c) break;
+        cand = nxf;
+        continue;
+      }
+      if (pos - c >= window) break;
+      if (depth-- <= 0) break;
+      const u8* mp = base + c;
+      if (scan + best < limit) {
+        u16 se, me;
+        memcpy(&se, scan + best - 1, 2);
+        memcpy(&me, mp + best - 1, 2);
+        if (se != me) {
+          int32_t nx0 = prev[c & cmask];
+          if (nx0 >= (int32_t)c) break;
+          cand = nx0;
+          continue;
+        }
+      }
+      int l = zmatch_len(scan, mp, limit);
+      if (l > best) {
+        out[cnt].len = l;
+        out[cnt].dist = (u32)(pos - c);
+        cnt++;
+        best = l;
+      }
+      int32_t nxt = prev[c & cmask];
+      if (nxt >= (int32_t)c) break;
+      cand = nxt;
+    }
+    return cnt;
   }
 };
 
@@ -1225,9 +1356,13 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
   Seq* seqs = nullptr;
   u8* lits = nullptr;
   u8* scratch = nullptr;
+  ZOptNode* onodes = nullptr;
+  int32_t* opath = nullptr;
+  ZOptPrices* oprices = nullptr;
   i64 result = ERR_CORRUPT;
   RowMF rmf{};
   bool useRow = lp.strat == ZSTRAT_ROW;
+  bool useOpt = lp.strat == ZSTRAT_OPT;
   if (!mf.alloc(lp.window, useRow ? 4 : lp.clog)) {
     free(buf);
     return ERR_CORRUPT;
@@ -1247,6 +1382,13 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
   lits = (u8*)malloc(BLOCK_MAX + 64);
   scratch = (u8*)malloc(BLOCK_MAX + (BLOCK_MAX >> 2) + 4096);
   if (!seqs || !lits || !scratch) goto done;
+  if (useOpt) {
+    onodes = (ZOptNode*)malloc(sizeof(ZOptNode) * (BLOCK_MAX + 1));
+    opath = (int32_t*)malloc(sizeof(int32_t) * (BLOCK_MAX + 1));
+    oprices = (ZOptPrices*)malloc(sizeof(ZOptPrices));
+    if (!onodes || !opath || !oprices) goto done;
+    oprices->defaults();
+  }
   if (useRow) {
     for (size_t i = 0; i + 8 <= pref; i++) {
       rmf.insert(base, i);
@@ -1561,6 +1703,213 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
           run = (u32)tl;
           pos = blockEnd;
         }
+      } else if (useOpt) {
+        // shortest path over the block: prices from the previous block's
+        // symbols, nodes carry reps + the pending literal run, replay
+        // fills the ordinary lits/seqs arrays (the block writer and its
+        // raw-block rep rollback stay unchanged)
+        size_t blen = blockEnd - bstart;
+        ZOptNode* o = onodes;
+        for (size_t i = 0; i <= blen; i++) {
+          o[i].price = 0xFFFFFFFFu;
+          o[i].from = -1;
+        }
+        o[0].price = 0;
+        o[0].from = 0;
+        o[0].reps[0] = rep[0];
+        o[0].reps[1] = rep[1];
+        o[0].reps[2] = rep[2];
+        o[0].litRun = 0;
+        ZMF::MPair zpairs[48];
+        int dpDepth = lp.depth >> 3;
+        if (dpDepth < 16) dpDepth = 16;
+        const int ONICE = 128;  // long-candidate DP jump
+        // the first block prices blind (flat defaults): run its DP twice,
+        // pass 1 gathering symbol stats to reprice pass 2 (match-finder
+        // insertion happens only in pass 1)
+        bool rerun = bstart == pref && blen >= 4096;
+        bool doInsert = true;
+      dp_pass:
+        size_t skipUntil = 0;
+        for (size_t i = 0; i < blen; i++) {
+          if (o[i].from < 0) continue;
+          size_t abs = bstart + i;
+          if (i < skipUntil) {
+            if (doInsert && abs + 4 <= total) mf.insert(base, abs);
+            continue;
+          }
+          u32 bp = o[i].price;
+          const u32* rp = o[i].reps;
+          u32 lr = o[i].litRun;
+          const u8* limit = base + (blen - i > 65538 ? abs + 65538
+                                                     : blockEnd);
+          int maxLen = (int)(limit - (base + abs));
+          // literal
+          {
+            u32 p = bp + oprices->lit[base[abs]];
+            ZOptNode& t = o[i + 1];
+            if (p < t.price) {
+              t.price = p;
+              t.from = (int32_t)i;
+              t.len = 1;
+              t.dist = 0;
+              t.reps[0] = rp[0];
+              t.reps[1] = rp[1];
+              t.reps[2] = rp[2];
+              t.litRun = lr + 1;
+            }
+          }
+          if (maxLen < 3 || abs + 4 > total) {
+            if (doInsert && abs + 4 <= total) mf.insert(base, abs);
+            continue;
+          }
+          // reps
+          int rls[3];
+          int bestRep = 0;
+          for (int r = 0; r < 3; r++) {
+            u32 rd = rp[r];
+            rls[r] = 0;
+            if (rd != 0 && (size_t)rd <= abs)
+              rls[r] = zmatch_len(base + abs, base + abs - rd, limit);
+            if (rls[r] > bestRep) bestRep = rls[r];
+          }
+          for (int r = 0; r < 3; r++) {
+            int rl = rls[r];
+            if (rl < 3) continue;
+            u32 rd = rp[r];
+            u32 nr[3];
+            u32 ofv = zofv_map(rp, rd, lr, nr);
+            u32 pbase = bp + oprices->ll[ll_code(lr)]
+                        + oprices->of[highbit32(ofv)];
+            int L0 = 3;
+            if (bestRep >= ONICE) {
+              if (rl < bestRep) continue;
+              L0 = rl;
+              skipUntil = i + (size_t)rl;
+            }
+            for (int L = L0; L <= rl; L++) {
+              u32 p = pbase + oprices->ml[ml_code((u32)L)];
+              ZOptNode& t = o[i + (size_t)L];
+              if (p < t.price) {
+                t.price = p;
+                t.from = (int32_t)i;
+                t.len = L;
+                t.dist = rd;
+                t.reps[0] = nr[0];
+                t.reps[1] = nr[1];
+                t.reps[2] = nr[2];
+                t.litRun = 0;
+              }
+            }
+          }
+          // new matches
+          if (bestRep < ONICE) {
+            int cnt = mf.find_pairs(base, abs, (size_t)(limit - base),
+                                    dpDepth, zpairs, 48);
+            if (doInsert) mf.insert(base, abs);
+            int L = 3;
+            for (int k = 0; k < cnt; k++) {
+              int kl = zpairs[k].len < maxLen ? zpairs[k].len : maxLen;
+              u32 d = zpairs[k].dist;
+              u32 nr[3];
+              u32 ofv = zofv_map(rp, d, lr, nr);
+              u32 pbase = bp + oprices->ll[ll_code(lr)]
+                          + oprices->of[highbit32(ofv)];
+              if (kl >= ONICE && k == cnt - 1) {
+                // long-match jump: relax only the full length
+                L = kl;
+                skipUntil = i + (size_t)kl;
+              }
+              for (; L <= kl; L++) {
+                u32 p = pbase + oprices->ml[ml_code((u32)L)];
+                ZOptNode& t = o[i + (size_t)L];
+                if (p < t.price) {
+                  t.price = p;
+                  t.from = (int32_t)i;
+                  t.len = L;
+                  t.dist = d;
+                  t.reps[0] = nr[0];
+                  t.reps[1] = nr[1];
+                  t.reps[2] = nr[2];
+                  t.litRun = 0;
+                }
+              }
+              if (zpairs[k].len >= maxLen) break;
+            }
+          } else if (doInsert) {
+            mf.insert(base, abs);
+          }
+        }
+        if (rerun) {
+          // stats-only walk of the pass-1 path, then reprice and re-solve
+          u32 f[256] = {0};
+          u32 fl[36] = {0}, fm[53] = {0}, fo[32] = {0};
+          u32 sreps[3] = {rep[0], rep[1], rep[2]};
+          size_t srun = 0;
+          size_t ns = 0;
+          int steps = 0;
+          for (size_t i = blen; i > 0; i = (size_t)o[i].from)
+            opath[steps++] = (int32_t)i;
+          for (int k = steps - 1; k >= 0; k--) {
+            ZOptNode& t = o[opath[k]];
+            if (t.dist == 0) {
+              f[base[bstart + (size_t)t.from]]++;
+              srun++;
+            } else {
+              u32 ofv = zofv_emit(sreps, t.dist, srun);
+              fl[ll_code((u32)srun)]++;
+              fm[ml_code((u32)t.len)]++;
+              fo[highbit32(ofv)]++;
+              srun = 0;
+              ns++;
+            }
+          }
+          ZOptPrices::hist_prices(f, oprices->lit, 256, nullptr);
+          if (ns >= 16) {
+            static const u8 ofX[32] = {0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10,
+                                       11, 12, 13, 14, 15, 16, 17, 18, 19,
+                                       20, 21, 22, 23, 24, 25, 26, 27, 28,
+                                       29, 30, 31};
+            ZOptPrices::hist_prices(fl, oprices->ll, 36, LL_BITS);
+            ZOptPrices::hist_prices(fm, oprices->ml, 53, ML_BITS);
+            ZOptPrices::hist_prices(fo, oprices->of, 32, ofX);
+          }
+          for (size_t i = 0; i <= blen; i++) {
+            o[i].price = 0xFFFFFFFFu;
+            o[i].from = -1;
+          }
+          o[0].price = 0;
+          o[0].from = 0;
+          o[0].reps[0] = rep[0];
+          o[0].reps[1] = rep[1];
+          o[0].reps[2] = rep[2];
+          o[0].litRun = 0;
+          rerun = false;
+          doInsert = false;
+          goto dp_pass;
+        }
+        // backtrack + replay into lits/seqs
+        int steps = 0;
+        for (size_t i = blen; i > 0; i = (size_t)o[i].from)
+          opath[steps++] = (int32_t)i;
+        for (int k = steps - 1; k >= 0; k--) {
+          ZOptNode& t = o[opath[k]];
+          size_t abs = bstart + (size_t)t.from;
+          if (t.dist == 0) {
+            lits[nlit++] = base[abs];
+            run++;
+          } else {
+            u32 ofv = zofv_emit(rep, t.dist, run);
+            seqs[nseq].ll = run;
+            seqs[nseq].ml = (u32)t.len;
+            seqs[nseq].ofv = ofv;
+            nseq++;
+            run = 0;
+          }
+        }
+        pos = blockEnd;
+        // price refresh for the next block from this block's symbols
+        oprices->refresh(lits, nlit, seqs, nseq);
       } else {
       // deferred-lookahead cache: when lazy evaluation defers to pos+1,
       // the next iteration reuses that search instead of re-walking the
@@ -1706,6 +2055,9 @@ done:
   free(seqs);
   free(lits);
   free(scratch);
+  free(onodes);
+  free(opath);
+  free(oprices);
   mf.release();
   if (useRow) rmf.release();
   return result;
