@@ -169,3 +169,27 @@ def test_ratio_beats_stock_l2_point():
     own = len(native.zstd_compress(p, 2))
     stock = len(zstandard.ZstdCompressor(level=2).compress(p))
     assert own <= stock, (own, stock)
+
+
+def test_optimal_parse_edges():
+    """L16+ runs the block-DP parse (csrc/zstd_encode.cpp ZSTRAT_OPT);
+    pin block boundaries, tiny inputs, periodic jumps, and the ratio win
+    over the chain tier."""
+    base = open("/root/reference/algos/zstd/lib/compress/zstd_compress.c",
+                "rb").read()
+    d = zstandard.ZstdDecompressor()
+    for n in (1, 31, 4096, 131071, 131072, 131073, 262145):
+        p = base[:n]
+        for level in (16, 19):
+            c = native.zstd_compress(p, level)
+            assert native.zstd_decompress(c, len(p)) == p, (level, n)
+            assert d.decompress(c, max_output_size=len(p)) == p, (level, n)
+    per = b"abcdefgh" * 40000
+    c = native.zstd_compress(per, 19)
+    assert len(c) < len(per) // 100
+    assert d.decompress(c, max_output_size=len(per)) == per
+    # the optimal tier must beat the chain tier's ratio
+    p = base[:400000]
+    opt = len(native.zstd_compress(p, 19))
+    mid = len(native.zstd_compress(p, 12))
+    assert opt < mid, (opt, mid)
