@@ -469,14 +469,19 @@ static int huf_decode_stream(const HufDec* h, const u8* src, size_t srcSize,
   return 0;
 }
 
-// Four independent bitstreams decoded in lockstep: each stream's
-// peek/advance chain is serial, but four chains issue in parallel —
-// the same ILP recast as the reference's 4-stream loop
-// (algos/zstd/lib/decompress/huf_decompress.c HUF_decompress4X1_usingDTable).
+// Four independent bitstreams decoded in lockstep: each stream keeps its
+// bit window in a register and decodes FIVE symbols per one unconditional
+// refill (5 * HUF_MAX_LOG = 55 <= 56 guaranteed window bits after
+// RegBack::refill), with the four streams' chains interleaved for ILP.
+// The reference ships this loop as hand-written assembly
+// (algos/zstd/lib/decompress/huf_decompress_amd64.S, 4 streams x 5 symbols
+// per reload); this is the C++ recast of the same schedule — the previous
+// per-symbol guarded-load peek (BackReader::at) cost a branch + address
+// recompute on every symbol of every stream.
 static int huf_decode_4streams(const HufDec* h, const u8* sp,
                                const size_t ss[4], u8* litBuf,
                                const size_t lens[4]) {
-  BackReader br[4];
+  RegBack br[4];
   u8* out[4];
   size_t off = 0;
   const u8* p = sp;
@@ -486,31 +491,51 @@ static int huf_decode_4streams(const HufDec* h, const u8* sp,
     off += lens[i];
     p += ss[i];
   }
-  int log = h->log;
+  const int log = h->log;
   const u16* const ent = h->ent;
+  const u32 mask = (1u << log) - 1;
   size_t n = lens[3];  // lens[0..2] == q >= lens[3]
   for (int i = 0; i < 3; i++) if (lens[i] < n) n = lens[i];
   size_t i = 0;
-  for (; i < n; i++) {
-    u16 e0 = ent[br[0].peek(log)];
-    u16 e1 = ent[br[1].peek(log)];
-    u16 e2 = ent[br[2].peek(log)];
-    u16 e3 = ent[br[3].peek(log)];
-    out[0][i] = (u8)e0; br[0].skip(e0 >> 8);
-    out[1][i] = (u8)e1; br[1].skip(e1 >> 8);
-    out[2][i] = (u8)e2; br[2].skip(e2 >> 8);
-    out[3][i] = (u8)e3; br[3].skip(e3 >> 8);
-  }
-  if (br[0].pos < 0 || br[1].pos < 0 || br[2].pos < 0 || br[3].pos < 0)
-    return ERR_CORRUPT;
-  for (int k = 0; k < 4; k++) {
-    for (size_t j = i; j < lens[k]; j++) {
-      u16 e = ent[br[k].peek(log)];
-      out[k][j] = (u8)e;
-      br[k].skip(e >> 8);
-      if (br[k].pos < 0) return ERR_CORRUPT;
+  while (i + 5 <= n && br[0].pos >= 56 && br[1].pos >= 56 &&
+         br[2].pos >= 56 && br[3].pos >= 56) {
+    br[0].refill(); br[1].refill(); br[2].refill(); br[3].refill();
+    // local copies keep the hot state in registers across the unroll
+    u64 c0 = br[0].cache, c1 = br[1].cache, c2 = br[2].cache,
+        c3 = br[3].cache;
+    i64 p0 = br[0].pos - br[0].cbit, p1 = br[1].pos - br[1].cbit,
+        p2 = br[2].pos - br[2].cbit, p3 = br[3].pos - br[3].cbit;
+    u8* o0 = out[0] + i; u8* o1 = out[1] + i;
+    u8* o2 = out[2] + i; u8* o3 = out[3] + i;
+    for (int j = 0; j < 5; j++) {
+      u16 e0 = ent[(u32)(c0 >> (p0 - log)) & mask];
+      u16 e1 = ent[(u32)(c1 >> (p1 - log)) & mask];
+      u16 e2 = ent[(u32)(c2 >> (p2 - log)) & mask];
+      u16 e3 = ent[(u32)(c3 >> (p3 - log)) & mask];
+      o0[j] = (u8)e0; p0 -= e0 >> 8;
+      o1[j] = (u8)e1; p1 -= e1 >> 8;
+      o2[j] = (u8)e2; p2 -= e2 >> 8;
+      o3[j] = (u8)e3; p3 -= e3 >> 8;
     }
-    if (!br[k].finished()) return ERR_CORRUPT;
+    br[0].pos = p0 + br[0].cbit; br[1].pos = p1 + br[1].cbit;
+    br[2].pos = p2 + br[2].cbit; br[3].pos = p3 + br[3].cbit;
+    i += 5;
+  }
+  // checked tail: per-stream guarded reads finish each stream exactly
+  for (int k = 0; k < 4; k++) {
+    BackReader cb;
+    cb.base = br[k].base;
+    cb.bend = br[k].bend;
+    cb.ok = true;
+    cb.pos = br[k].pos;
+    cb.safe8 = ((i64)(br[k].bend - br[k].base) - 8) * 8;
+    for (size_t j = i; j < lens[k]; j++) {
+      u16 e = ent[cb.peek(log)];
+      out[k][j] = (u8)e;
+      cb.skip(e >> 8);
+      if (cb.pos < 0) return ERR_CORRUPT;
+    }
+    if (!cb.finished()) return ERR_CORRUPT;
   }
   return 0;
 }
