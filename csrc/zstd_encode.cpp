@@ -646,27 +646,31 @@ static inline u32 zhash6(const u8* p) {  // 6-byte hash: the fast loop's
 // head/prev layout cost two random lines per probe; the probe is
 // L2-bound, so halving the touched lines is the speed lever).
 static const int ZFAST_BITS = ZFAST_BITS_FWD;
-static inline u32 zhash6f(const u8* p) {
+// The fast/dfast table width is a per-call parameter: stock sizes its
+// hashLog ~13-16 so the single-probe tables stay cache-resident
+// (clevels.h); a 2^17-bucket table made every probe an L2/DRAM miss —
+// measured 6x encode cost on record-structured data (MEASURED.md r4).
+static inline u32 zhash6f(const u8* p, int bits) {
   u64 v;
   memcpy(&v, p, 8);
   return (u32)(((v & 0xFFFFFFFFFFFFULL) * 227718039650203ULL)
-               >> (64 - ZFAST_BITS));
+               >> (64 - bits));
 }
 
-static inline u32 zhash8d(const u8* p) {  // 8-byte "long" hash (dfast):
-  // a hit confirms 8 matching bytes in one 64-bit compare
+static inline u32 zhash8d(const u8* p, int bits) {  // 8-byte "long" hash
+  // (dfast): a hit confirms 8 matching bytes in one 64-bit compare
   u64 v;
   memcpy(&v, p, 8);
-  return (u32)((v * 0x9E3779B185EBCA87ULL) >> (64 - ZFAST_BITS));
+  return (u32)((v * 0x9E3779B185EBCA87ULL) >> (64 - bits));
 }
 
-static inline u32 zhash5(const u8* p) {  // 5-byte hash for the fast loop:
-  // fewer false positives than 4 bytes, so the single probe usually hits
-  // a real match (the reference's ZSTD_hash5 idea)
+static inline u32 zhash5(const u8* p, int bits) {  // 5-byte hash for the
+  // dfast short probe: fewer false positives than 4 bytes, so the single
+  // probe usually hits a real match (the reference's ZSTD_hash5 idea)
   u64 v;
   memcpy(&v, p, 8);
   return (u32)(((v & 0xFFFFFFFFFFULL) * 889523592379ULL)
-               >> (64 - ZHASH_BITS));
+               >> (64 - bits));
 }
 
 static int zmatch_len(const u8* a, const u8* b, const u8* limit) {
@@ -906,18 +910,19 @@ struct ZMF {
   u32 window;
   u32 cmask;  // chain-link table mask (2^clog - 1, <= window - 1)
 
-  bool alloc(u32 win, int clog) {
+  bool alloc(u32 win, int clog, int headSlots = HEAD_SLOTS) {
     window = win;
     u32 csize = (u32)1 << clog;
     if (csize > win) csize = win;
     cmask = csize - 1;
     // sized for BOTH layouts: the chain-level single-entry table
     // (ZHASH_SIZE) and the fast loop's interleaved 2-entry buckets
-    // (2 << ZFAST_BITS)
+    // (2 << fbits); only the slots the strategy actually indexes are
+    // cleared (small fast tables keep the per-call memset cheap too)
     head = (int32_t*)malloc(sizeof(int32_t) * HEAD_SLOTS);
     prev = (int32_t*)malloc(sizeof(int32_t) * (size_t)csize);
     if (!head || !prev) return false;
-    memset(head, -1, sizeof(int32_t) * HEAD_SLOTS);
+    memset(head, -1, sizeof(int32_t) * (size_t)headSlots);
     return true;
   }
   void release() { free(head); free(prev); }
@@ -1363,7 +1368,21 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
   RowMF rmf{};
   bool useRow = lp.strat == ZSTRAT_ROW;
   bool useOpt = lp.strat == ZSTRAT_OPT;
-  if (!mf.alloc(lp.window, useRow ? 4 : lp.clog)) {
+  // fast/dfast single-probe table width: sized to stay cache-resident
+  // (stock's hashLog idiom, clevels.h). Chain/row levels keep ZHASH_BITS.
+  bool useFastTabs = (lp.strat == ZSTRAT_FAST || lp.strat == ZSTRAT_DFAST)
+                     && pref == 0;
+  int fbits = ZFAST_BITS;
+  if (useFastTabs) {
+    // measured on the real-file corpus (MEASURED.md r4 "fast-table
+    // residency"): 14/15 beat 17 by 1.3-2.6x on ELF/records at <1% ratio
+    // (still above stock's ratio on every test file)
+    fbits = (lp.strat == ZSTRAT_FAST) ? 14 : 15;
+    int slog = highbit32((u32)(total | 1)) + 1;  // don't oversize on
+    if (fbits > slog) fbits = slog;              // small inputs
+  }
+  if (!mf.alloc(lp.window, useRow ? 4 : lp.clog,
+                useFastTabs ? (2 << fbits) : HEAD_SLOTS)) {
     free(buf);
     return ERR_CORRUPT;
   }
@@ -1478,7 +1497,7 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
                 pos + 1 + 8 <= total && pos + 1 + 4 <= blockEnd &&
                 rd32le_(base + pos + 1)
                     == rd32le_(base + pos + 1 - rep[0])) {
-              tab[zhash6f(base + pos) * 2] = (int32_t)pos;
+              tab[zhash6f(base + pos, fbits) * 2] = (int32_t)pos;
               pos++;
               continue;
             }
@@ -1497,7 +1516,7 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
             dist = rep[0];
             isRep = true;
           } else {
-            u32 h = zhash6f(base + pos) * 2;
+            u32 h = zhash6f(base + pos, fbits) * 2;
             int32_t cand = tab[h];
             int32_t cand2 = tab[h + 1];
             tab[h + 1] = cand;
@@ -1554,9 +1573,9 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
           nseq++;
           size_t endp = pos + (size_t)len;
           if (pos + 1 + 8 <= total)
-            tab[zhash6f(base + pos + 1) * 2] = (int32_t)(pos + 1);
+            tab[zhash6f(base + pos + 1, fbits) * 2] = (int32_t)(pos + 1);
           if (endp >= 2 && endp - 2 > pos + 1 && endp - 2 + 8 <= total)
-            tab[zhash6f(base + endp - 2) * 2] = (int32_t)(endp - 2);
+            tab[zhash6f(base + endp - 2, fbits) * 2] = (int32_t)(endp - 2);
           pos = endp;
           anchor = pos;
         }
@@ -1577,8 +1596,8 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
         // walking: at most three probes per position, so the mid levels
         // run at fast-loop speed while the long-hash confirms keep the
         // ratio near the chain matcher's.
-        int32_t* tabL = mf.head;                     // 1<<ZFAST_BITS slots
-        int32_t* tabS = mf.head + (1 << ZFAST_BITS); // 1<<ZFAST_BITS slots
+        int32_t* tabL = mf.head;                 // 1<<fbits slots
+        int32_t* tabS = mf.head + (1 << fbits);  // 1<<fbits slots
         size_t anchor = pos;
         while (pos < blockEnd) {
           if (pos + 8 > total || pos + 4 > blockEnd) break;
@@ -1594,8 +1613,8 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
                 pos + 1 + 8 <= total && pos + 1 + 4 <= blockEnd &&
                 rd32le_(base + pos + 1)
                     == rd32le_(base + pos + 1 - rep[0])) {
-              tabL[zhash8d(base + pos)] = (int32_t)pos;
-              tabS[zhash5(base + pos)] = (int32_t)pos;
+              tabL[zhash8d(base + pos, fbits)] = (int32_t)pos;
+              tabS[zhash5(base + pos, fbits)] = (int32_t)pos;
               pos++;
               continue;
             }
@@ -1614,8 +1633,8 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
             dist = rep[0];
             isRep = true;
           } else if (!len) {
-            u32 hl = zhash8d(base + pos);
-            u32 hs = zhash5(base + pos);
+            u32 hl = zhash8d(base + pos, fbits);
+            u32 hs = zhash5(base + pos, fbits);
             int32_t cl = tabL[hl];
             int32_t cs = tabS[hs];
             tabL[hl] = (int32_t)pos;
@@ -1637,7 +1656,7 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
               // short hit: one shot at a longer long-hash match one byte
               // ahead (the dfast upgrade probe)
               if (pos + 1 + 8 <= total && pos + 1 + 4 <= blockEnd) {
-                u32 hl1 = zhash8d(base + pos + 1);
+                u32 hl1 = zhash8d(base + pos + 1, fbits);
                 int32_t cl1 = tabL[hl1];
                 tabL[hl1] = (int32_t)(pos + 1);
                 if (cl1 >= 0 && pos + 1 - (size_t)cl1 <= lp.window &&
@@ -1677,21 +1696,21 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
           nseq++;
           size_t endp = pos + (size_t)len;
           if (pos + 1 + 8 <= total) {
-            tabL[zhash8d(base + pos + 1)] = (int32_t)(pos + 1);
-            tabS[zhash5(base + pos + 1)] = (int32_t)(pos + 1);
+            tabL[zhash8d(base + pos + 1, fbits)] = (int32_t)(pos + 1);
+            tabS[zhash5(base + pos + 1, fbits)] = (int32_t)(pos + 1);
           }
           for (size_t q = pos + 2; q + 8 <= total && q < endp;
                q += (size_t)lp.dstep) {
-            tabL[zhash8d(base + q)] = (int32_t)q;
-            tabS[zhash5(base + q)] = (int32_t)q;
+            tabL[zhash8d(base + q, fbits)] = (int32_t)q;
+            tabS[zhash5(base + q, fbits)] = (int32_t)q;
           }
           if (endp >= 2 && endp - 2 > pos + 2 && endp - 2 + 8 <= total) {
-            tabL[zhash8d(base + endp - 2)] = (int32_t)(endp - 2);
-            tabS[zhash5(base + endp - 2)] = (int32_t)(endp - 2);
+            tabL[zhash8d(base + endp - 2, fbits)] = (int32_t)(endp - 2);
+            tabS[zhash5(base + endp - 2, fbits)] = (int32_t)(endp - 2);
           }
           if (endp >= 1 && endp - 1 > pos + 2 && endp - 1 + 8 <= total) {
-            tabL[zhash8d(base + endp - 1)] = (int32_t)(endp - 1);
-            tabS[zhash5(base + endp - 1)] = (int32_t)(endp - 1);
+            tabL[zhash8d(base + endp - 1, fbits)] = (int32_t)(endp - 1);
+            tabS[zhash5(base + endp - 1, fbits)] = (int32_t)(endp - 1);
           }
           pos = endp;
           anchor = pos;
