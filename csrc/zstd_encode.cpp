@@ -1477,15 +1477,18 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
         // backward match extension, two table refreshes per match —
         // the reference's ZSTD_fast loop shape
         // (algos/zstd/lib/compress/zstd_fast.c), own code.
-        int32_t* tab = mf.head;  // 2^ZFAST_BITS interleaved 2-entry buckets
+        int32_t* tab = mf.head;  // 2^fbits interleaved 2-entry buckets
         size_t anchor = pos;
-        while (pos < blockEnd) {
-          // tail becomes literals; the min-match baseline of 4 below must
-          // not cross blockEnd (a crossing match would re-encode the next
-          // block's first bytes)
-          if (pos + 8 > total || pos + 4 > blockEnd) break;
-          const u8* limit = base + (blockEnd - pos > 65538
-                                    ? pos + 65538 : blockEnd);
+        // match scans clamp at blockEnd (a crossing match would re-encode
+        // the next block's first bytes); ml <= BLOCK_MAX = 131072 fits ML
+        // code 52 (base 65539 + 16 extra bits = 131074), so no per-
+        // position 65538 window recompute is needed
+        const u8* const limit = base + blockEnd;
+        // tail becomes literals; the min-match baseline of 4 below must
+        // not cross blockEnd (signed: tiny inputs would underflow)
+        const i64 scanEnd = ((i64)total - 8 < (i64)blockEnd - 4
+                                 ? (i64)total - 8 : (i64)blockEnd - 4);
+        while ((i64)pos <= scanEnd) {
           int len = 0;
           u32 dist = 0;
           bool isRep = false;
@@ -1599,10 +1602,11 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
         int32_t* tabL = mf.head;                 // 1<<fbits slots
         int32_t* tabS = mf.head + (1 << fbits);  // 1<<fbits slots
         size_t anchor = pos;
-        while (pos < blockEnd) {
-          if (pos + 8 > total || pos + 4 > blockEnd) break;
-          const u8* limit = base + (blockEnd - pos > 65538
-                                    ? pos + 65538 : blockEnd);
+        // hoisted scan clamps, same reasoning as the fast loop above
+        const u8* const limit = base + blockEnd;
+        const i64 scanEnd = ((i64)total - 8 < (i64)blockEnd - 4
+                                 ? (i64)total - 8 : (i64)blockEnd - 4);
+        while ((i64)pos <= scanEnd) {
           int len = 0;
           u32 dist = 0;
           bool isRep = false;
