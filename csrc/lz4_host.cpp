@@ -421,12 +421,55 @@ int64_t atpu_lz4_decompressed_size(const uint8_t* src, int64_t srcLen) {
 // (reference capability: algos/lz4/lz4hc.c levels 1-12; own design).
 // ---------------------------------------------------------------------------
 
+// ---------------------------------------------------------------------------
+// Optimal-parse tier (levels 10-12). The reference switches strategy at
+// L10 to a price-driven parse (algos/lz4/lz4hc.c:1629 LZ4HC_compress_optimal,
+// clTable :1655-1668); this is an own design on the recipe proven by
+// csrc/lzma.cpp lzma_run_optimal and the zstd L16+ DP: a chunked forward
+// shortest-path where the price is the EXACT output byte count (token +
+// literal-extension bytes + literals + 2 offset bytes + match-extension
+// bytes), nodes carry the pending literal-run length (its extension-byte
+// boundaries at 15, 270, 525, ... are the only history the price needs),
+// and long matches take a nice-length early-out so RLE spans don't
+// quadratically relax every sub-length.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct L4OptNode {
+    uint32_t price;
+    int32_t from;
+    int32_t len;     // bytes of the entering op (1 = literal)
+    uint32_t dist;   // 0 = literal
+    uint32_t run;    // pending literal-run length at this node
+};
+
+struct L4Pair { int len; uint32_t dist; };
+
+// +1 output byte when the literal run grows ONTO an extension boundary
+// (run 15 adds the first extension byte; 270, 525, ... each add another)
+static inline uint32_t l4_lit_inc(uint32_t run_after) {
+    return (run_after >= 15 && (run_after - 15) % 255 == 0) ? 2u : 1u;
+}
+static inline uint32_t l4_mlext(int64_t L) {
+    return (L - 4 < 15) ? 0u : (uint32_t)(1 + (L - 19) / 255);
+}
+
+}  // namespace
+
+static int64_t lz4hc_optimal_tail(const uint8_t* src, int64_t srcLen,
+                                  uint8_t* dst, int64_t dstCap, int level,
+                                  int64_t* tail_lits);
+
 int64_t atpu_lz4hc_compress_tail(const uint8_t* src, int64_t srcLen,
                                  uint8_t* dst, int64_t dstCap, int level,
                                  int64_t* tail_lits) {
     if (srcLen < 0 || dstCap < 0) return -1;
     if (level < 1) level = 9;
     if (level > 12) level = 12;
+    if (level >= 10)
+        return lz4hc_optimal_tail(src, srcLen, dst, dstCap, level,
+                                  tail_lits);
     // search depth doubles per level: 1<<(level-1), capped
     int64_t maxAttempts = (int64_t)1 << (level - 1);
     if (maxAttempts > 4096) maxAttempts = 4096;
@@ -518,6 +561,202 @@ int64_t atpu_lz4hc_compress_tail(const uint8_t* src, int64_t srcLen,
 int64_t atpu_lz4hc_compress(const uint8_t* src, int64_t srcLen,
                             uint8_t* dst, int64_t dstCap, int level) {
     return atpu_lz4hc_compress_tail(src, srcLen, dst, dstCap, level, nullptr);
+}
+
+// Optimal parse (see the block comment above atpu_lz4hc_compress_tail).
+// Because an LZ4 offset always costs exactly 2 bytes, the price of a
+// match depends only on its LENGTH — so per position the DP needs only
+// the longest match (any shorter arrival is that match truncated), not
+// the reference's full pair list.
+static int64_t lz4hc_optimal_tail(const uint8_t* src, int64_t srcLen,
+                                  uint8_t* dst, int64_t dstCap, int level,
+                                  int64_t* tail_lits) {
+    uint8_t* op = dst;
+    const uint8_t* oend = dst + dstCap;
+    const uint8_t* anchor = src;
+    const uint8_t* iend = src + srcLen;
+
+    if (srcLen > kMfLimit) {
+        const int64_t window = kMaxDistance + 1;
+        const int64_t CHUNK = 16384, SLACK = 4096;
+        const int64_t NN = CHUNK + SLACK + 1;
+        int32_t* head = (int32_t*)std::malloc(kHashSize * sizeof(int32_t));
+        int32_t* prev = (int32_t*)std::malloc(window * sizeof(int32_t));
+        L4OptNode* nd = (L4OptNode*)std::malloc(sizeof(L4OptNode)
+                                                * (size_t)NN);
+        int64_t* order = (int64_t*)std::malloc(sizeof(int64_t) * (size_t)NN);
+        if (!head || !prev || !nd || !order) {
+            std::free(head);
+            std::free(prev);
+            std::free(nd);
+            std::free(order);
+            return -1;
+        }
+        for (int i = 0; i < kHashSize; i++) head[i] = -1;
+        int64_t nextInsert = 0;
+        const int64_t mfl = srcLen - kMfLimit;       // last match start
+        const int64_t mll = srcLen - kLastLiterals;  // last match end
+        const uint8_t* mlimit = src + mll;
+        auto insert_upto = [&](int64_t p) {
+            if (p > mfl + 1) p = mfl + 1;
+            while (nextInsert < p) {
+                uint32_t h = hash4(read32(src + nextInsert));
+                prev[nextInsert & kMaxDistance] = head[h];
+                head[h] = (int32_t)nextInsert;
+                nextInsert++;
+            }
+        };
+        // search depth per level (reference clTable tier: 512-16384
+        // searches at L10-12; these are chain steps per DP position)
+        const int attempts0 = level >= 12 ? 512 : (level == 11 ? 256 : 96);
+        // long-match early-out, scaled like the reference's sufficient_len
+        // ladder (lz4hc.c clTable): exhaustive sub-length relaxation buys
+        // nothing once a match is this long, and on periodic data the
+        // chain walk would otherwise scan every same-hash candidate at
+        // every in-match position
+        const int64_t NICE = level >= 12 ? 256 : (level == 11 ? 128 : 64);
+
+        auto find_longest = [&](int64_t p, uint32_t* distOut) -> int64_t {
+            const uint8_t* ip = src + p;
+            uint32_t h = hash4(read32(ip));
+            int32_t cand = head[h] == (int32_t)p ? prev[p & kMaxDistance]
+                                                 : head[h];
+            int64_t best = kMinMatch - 1;
+            uint32_t bestd = 0;
+            int attempts = attempts0;
+            while (cand >= 0 && p - cand <= kMaxDistance && attempts-- > 0) {
+                const uint8_t* m = src + cand;
+                if (m[best] == ip[best] && read32(m) == read32(ip)) {
+                    int64_t len = kMinMatch + count_match(
+                        ip + kMinMatch, m + kMinMatch, mlimit);
+                    if (len > best) {
+                        best = len;
+                        bestd = (uint32_t)(p - cand);
+                        if (len >= NICE) break;
+                    }
+                }
+                int32_t nx = prev[cand & kMaxDistance];
+                if (nx >= cand) break;
+                cand = nx;
+            }
+            *distOut = bestd;
+            return bestd ? best : 0;
+        };
+
+        int64_t base = 0;
+        uint32_t run0 = 0;  // pending literal run entering the chunk
+        while (base < srcLen) {
+            int64_t rem = srcLen - base;
+            int64_t tgt = rem < CHUNK ? rem : CHUNK;
+            int64_t maxo = rem < CHUNK + SLACK ? rem : CHUNK + SLACK;
+            for (int64_t i = 0; i <= maxo; i++) {
+                nd[i].price = 0xFFFFFFFFu;
+                nd[i].from = -1;
+            }
+            nd[0].price = 0;
+            nd[0].from = 0;
+            nd[0].len = 0;
+            nd[0].dist = 0;
+            nd[0].run = run0;
+
+            auto relax = [&](int64_t j, uint32_t p, int64_t i, int64_t len,
+                             uint32_t dist, uint32_t run) {
+                if (p >= nd[j].price) return;
+                nd[j].price = p;
+                nd[j].from = (int32_t)i;
+                nd[j].len = (int32_t)len;
+                nd[j].dist = dist;
+                nd[j].run = run;
+            };
+
+            int64_t skipUntil = 0;
+            for (int64_t i = 0; i < tgt; i++) {
+                if (nd[i].from < 0) continue;
+                const uint32_t basePrice = nd[i].price;
+                const uint32_t run = nd[i].run;
+                const int64_t abs = base + i;
+                if (i + 1 <= maxo)
+                    relax(i + 1, basePrice + l4_lit_inc(run + 1), i, 1, 0,
+                          run + 1);
+                if (i < skipUntil || abs > mfl) continue;
+                insert_upto(abs + 1);
+                uint32_t dist = 0;
+                int64_t longest = find_longest(abs, &dist);
+                if (longest < kMinMatch) continue;
+                if (longest > maxo - i) longest = maxo - i;
+                if (longest < kMinMatch) continue;
+                if (longest >= NICE) {
+                    relax(i + longest,
+                          basePrice + 3 + l4_mlext(longest), i, longest,
+                          dist, 0);
+                    skipUntil = i + longest;
+                } else {
+                    for (int64_t L = kMinMatch; L <= longest; L++)
+                        relax(i + L, basePrice + 3 + l4_mlext(L), i, L,
+                              dist, 0);
+                }
+            }
+
+            // chunk end: cheapest reachable node at or past the target,
+            // comparing nodes at different positions fairly by charging
+            // each the all-literal cost of the input it has NOT consumed
+            // (an admissible estimate — without it the nearest node
+            // always wins and matches spanning the boundary get cut)
+            int64_t end = tgt;
+            uint64_t bestP = 0xFFFFFFFFFFFFull;
+            for (int64_t i = tgt; i <= maxo; i++) {
+                if (nd[i].from < 0) continue;
+                uint64_t p = (uint64_t)nd[i].price + (uint64_t)(maxo - i);
+                if (p < bestP) {
+                    bestP = p;
+                    end = i;
+                }
+            }
+
+            // backtrack the path (at most maxo <= NN edges), then emit
+            // the match edges forward
+            int64_t cur = end;
+            int64_t nEdges = 0;
+            while (cur > 0) {
+                nEdges++;
+                cur = nd[cur].from;
+            }
+            cur = end;
+            for (int64_t k = nEdges - 1; k >= 0; k--) {
+                order[k] = cur;
+                cur = nd[cur].from;
+            }
+            int64_t at = 0;
+            for (int64_t k = 0; k < nEdges; k++) {
+                int64_t j = order[k];
+                if (nd[j].dist) {
+                    int64_t mstart = base + at;
+                    int64_t lits = (src + mstart) - anchor;
+                    if (op + seq_out_size(lits, nd[j].len) > oend) {
+                        std::free(head);
+                        std::free(prev);
+                        std::free(nd);
+                        std::free(order);
+                        return -1;
+                    }
+                    op = emit_sequence(op, anchor, lits, nd[j].dist,
+                                       nd[j].len, oend);
+                    anchor = src + base + j;
+                }
+                at = j;
+            }
+            run0 = nd[end].run;
+            base += end;
+        }
+        std::free(head);
+        std::free(prev);
+        std::free(nd);
+        std::free(order);
+    }
+    if (tail_lits) *tail_lits = iend - anchor;
+    if (op + seq_out_size(iend - anchor, 0) > oend) return -1;
+    op = emit_sequence(op, anchor, iend - anchor, 0, 0);
+    return op - dst;
 }
 
 }  // extern "C"

@@ -36,6 +36,40 @@ def test_lz4hc_ratio_improves_with_level(corpus):
     assert s12 <= s1
 
 
+@pytest.mark.parametrize("level", [10, 11, 12])
+def test_lz4hc_optimal_tier_beats_chain_tier(level, corpus):
+    """L10-12 switch to the price-DP optimal parse (reference strategy
+    switch: lz4hc.c:1629 LZ4HC_compress_optimal, clTable :1655) — on
+    text it must strictly beat the L9 chain tier, not merely match it."""
+    d = corpus["text_300k"]
+    s9 = len(native.lz4hc_compress(d, 9))
+    sL = len(native.lz4hc_compress(d, level))
+    assert sL < s9
+
+
+@pytest.mark.parametrize("name", ["empty", "one", "tiny", "runs", "period2",
+                                  "text_64k", "binary_200k", "random_100k",
+                                  "mixed"])
+def test_lz4hc_optimal_tier_roundtrip(name, corpus):
+    d = corpus[name]
+    for level in (10, 12):
+        c = native.lz4hc_compress(d, level)
+        assert native.lz4_decompress(c, len(d)) == d
+
+
+def test_lz4hc_optimal_chunk_boundary_runs():
+    """Literal runs crossing the DP's 16 KiB chunk boundary must carry
+    their extension-byte state (runs of 15/270/525... pay +1)."""
+    import random
+    rng = random.Random(11)
+    # incompressible span (one long literal run) followed by matchable text
+    d = bytes(rng.randrange(256) for _ in range(40000)) \
+        + b"the quick brown fox jumps over the lazy dog " * 500
+    for level in (10, 11, 12):
+        c = native.lz4hc_compress(d, level)
+        assert native.lz4_decompress(c, len(d)) == d
+
+
 @pytest.mark.parametrize("name", ["empty", "one", "tiny", "runs", "period2",
                                   "text_64k", "binary_200k", "random_100k"])
 def test_snappy_roundtrip(name, corpus):
