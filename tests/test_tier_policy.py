@@ -93,19 +93,22 @@ def test_env_force_overrides_calibration(no_env, monkeypatch, corpus):
 def test_default_not_slower_than_opt_off(codec, level, no_env, corpus_text):
     """VERDICT r2 #2 done-criterion: on ~1 MB inputs the default setup is
     never meaningfully slower than opt_off=True (it routes to the same
-    host-tier class now). Wide margin — CI timing noise, not perf."""
+    host-tier class). Bar: median-of-7 within 20% (+5 ms absolute slack
+    for scheduler noise on shared CI boxes) — the regression guard
+    ROUND3.md claimed, now actually asserted (VERDICT r3 weak #7)."""
     data = corpus_text(1 << 20)
     h_def = actpu.setup(codec, level=level)
     h_off = actpu.setup(codec, level=level, opt_off=True)
 
-    def best(h):
-        b = float("inf")
-        for _ in range(3):
+    def median7(h):
+        ts = []
+        for _ in range(7):
             t0 = time.perf_counter()
             actpu.compress(h, data)
-            b = min(b, time.perf_counter() - t0)
-        return b
+            ts.append(time.perf_counter() - t0)
+        return sorted(ts)[3]
 
-    t_off = best(h_off)
-    t_def = best(h_def)
-    assert t_def <= 2.0 * t_off + 0.05, (codec, level, t_def, t_off)
+    median7(h_off)  # warm caches/tables before the measured passes
+    t_off = median7(h_off)
+    t_def = median7(h_def)
+    assert t_def <= 1.2 * t_off + 0.005, (codec, level, t_def, t_off)
