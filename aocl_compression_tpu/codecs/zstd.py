@@ -150,18 +150,42 @@ class ZstdCodec(Codec):
 
 
 def train_dictionary(samples: Sequence[bytes], dict_size: int = 16384,
-                     level: int = 3) -> bytes:
+                     level: int = 3, entropy: bool = True) -> bytes:
     """Train a zstd dictionary from sample buffers — own implementation.
 
     Capability parity with the reference's dictBuilder (algos/zstd/lib/
     dictBuilder/ ZDICT_trainFromBuffer; COVER family): greedy selection of
-    high-coverage fragments by k-gram frequency. Produces a RAW-CONTENT
-    dictionary (usable by this codec and by stock zstd in raw-content
-    mode); the most frequent fragments are placed at the dictionary tail
-    where back-reference offsets are shortest.
+    high-coverage fragments by k-gram frequency. With entropy=True
+    (default) the result is the magic-headed ZDICT format — dictID,
+    pre-trained literal Huffman table, FSE tables, repcodes, content —
+    which both this codec and stock zstd load with full table reuse
+    (Treeless_Literals / Repeat_Mode: no per-frame table headers, where
+    the small-payload win lives; reference: zdict.c ZDICT_analyzeEntropy).
+    entropy=False yields the bare RAW-CONTENT dictionary. The most
+    frequent fragments are placed at the dictionary tail where
+    back-reference offsets are shortest.
     """
     import numpy as np
     blob = b"".join(samples)
+    if entropy:
+        content_size = max(256, dict_size - 256)
+        content = (blob if len(blob) <= content_size else
+                   train_dictionary(samples, content_size, level,
+                                    entropy=False))
+        # stats pass: compress a sample slice against the content-only
+        # dictionary and histogram the literals / sequence codes the
+        # emitted streams actually used — the distributions the
+        # pre-trained tables should model (zdict.c ZDICT_analyzeEntropy
+        # does the same with its own compressor)
+        with native.ZstdStatsCapture() as st:
+            for s in samples[:256]:
+                if s:
+                    native.zstd_compress(s, level, content)
+        import zlib as _z
+        dict_id = (_z.crc32(content) | 0x80000000) & 0xFFFFFFFF
+        header = native.zstd_build_dict_header(
+            list(st.lit), dict_id, list(st.ll), list(st.of), list(st.ml))
+        return header + content
     if len(blob) <= dict_size:
         return blob
     a = np.frombuffer(blob, dtype=np.uint8)
@@ -179,9 +203,17 @@ def train_dictionary(samples: Sequence[bytes], dict_size: int = 16384,
     order = np.argsort(seg_scores)  # ascending: best segments last
     need = dict_size // SEG
     # walk candidates in descending SCORE order (not segment index) so the
-    # kept fragments are genuinely the highest-coverage ones
-    kept, total = [], 0
+    # kept fragments are genuinely the highest-coverage ones; frequent
+    # fragments appear at MANY segment positions — dedup by content hash
+    # or the dictionary fills with copies of the same bytes (each copy
+    # past the first contributes nothing to match coverage)
+    kept, total, seen = [], 0, set()
     for si in order[::-1].tolist():
+        frag = blob[si * SEG:(si + 1) * SEG]
+        key = hash(frag)
+        if key in seen:
+            continue
+        seen.add(key)
         kept.append(si)
         total += SEG
         if total >= dict_size or len(kept) >= need * 2:

@@ -137,7 +137,8 @@ def _chain_match_len(cur, prev, ok0, nw: int = NW):
 
 def _find_matches(data_u8: jnp.ndarray, n: jnp.ndarray, B: int,
                   max_off: int = 0, depth: int = 2, nw: int = NW,
-                  small_offsets: tuple = SMALL_OFFSETS):
+                  small_offsets: tuple = SMALL_OFFSETS,
+                  hash_bits: int = HASH_BITS, nw_deep: int = 0):
     """Per-position best (offset, matchlen) candidates — sort-centric.
 
     Returns (mlen, moff, valid) clamped to the format's end-of-block rules
@@ -147,11 +148,17 @@ def _find_matches(data_u8: jnp.ndarray, n: jnp.ndarray, B: int,
     is a shift by k in sorted order — the hash-chain walk of LZ4HC
     (lz4hc.c AOCL_LZ4HC_InsertAndGetWiderMatch) becomes k shifted
     compares, each fully fused elementwise work).
+    hash_bits: bucket count (16 fits the (hash << 16) | pos key exactly —
+    the i32 sort order is wrap-consistent, grouping is what matters).
+    nw_deep > 0 trims the compare chains of the s >= 2 rungs to nw_deep
+    words: the nearest candidate keeps the full match cap while deeper
+    (rarer, farther) candidates pay less HBM — the depth x nw product is
+    the measured wall of the whole encode pipeline.
     """
     idx = jnp.arange(B, dtype=jnp.int32)
     words = _window_words(data_u8, B, nw)
     w0 = words[0]
-    h = (w0 * jnp.uint32(2654435761)) >> jnp.uint32(32 - HASH_BITS)
+    h = (w0 * jnp.uint32(2654435761)) >> jnp.uint32(32 - hash_bits)
     key = ((h << 16) | idx.astype(jnp.uint32)).astype(jnp.int32)
 
     ops = jax.lax.sort([key] + [w.astype(jnp.int32) for w in words],
@@ -167,16 +174,17 @@ def _find_matches(data_u8: jnp.ndarray, n: jnp.ndarray, B: int,
     best_len = jnp.zeros(B, jnp.int32)
     best_off = jnp.ones(B, jnp.int32)
     for s in range(1, depth + 1):  # k-th previous same-hash position
+        nw_s = nw if (s == 1 or not nw_deep) else min(nw, nw_deep)
         ph = shifted(shash, s, -1)
         pp = shifted(spos, s, 0)
-        pw = [shifted(w, s, -1) for w in swords]
+        pw = [shifted(w, s, -1) for w in swords[:nw_s + 1]]
         ok0 = (ph == shash) & (pw[0] == swords[0])
         # all s intermediate entries share the hash iff the s-th does
         # (sorted order groups hashes), so no extra same-hash checks needed
         off = spos - pp
         if max_off:
             ok0 = ok0 & (off <= max_off)
-        ml = _chain_match_len(swords, pw, ok0, nw)
+        ml = _chain_match_len(swords, pw, ok0, nw_s)
         better = ml > best_len
         best_len = jnp.where(better, ml, best_len)
         best_off = jnp.where(better, off, best_off)
@@ -627,9 +635,18 @@ def _emit_sorted(data_u8, n, sel, cpos, cml, coff, B: int, G: int):
 
 def _encode_block_v2(data_u8, n, B: int, G: int, depth: int = 2,
                      nw: int = NW, small_offsets: tuple = SMALL_OFFSETS,
-                     subm: int = 128):
+                     subm: int = 128, lazy: int = 0,
+                     hash_bits: int = HASH_BITS, nw_deep: int = 0):
     mlen, moff, valid = _find_matches(data_u8, n, B, depth=depth, nw=nw,
-                                      small_offsets=small_offsets)
+                                      small_offsets=small_offsets,
+                                      hash_bits=hash_bits, nw_deep=nw_deep)
+    for _ in range(lazy):
+        # one-step lazy demotion before tile election: drop a candidate
+        # when the next byte position holds a strictly-longer one, so the
+        # election sees the better start (lz4hc.c lazy analog)
+        nx_len = jnp.concatenate([mlen[1:], jnp.zeros(1, jnp.int32)])
+        nx_val = jnp.concatenate([valid[1:], jnp.zeros(1, bool)])
+        valid = valid & ~(nx_val & (nx_len > mlen + 1))
     sel, cpos, cml, coff = _grid_select(mlen, moff, valid, B, G, subm=subm,
                                         match_cap=4 + 4 * nw)
     return _emit_sorted(data_u8, n, sel, cpos, cml, coff, B, G)
@@ -656,7 +673,8 @@ def _encode_block(data_u8, n, B: int, OUTCAP: int, MAXSEQ: int, G: int = 0,
 
 
 def encoder_block_fn(B: int, G: int, depth: int = 2, nw: int = NW,
-                     small_offsets: tuple = SMALL_OFFSETS, lazy: int = 0):
+                     small_offsets: tuple = SMALL_OFFSETS, lazy: int = 0,
+                     hash_bits: int = HASH_BITS, nw_deep: int = 0):
     """Per-block encode fn + output row width, with the measured default
     config for the sort-emit path. Shared by make_encoder and the
     sharded/distributed wrappers so every tier produces identical streams.
@@ -665,7 +683,9 @@ def encoder_block_fn(B: int, G: int, depth: int = 2, nw: int = NW,
         if depth == 2:
             depth, nw = 4, 8  # chip-measured sweet spot (see make_encoder)
         fn = functools.partial(_encode_block_v2, B=B, G=G, depth=depth,
-                               nw=nw, small_offsets=small_offsets)
+                               nw=nw, small_offsets=small_offsets,
+                               lazy=lazy, hash_bits=hash_bits,
+                               nw_deep=nw_deep)
         return fn, B
     OUTCAP = out_capacity(B)
     MAXSEQ = (B // max(G, MIN_MATCH)) + 2
@@ -683,7 +703,8 @@ def encoder_block_fn(B: int, G: int, depth: int = 2, nw: int = NW,
 @functools.lru_cache(maxsize=32)
 def make_encoder(block_size: int, G: int = 0, depth: int = 2,
                  nw: int = NW, small_offsets: tuple = SMALL_OFFSETS,
-                 lazy: int = 0):
+                 lazy: int = 0, hash_bits: int = HASH_BITS,
+                 nw_deep: int = 0):
     """Build the jitted batched encoder for a given block size / parse grid.
 
     Signature: (blocks u8[N, B], lens i32[N]) ->
@@ -693,7 +714,8 @@ def make_encoder(block_size: int, G: int = 0, depth: int = 2,
     blocks the sort-emit could not serialize (see _emit_sorted) — callers
     re-encode those on the host tier; always all-False for the G==0 path.
     """
-    fn, _ = encoder_block_fn(block_size, G, depth, nw, small_offsets, lazy)
+    fn, _ = encoder_block_fn(block_size, G, depth, nw, small_offsets, lazy,
+                             hash_bits, nw_deep)
 
     @jax.jit
     def encode(blocks, lens):

@@ -121,6 +121,16 @@ def get_lib() -> ctypes.CDLL:
              [_u8p, ctypes.c_size_t, _u8p, ctypes.c_size_t, _i32, _u8p,
               ctypes.c_size_t]),
             ("atpu_zstd_compress_bound", _i64, [_i64]),
+            ("atpu_zstd_build_dict_header", _i64,
+             [ctypes.POINTER(ctypes.c_uint32), ctypes.c_uint32,
+              ctypes.POINTER(ctypes.c_uint32),
+              ctypes.POINTER(ctypes.c_uint32),
+              ctypes.POINTER(ctypes.c_uint32), _u8p, ctypes.c_size_t]),
+            ("atpu_zstd_set_stats", None,
+             [ctypes.POINTER(ctypes.c_uint32),
+              ctypes.POINTER(ctypes.c_uint32),
+              ctypes.POINTER(ctypes.c_uint32),
+              ctypes.POINTER(ctypes.c_uint32)]),
             ("atpu_inflate_stream_new", ctypes.c_void_p, [_i32]),
             ("atpu_inflate_stream_free", None, [ctypes.c_void_p]),
             ("atpu_inflate_stream_feed", _i64,
@@ -736,6 +746,47 @@ def zstd_compress(data: bytes, level: int = 3,
     if n < 0:
         raise ValueError("zstd compress failed")
     return _finish_out(ref, n)
+
+
+def zstd_build_dict_header(lit_freq, dict_id: int, ll_freq=None,
+                           of_freq=None, ml_freq=None) -> bytes:
+    """Serialize a structured-dictionary entropy header (magic + dictID +
+    Huffman table from the literal histogram + FSE ncounts trained from
+    the code histograms when given, else predefined + default repcodes);
+    the dictionary trainer appends content after it. Reference
+    capability: zdict.c ZDICT_analyzeEntropy emission."""
+    lib = get_lib()
+    freq = (ctypes.c_uint32 * 256)(*[int(x) for x in lit_freq])
+
+    def arr(x, n):
+        return (ctypes.c_uint32 * n)(*[int(v) for v in x]) if x is not None \
+            else None
+    cap = 1024
+    ref, dp = _alloc_out(cap)
+    n = lib.atpu_zstd_build_dict_header(
+        freq, dict_id & 0xFFFFFFFF, arr(ll_freq, 36), arr(of_freq, 32),
+        arr(ml_freq, 53), dp, cap)
+    if n < 0:
+        raise ValueError("zstd dict header build failed")
+    return _finish_out(ref, n)
+
+
+class ZstdStatsCapture:
+    """Training-time histogram capture around zstd_compress calls (the
+    dictionary builder's stats pass). Not thread-safe by design."""
+
+    def __enter__(self):
+        lib = get_lib()
+        self.lit = (ctypes.c_uint32 * 256)()
+        self.ll = (ctypes.c_uint32 * 36)()
+        self.of = (ctypes.c_uint32 * 32)()
+        self.ml = (ctypes.c_uint32 * 53)()
+        lib.atpu_zstd_set_stats(self.lit, self.ll, self.of, self.ml)
+        return self
+
+    def __exit__(self, *exc):
+        get_lib().atpu_zstd_set_stats(None, None, None, None)
+        return False
 
 
 class InflateStream:

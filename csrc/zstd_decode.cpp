@@ -1281,6 +1281,49 @@ ATPU_EXPORT i64 atpu_zstd_dict_info(const u8* dict, size_t dictSize,
   return (i64)ctx.dictLen;
 }
 
+// Parse a structured dictionary's ENTROPY section for the encoder:
+// per-symbol Huffman code lengths (0 = absent) and the three FSE
+// normalized-count tables, in a form the encoder can rebuild encode
+// tables from. The encoder then emits Treeless_Literals / Repeat_Mode
+// blocks that reference the dictionary tables — where the reference's
+// small-payload dictionary win lives (ZSTD_compress_usingCDict path).
+// hufNb: 256 bytes. llNorm: 36 shorts, ofNorm: 32, mlNorm: 53.
+ATPU_EXPORT i64 atpu_zstd_dict_entropy(const u8* dict, size_t dictSize,
+                                       u8* hufNb, int* hufLog,
+                                       short* llNorm, int* llLog,
+                                       short* ofNorm, int* ofLog,
+                                       short* mlNorm, int* mlLog) {
+  if (dictSize < 8 || rd32le(dict) != 0xEC30A437u) return ERR_DICT;
+  const u8* p = dict + 8;
+  const u8* end = dict + dictSize;
+  HufDec h;
+  int used = huf_read_table(&h, p, (size_t)(end - p));
+  if (used < 0) return ERR_DICT;
+  p += used;
+  memset(hufNb, 0, 256);
+  for (int c = 0; c < (1 << h.log); c++) {
+    u16 e = h.ent[c];
+    hufNb[e & 0xFF] = (u8)(e >> 8);  // entry already stores nbBits
+  }
+  *hufLog = h.log;
+  struct { short* norm; int n; int* log; int maxSym; int maxLog; }
+  specs[3] = {
+    {ofNorm, 32, ofLog, 31, 8},
+    {mlNorm, 53, mlLog, 52, 9},
+    {llNorm, 36, llLog, 35, 9},
+  };
+  for (int i = 0; i < 3; i++) {
+    int tl, lastSym;
+    memset(specs[i].norm, 0, sizeof(short) * (size_t)specs[i].n);
+    int hdr = parse_ncount(p, (size_t)(end - p), specs[i].norm,
+                           specs[i].maxSym, specs[i].maxLog, &tl, &lastSym);
+    if (hdr < 0) return ERR_DICT;
+    *specs[i].log = tl;
+    p += hdr;
+  }
+  return 0;
+}
+
 // ---------------------------------------------------------------------------
 // Device-decode frame planner.
 //

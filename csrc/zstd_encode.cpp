@@ -376,6 +376,39 @@ struct HufEnc {
     return true;
   }
 
+  // Adopt externally-provided code lengths (a dictionary's Huffman table:
+  // the decoder and every other zstd assign canonical codes from lengths
+  // the same way, so the codes computed here match the dict table cells).
+  bool build_from_nbits(const u8* nb) {
+    memcpy(nbits, nb, 256);
+    maxSym = -1;
+    tableLog = 0;
+    int nsym = 0;
+    for (int s = 0; s < 256; s++) {
+      if (!nbits[s]) continue;
+      maxSym = s;
+      nsym++;
+      if (nbits[s] > tableLog) tableLog = nbits[s];
+    }
+    if (nsym <= 1 || tableLog > 11) return false;
+    int per_rank[16] = {0};
+    for (int s = 0; s < 256; s++) if (nbits[s]) per_rank[nbits[s]]++;
+    int val[16] = {0};
+    int mn = 0;
+    for (int nb2 = tableLog; nb2 >= 1; nb2--) {
+      val[nb2] = mn;
+      mn += per_rank[nb2];
+      mn >>= 1;
+    }
+    int nxtv[16];
+    memcpy(nxtv, val, sizeof(val));
+    for (int s = 0; s < 256; s++) {
+      if (!nbits[s]) { codes[s] = 0; continue; }
+      codes[s] = (u16)nxtv[nbits[s]]++;
+    }
+    return true;
+  }
+
   // weight description: weights[s] = tableLog + 1 - nbits (for s < maxSym;
   // the last symbol's weight is implied). Direct nibbles if <= 127 weights,
   // else FSE-compressed. Returns size, or <0.
@@ -1023,88 +1056,155 @@ struct ZMF {
 // block assembly
 // ---------------------------------------------------------------------------
 
+// Previous-block / dictionary entropy state threaded through the block
+// writers — the encode-side mirror of the decoder's DCtx persistence.
+// Treeless_Literals blocks and Repeat_Mode sequence tables reference it;
+// a structured dictionary seeds it (the reference's CDict small-payload
+// win: no per-frame table headers — zstd_compress_usingCDict path).
+struct PrevEntropy {
+  HufEnc huf;
+  bool hufV = false;
+  short llN[64] = {0}, ofN[64] = {0}, mlN[64] = {0};
+  int llL = 0, ofL = 0, mlL = 0;
+  bool llV = false, ofV = false, mlV = false;
+};
+
+// Training-time histogram collection (dictionary builder only): when the
+// trainer arms these via atpu_zstd_set_stats, the block writers
+// accumulate the literal/code distributions the emitted stream actually
+// used — the input ZDICT_analyzeEntropy derives its tables from. Not
+// thread-safe; nulled in production.
+static u32* g_statLit = nullptr;
+static u32* g_statLL = nullptr;
+static u32* g_statOF = nullptr;
+static u32* g_statML = nullptr;
+
 // write the literals section; returns size or <0
-static i64 write_literals(const u8* lit, size_t n, u8* out, size_t cap) {
-  // try Huffman
-  if (n >= 32) {
+static i64 write_literals(const u8* lit, size_t n, u8* out, size_t cap,
+                          PrevEntropy* pe) {
+  if (g_statLit)
+    for (size_t i = 0; i < n; i++) g_statLit[lit[i]]++;
+  // try Huffman: a fresh per-block table vs treeless reuse of the
+  // dictionary/previous table (no description bytes) — whichever is
+  // smaller. Treeless is attempted from n >= 8 (zero header amortizes
+  // at much smaller blocks than a fresh table does).
+  u8* body = nullptr;
+  size_t bl = 0;
+  int type = 2;
+  HufEnc he;
+  if (n >= 8) {
     u32 freq[256] = {0};
     for (size_t i = 0; i < n; i++) freq[lit[i]]++;
-    // Shannon pre-reject: skip the table build + encode pass when even
-    // the entropy bound cannot beat raw (incompressible literal blocks
-    // paid a full doomed Huffman attempt per 128 KiB block)
+    // exact treeless cost in bits; -1 = a literal the prev table can't code
+    i64 tlBits = (pe && pe->hufV) ? 0 : -1;
+    if (tlBits == 0) {
+      for (int s = 0; s < 256; s++) {
+        if (!freq[s]) continue;
+        if (!pe->huf.nbits[s]) { tlBits = -1; break; }
+        tlBits += (i64)freq[s] * pe->huf.nbits[s];
+      }
+    }
+    // Shannon pre-reject for the fresh attempt: skip the table build +
+    // encode pass when even the entropy bound cannot beat raw
     double bits = 0.0;
     for (int s = 0; s < 256; s++)
       if (freq[s]) bits += (double)freq[s] * log2((double)n / freq[s]);
-    HufEnc he;
-    if ((size_t)(bits / 8.0) + 64 < n && he.build(freq)) {
-      u8 desc[300];
-      int ds = he.write_desc(desc, sizeof(desc));
-      if (ds > 0) {
-        bool four = n > 1023;  // 4 streams mandatory above 1023 regenerated
-        u8* body = (u8*)malloc(n + 512);
-        if (!body) return ERR_CORRUPT;
-        size_t bl = 0;
-        bool ok = true;
-        if (!four) {
-          memcpy(body, desc, (size_t)ds);
-          bl = (size_t)ds;
-          size_t sl = he.stream(lit, n, body + bl, n + 400 - bl);
-          ok = sl > 0;
-          bl += sl;
-        } else {
-          memcpy(body, desc, (size_t)ds);
-          bl = (size_t)ds + 6;
-          size_t q = (n + 3) / 4;
-          size_t ls[4] = {q, q, q, n - 3 * q};
-          size_t off = 0;
-          size_t sls[4];
-          for (int k = 0; k < 4 && ok; k++) {
-            size_t sl = he.stream(lit + off, ls[k], body + bl,
-                                  n + 400 - bl);
-            sls[k] = sl;
-            ok = sl > 0 && (k == 3 || sl < 65536);
-            bl += sl;
-            off += ls[k];
-          }
-          if (ok) {
-            wr16le(body + ds, (u16)sls[0]);
-            wr16le(body + ds + 2, (u16)sls[1]);
-            wr16le(body + ds + 4, (u16)sls[2]);
-          }
-        }
-        // header: choose the smallest size_format that fits
-        if (ok) {
-          size_t csz = bl;
-          size_t hdr;
-          u64 h;
-          if (!four && n < 1024 && csz < 1024) {
-            h = 2ull | (0ull << 2) | ((u64)n << 4) | ((u64)csz << 14);
-            hdr = 3;
-          } else if (n < 16384 && csz < 16384) {
-            h = 2ull | (1ull << 2) | ((u64)n << 4) | ((u64)csz << 18);
-            if (!four) h = 2ull | (1ull << 2) | ((u64)n << 4)
-                            | ((u64)csz << 18);
-            hdr = 4;
-            h = 2ull | (2ull << 2) | ((u64)n << 4) | ((u64)csz << 18);
-          } else {
-            h = 2ull | (3ull << 2) | ((u64)n << 4) | ((u64)csz << 22);
-            hdr = 5;
-          }
-          // size_format 1 (4 streams, 10-bit sizes) packed in 3 bytes:
-          if (four && n < 1024 && csz < 1024) {
-            h = 2ull | (1ull << 2) | ((u64)n << 4) | ((u64)csz << 14);
-            hdr = 3;
-          }
-          if (hdr + csz < n && hdr + csz <= cap) {
-            for (size_t k = 0; k < hdr; k++) out[k] = (u8)(h >> (8 * k));
-            memcpy(out + hdr, body, csz);
-            free(body);
-            return (i64)(hdr + csz);
-          }
-        }
-        free(body);
-      }
+    u8 desc[300];
+    int ds = 0;
+    bool heBuilt = false;
+    if (n >= 32 && (size_t)(bits / 8.0) + 64 < n && he.build(freq)) {
+      ds = he.write_desc(desc, sizeof(desc));
+      heBuilt = ds > 0;
     }
+    bool four = n > 1023;  // 4 streams mandatory above 1023 regenerated
+
+    auto stream_body = [&](const HufEnc& h, const u8* d, int dsz,
+                           u8* b) -> i64 {
+      size_t l = (size_t)dsz;
+      if (dsz > 0) memcpy(b, d, (size_t)dsz);
+      if (!four) {
+        size_t sl = h.stream(lit, n, b + l, n + 400 - l);
+        if (!sl) return -1;
+        return (i64)(l + sl);
+      }
+      size_t j = l;
+      l += 6;
+      size_t q = (n + 3) / 4;
+      size_t ls[4] = {q, q, q, n - 3 * q};
+      size_t off = 0, sls[4];
+      for (int k = 0; k < 4; k++) {
+        size_t sl = h.stream(lit + off, ls[k], b + l, n + 400 - l);
+        if (!sl || (k < 3 && sl >= 65536)) return -1;
+        sls[k] = sl;
+        l += sl;
+        off += ls[k];
+      }
+      wr16le(b + j, (u16)sls[0]);
+      wr16le(b + j + 2, (u16)sls[1]);
+      wr16le(b + j + 4, (u16)sls[2]);
+      return (i64)l;
+    };
+
+    u8* bodyF = nullptr;
+    i64 blF = -1;
+    u8* bodyT = nullptr;
+    i64 blT = -1;
+    if (heBuilt) {
+      bodyF = (u8*)malloc(n + 512);
+      if (bodyF) blF = stream_body(he, desc, ds, bodyF);
+    }
+    if (tlBits >= 0 && (size_t)(tlBits / 8) + 8 < n) {
+      bodyT = (u8*)malloc(n + 512);
+      if (bodyT) blT = stream_body(pe->huf, nullptr, 0, bodyT);
+    }
+    if (blT >= 0 && (blF < 0 || blT <= blF)) {
+      body = bodyT;
+      bl = (size_t)blT;
+      type = 3;
+      free(bodyF);
+    } else if (blF >= 0) {
+      body = bodyF;
+      bl = (size_t)blF;
+      type = 2;
+      free(bodyT);
+    } else {
+      free(bodyF);
+      free(bodyT);
+    }
+  }
+  if (body) {
+    // header: choose the smallest size_format that fits
+    size_t csz = bl;
+    bool four = n > 1023;
+    size_t hdr;
+    u64 h;
+    u64 ty = (u64)type;
+    if (!four && n < 1024 && csz < 1024) {
+      h = ty | (0ull << 2) | ((u64)n << 4) | ((u64)csz << 14);
+      hdr = 3;
+    } else if (n < 16384 && csz < 16384) {
+      hdr = 4;
+      h = ty | (2ull << 2) | ((u64)n << 4) | ((u64)csz << 18);
+    } else {
+      h = ty | (3ull << 2) | ((u64)n << 4) | ((u64)csz << 22);
+      hdr = 5;
+    }
+    // size_format 1 (4 streams, 10-bit sizes) packed in 3 bytes:
+    if (four && n < 1024 && csz < 1024) {
+      h = ty | (1ull << 2) | ((u64)n << 4) | ((u64)csz << 14);
+      hdr = 3;
+    }
+    if (hdr + csz < n && hdr + csz <= cap) {
+      for (size_t k = 0; k < hdr; k++) out[k] = (u8)(h >> (8 * k));
+      memcpy(out + hdr, body, csz);
+      free(body);
+      if (type == 2 && pe) {
+        pe->huf = he;  // the decoder's ctx->huf now holds this table
+        pe->hufV = true;
+      }
+      return (i64)(hdr + csz);
+    }
+    free(body);
   }
   // RLE literals
   if (n >= 2) {
@@ -1159,7 +1259,7 @@ static i64 write_literals(const u8* lit, size_t n, u8* out, size_t cap) {
 }
 
 static i64 write_sequences(const Seq* seqs, size_t nseq, u8* out,
-                           size_t cap) {
+                           size_t cap, PrevEntropy* pe) {
   size_t len = 0;
   if (nseq < 128) {
     if (cap < 1) return ERR_DST_SMALL;
@@ -1188,6 +1288,11 @@ static i64 write_sequences(const Seq* seqs, size_t nseq, u8* out,
     if (oc > 30) return ERR_CORRUPT;
     off[oc]++;
   }
+  if (g_statLL) {
+    for (int s = 0; s < 36; s++) g_statLL[s] += llf[s];
+    for (int s = 0; s < 32; s++) g_statOF[s] += off[s];
+    for (int s = 0; s < 53; s++) g_statML[s] += mlf[s];
+  }
   TableChoice tcll, tcof, tcml;
   choose_table(llf, 36, (u32)nseq, LL_DEF, LL_DEFLOG, 9, &tcll);
   choose_table(off, 29, (u32)nseq, OF_DEF, OF_DEFLOG, 8, &tcof);
@@ -1207,16 +1312,51 @@ static i64 write_sequences(const Seq* seqs, size_t nseq, u8* out,
   }
   choose_table(mlf, 53, (u32)nseq, ML_DEF, ML_DEFLOG, 9, &tcml);
 
+  // Repeat_Mode: when the dictionary / previous block's table covers the
+  // histogram and beats the chosen mode's cost (FSE pays ~5 bytes of
+  // ncount header; repeat pays zero), reference it instead — the
+  // small-payload dictionary win (decoder ctx tables persist; mode 3).
+  auto consider_repeat = [&](TableChoice& tc, const u32* freq, int nsym,
+                             const short* pN, int pL, bool pV,
+                             const short* def, int defLog, int defSyms) {
+    if (!pV || tc.mode == 1) return;  // RLE's 1-byte header always wins
+    i64 rep = fse_cost_bits(freq, pN, nsym, pL);
+    if (rep < 0) return;
+    i64 cur;
+    if (tc.mode == 0) {
+      cur = fse_cost_bits(freq, def, defSyms, defLog);
+    } else {
+      cur = fse_cost_bits(freq, tc.norm, nsym, tc.tableLog);
+      if (cur >= 0) cur += 40;  // ~ncount header, matches choose_table
+    }
+    if (cur < 0 || rep < cur) tc.mode = 3;
+  };
+  if (pe) {
+    consider_repeat(tcll, llf, 36, pe->llN, pe->llL, pe->llV,
+                    LL_DEF, LL_DEFLOG, 36);
+    consider_repeat(tcof, off, 32, pe->ofN, pe->ofL, pe->ofV,
+                    OF_DEF, OF_DEFLOG, 29);
+    consider_repeat(tcml, mlf, 53, pe->mlN, pe->mlL, pe->mlV,
+                    ML_DEF, ML_DEFLOG, 53);
+  }
+
   if (cap < len + 1) return ERR_DST_SMALL;
   out[len++] = (u8)((tcll.mode << 6) | (tcof.mode << 4) | (tcml.mode << 2));
 
   FSEEnc ell, eof_, eml;
   auto setup = [&](TableChoice& tc, FSEEnc& e, const short* def, int defLog,
-                   int nsym, int defSyms) -> bool {
+                   int nsym, int defSyms, short* pN, int* pL,
+                   bool* pV) -> bool {
     // defSyms = entry count of the predefined table (OF_DEF has 29, not
     // nsym=32 — reading def[29..31] is out of bounds)
     if (tc.mode == 0) {
       e.build(def, defSyms, defLog);
+      if (pN) {  // the decoder's ctx table now holds the predefined dist
+        memset(pN, 0, sizeof(short) * 64);
+        memcpy(pN, def, sizeof(short) * (size_t)defSyms);
+        *pL = defLog;
+        *pV = true;
+      }
     } else if (tc.mode == 1) {
       if (len + 1 > cap) return false;
       out[len++] = tc.rleSym;
@@ -1225,6 +1365,14 @@ static i64 write_sequences(const Seq* seqs, size_t nseq, u8* out,
       // state bits 0); our FSEEnc needs log>=1, so build a trivial table
       rle[tc.rleSym] = 1;
       e.build(rle, tc.rleSym + 1, 0);
+      if (pN) {
+        memset(pN, 0, sizeof(short) * 64);
+        pN[tc.rleSym] = 1;
+        *pL = 0;
+        *pV = true;
+      }
+    } else if (tc.mode == 3) {  // repeat: previous/dictionary table
+      e.build(pN, nsym, *pL);
     } else {
       u8 hdr[80];
       int maxs = 0;
@@ -1235,12 +1383,30 @@ static i64 write_sequences(const Seq* seqs, size_t nseq, u8* out,
       memcpy(out + len, hdr, (size_t)hs);
       len += (size_t)hs;
       e.build(tc.norm, nsym, tc.tableLog);
+      if (pN) {
+        memset(pN, 0, sizeof(short) * 64);
+        memcpy(pN, tc.norm, sizeof(short) * (size_t)nsym);
+        *pL = tc.tableLog;
+        *pV = true;
+      }
     }
     return true;
   };
-  if (!setup(tcll, ell, LL_DEF, LL_DEFLOG, 36, 36) ||
-      !setup(tcof, eof_, OF_DEF, OF_DEFLOG, 32, 29) ||
-      !setup(tcml, eml, ML_DEF, ML_DEFLOG, 53, 53))
+  short dumN[64];
+  int dumL;
+  bool dumV;
+  short* llN = pe ? pe->llN : dumN;
+  short* ofN = pe ? pe->ofN : dumN;
+  short* mlN = pe ? pe->mlN : dumN;
+  int* llL = pe ? &pe->llL : &dumL;
+  int* ofL = pe ? &pe->ofL : &dumL;
+  int* mlL = pe ? &pe->mlL : &dumL;
+  bool* llV = pe ? &pe->llV : &dumV;
+  bool* ofV = pe ? &pe->ofV : &dumV;
+  bool* mlV = pe ? &pe->mlV : &dumV;
+  if (!setup(tcll, ell, LL_DEF, LL_DEFLOG, 36, 36, llN, llL, llV) ||
+      !setup(tcof, eof_, OF_DEF, OF_DEFLOG, 32, 29, ofN, ofL, ofV) ||
+      !setup(tcml, eml, ML_DEF, ML_DEFLOG, 53, 53, mlN, mlL, mlV))
     return ERR_DST_SMALL;
 
   BitW bw(out + len, cap - len);
@@ -1295,6 +1461,11 @@ struct EvalResult { int len; u32 dist; };
 extern "C" i64 atpu_zstd_dict_info(const u8* dict, size_t dictSize,
                                    size_t* contentOff, u32* reps,
                                    u32* dictID);
+extern "C" i64 atpu_zstd_dict_entropy(const u8* dict, size_t dictSize,
+                                      u8* hufNb, int* hufLog,
+                                      short* llNorm, int* llLog,
+                                      short* ofNorm, int* ofLog,
+                                      short* mlNorm, int* mlLog);
 
 ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
                                    size_t dstCap, int level, const u8* dict,
@@ -1304,6 +1475,7 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
   const u8* dcontent = nullptr;
   size_t dlen = 0;
   u32 dictID = 0;
+  PrevEntropy pe;
   if (dict && dictSize) {
     size_t coff = 0;
     u32 reps2[3];
@@ -1316,6 +1488,16 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
     rep[0] = reps2[0];
     rep[1] = reps2[1];
     rep[2] = reps2[2];
+    if (did || coff > 8) {  // structured dict: seed the entropy state
+      u8 hufNb[256];
+      int hufLog;
+      if (atpu_zstd_dict_entropy(dict, dictSize, hufNb, &hufLog,
+                                 pe.llN, &pe.llL, pe.ofN, &pe.ofL,
+                                 pe.mlN, &pe.mlL) == 0) {
+        pe.hufV = pe.huf.build_from_nbits(hufNb);
+        pe.llV = pe.ofV = pe.mlV = true;
+      }
+    }
   }
 
   // ---- frame header ----
@@ -2017,14 +2199,16 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
 
       // ---- write the block ----
       size_t blockRaw = blockEnd - bstart;
+      PrevEntropy peSnap = pe;  // raw/RLE fallback must not advance the
+                                // decoder-visible entropy state
       i64 litSz = write_literals(lits, nlit, scratch,
-                                 BLOCK_MAX + (BLOCK_MAX >> 2) + 2048);
+                                 BLOCK_MAX + (BLOCK_MAX >> 2) + 2048, &pe);
       bool ok = litSz >= 0;
       i64 seqSz = 0;
       if (ok) {
         seqSz = write_sequences(seqs, nseq, scratch + litSz,
                                 (size_t)(BLOCK_MAX + (BLOCK_MAX >> 2)
-                                         + 4096 - litSz));
+                                         + 4096 - litSz), &pe);
         ok = seqSz >= 0;
       }
       int last = blockEnd == total ? 1 : 0;
@@ -2046,6 +2230,7 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
         rep[0] = repSnap[0];
         rep[1] = repSnap[1];
         rep[2] = repSnap[2];
+        pe = peSnap;
         bool allSame = blockRaw > 0;
         for (size_t i = 1; i < blockRaw && allSame; i++)
           allSame = base[bstart + i] == base[bstart];
@@ -2084,6 +2269,81 @@ done:
   mf.release();
   if (useRow) rmf.release();
   return result;
+}
+
+// Serialize a structured-dictionary ENTROPY header (the ZDICT format's
+// magic + dictID + Huffman table + 3 FSE ncounts + repcodes) from a
+// literal histogram; the caller appends the trained content. Reference
+// capability: ZDICT_trainFromBuffer's entropy emission
+// (algos/zstd/lib/dictBuilder/zdict.c ZDICT_analyzeEntropy) — own
+// serialization via the encoder's table writers. The sequence tables are
+// the RFC predefined distributions (always valid; Repeat_Mode then costs
+// what mode 0 costs while the Huffman table carries the small-payload
+// win). Returns header size, or <0.
+ATPU_EXPORT void atpu_zstd_set_stats(u32* lit, u32* ll, u32* of, u32* ml) {
+  g_statLit = lit;
+  g_statLL = ll;
+  g_statOF = of;
+  g_statML = ml;
+}
+
+ATPU_EXPORT i64 atpu_zstd_build_dict_header(const u32* litFreq, u32 dictID,
+                                            const u32* llFreq,
+                                            const u32* ofFreq,
+                                            const u32* mlFreq,
+                                            u8* out, size_t cap) {
+  if (cap < 16) return ERR_DST_SMALL;
+  // +1 smoothing: every byte stays representable so any payload literal
+  // can ride the dictionary table (treeless blocks need full coverage)
+  u32 freq[256];
+  for (int s = 0; s < 256; s++) freq[s] = litFreq[s] + 1;
+  HufEnc he;
+  if (!he.build(freq)) return ERR_CORRUPT;
+  size_t op = 0;
+  wr32le(out, 0xEC30A437u);
+  op = 4;
+  wr32le(out + op, dictID);
+  op += 4;
+  int ds = he.write_desc(out + op, cap - op);
+  if (ds <= 0) return ERR_DST_SMALL;
+  op += (size_t)ds;
+  // sequence tables: trained from the stats pass when provided (smoothed
+  // so every code stays representable for Repeat_Mode), else predefined
+  struct { const u32* freq; const short* def; int nsym; int defSyms;
+           int defLog; int maxLog; } t[3] = {
+    {ofFreq, OF_DEF, 29, 29, OF_DEFLOG, 8},
+    {mlFreq, ML_DEF, 53, 53, ML_DEFLOG, 9},
+    {llFreq, LL_DEF, 36, 36, LL_DEFLOG, 9}};
+  for (int i = 0; i < 3; i++) {
+    short norm[64];
+    const short* use = t[i].def;
+    int nsym = t[i].defSyms;
+    int tl = t[i].defLog;
+    if (t[i].freq) {
+      u32 f[64];
+      u32 total = 0;
+      for (int s = 0; s < t[i].nsym; s++) {
+        f[s] = t[i].freq[s] + 1;  // smoothing: full coverage
+        total += f[s];
+      }
+      int log2 = t[i].maxLog;
+      while ((1 << (log2 - 1)) > (int)total && log2 > 5) log2--;
+      if (normalize_counts(f, t[i].nsym, total, log2, norm) == 0) {
+        use = norm;
+        nsym = t[i].nsym;
+        tl = log2;
+      }
+    }
+    int hs = write_ncount(use, nsym, tl, out + op, cap - op);
+    if (hs <= 0) return ERR_DST_SMALL;
+    op += (size_t)hs;
+  }
+  if (op + 12 > cap) return ERR_DST_SMALL;
+  wr32le(out + op, 1);
+  wr32le(out + op + 4, 4);
+  wr32le(out + op + 8, 8);
+  op += 12;
+  return (i64)op;
 }
 
 ATPU_EXPORT i64 atpu_zstd_compress_bound(i64 n) {

@@ -78,7 +78,7 @@ def test_own_trainer_raw_dict_roundtrip():
     from aocl_compression_tpu.codecs.zstd import train_dictionary
     base = _payloads()["text"]
     samples = [base[i:i + 1000] for i in range(0, 120000, 1000)]
-    d = train_dictionary(samples, 8192)
+    d = train_dictionary(samples, 8192, entropy=False)
     assert 0 < len(d) <= 8192
     p = base[5000:9000]
     c = native.zstd_compress(p, 3, d)
@@ -91,6 +91,50 @@ def test_own_trainer_raw_dict_roundtrip():
     assert got == p
     # trained dict should improve the ratio on matching content
     assert len(c) < len(native.zstd_compress(p, 3))
+
+
+def test_own_trainer_zdict_format_and_entropy_reuse():
+    """Default training emits the magic-headed ZDICT format with
+    pre-trained entropy tables (VERDICT r3 missing #4; reference:
+    zdict.c ZDICT_trainFromBuffer). The encoder must reference the dict
+    tables (Treeless_Literals / Repeat_Mode — no per-frame table
+    headers), stock must load the dict and decode our streams, and on
+    small matching payloads the structured dict must beat both no-dict
+    and the raw-content dict."""
+    from aocl_compression_tpu.codecs.zstd import train_dictionary
+    import random as _r
+    rng = _r.Random(5)
+    words = [b'"user":', b'"event":', b'"click"', b'"region":', b'"id":']
+
+    def sample():
+        out = [b"{"]
+        for w in words:
+            out.append(w + str(rng.randrange(10 ** 6)).encode() + b",")
+        out.append(bytes(rng.randrange(97, 123) for _ in range(60)) + b"}")
+        return b"".join(out)
+
+    samples = [sample() for _ in range(300)]
+    test = [sample() for _ in range(50)]
+    d = train_dictionary(samples, 8192)
+    assert d[:4] == b"\x37\xa4\x30\xec"  # ZDICT magic, little-endian
+    draw = train_dictionary(samples, 8192, entropy=False)
+
+    tot_sd = tot_rd = tot_nd = 0
+    sdict = zstandard.ZstdCompressionDict(d)
+    sdz = zstandard.ZstdDecompressor(dict_data=sdict)
+    scz = zstandard.ZstdCompressor(level=3, dict_data=sdict)
+    for t in test:
+        c = native.zstd_compress(t, 3, d)
+        assert native.zstd_decompress(c, len(t), d) == t
+        # stock loads OUR dictionary and decodes our dict-streams
+        assert sdz.decompress(c, max_output_size=len(t)) == t
+        # stock compresses with our dict; we decode
+        c2 = scz.compress(t)
+        assert native.zstd_decompress(c2, len(t), d) == t
+        tot_sd += len(c)
+        tot_rd += len(native.zstd_compress(t, 3, draw))
+        tot_nd += len(native.zstd_compress(t, 3))
+    assert tot_sd < tot_rd < tot_nd, (tot_sd, tot_rd, tot_nd)
 
 
 def test_unified_api_zstd_all_own():
