@@ -40,7 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..runtime import native
-from .lz4_device import MAX_DEVICE_BLOCK, _NEG, _fill
+from .lz4_device import MAX_DEVICE_BLOCK, _NEG, _bucket, _fill
 
 # --- plan layout (mirrors csrc/zstd_decode.cpp PM_* enum) -------------------
 (PM_BTYPE, PM_BOFF, PM_BSIZE, PM_LITTYPE, PM_LITREGEN, PM_RLEBYTE,
@@ -68,7 +68,8 @@ _ML_BITS = jnp.asarray(
     [0] * 32 + [1, 1, 1, 1, 2, 2, 3, 3, 4, 4, 5, 7, 8, 9, 10, 11, 12, 13,
                 14, 15, 16], jnp.int32)
 
-_UNROLL = 8
+import os as _os
+_UNROLL = int(_os.environ.get("AOCL_ZD_UNROLL", "8"))
 
 
 def _lane_take(arr2d, idx):
@@ -270,8 +271,15 @@ def _execute(litbuf, ll, ml, off, nbseq, litregen, B):
 
 
 @functools.lru_cache(maxsize=8)
-def make_decoder(B: int, SB: int, QB: int):
+def make_decoder(B: int, SB: int, QB: int, MAXL: int = 0,
+                 MAXSEQ: int = 0):
     """Jitted batched decoder over planned compressed blocks.
+
+    MAXL / MAXSEQ: symbol-scan lengths, bucketed by the BATCH's actual
+    maximum literal-stream count / sequence count (decode_frames sizes
+    them) — the scans are the sequential axis of this decoder, and the
+    worst-case bounds (B/4 literals, B/3 sequences) cost 4-6x the steps
+    typical blocks need. 0 = worst case.
 
     Inputs (N = batch):
       meta    i32 (N, PLAN_STRIDE)
@@ -284,8 +292,10 @@ def make_decoder(B: int, SB: int, QB: int):
       rawlit  u8  (N, B)       raw literals (btype-0/RLE handled here too)
     Returns (out u8 (N, B), dlen i32 (N,)).
     """
-    MAXL = max(B // 4 + _UNROLL, 1024)
-    MAXSEQ = B // 3 + 2
+    if not MAXL:
+        MAXL = max(B // 4 + _UNROLL, 1024)
+    if not MAXSEQ:
+        MAXSEQ = B // 3 + 2
 
     @jax.jit
     def decode(meta, huftab, fsetab, sbytes, slens, scounts, qbytes,
@@ -430,7 +440,16 @@ def decode_frames(data: bytes, expected_size: Optional[int] = None) -> bytes:
             sq, ql = int(m[PM_SEQOFF]), int(m[PM_SEQLEN])
             if ql:
                 qbytes[i, :ql] = src[sq:sq + ql]
-        dec = make_decoder(B, SB, QB)
+        # bucket the sequential scan lengths to this batch's content
+        max_cnt = int(scounts.max()) if N else 0
+        max_seq = max(int(m[PM_NBSEQ]) for m in metas)
+        MAXL = min(_bucket(max(max_cnt, 1) + _UNROLL, 512),
+                   max(B // 4 + _UNROLL, 1024))
+        MAXSEQ = min(_bucket(max_seq + 2, 512), B // 3 + 2)
+        if _os.environ.get("AOCL_ZD_WORSTCASE"):  # A/B: r3 behavior
+            MAXL = max(B // 4 + _UNROLL, 1024)
+            MAXSEQ = B // 3 + 2
+        dec = make_decoder(B, SB, QB, MAXL, MAXSEQ)
         out, dlen = jax.block_until_ready(dec(
             jnp.asarray(meta), jnp.asarray(np.stack(hufs).astype(np.int32)),
             jnp.asarray(np.stack(fses).astype(np.int32)),
