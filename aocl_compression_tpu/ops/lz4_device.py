@@ -674,7 +674,8 @@ def _encode_block(data_u8, n, B: int, OUTCAP: int, MAXSEQ: int, G: int = 0,
 
 def encoder_block_fn(B: int, G: int, depth: int = 2, nw: int = NW,
                      small_offsets: tuple = SMALL_OFFSETS, lazy: int = 0,
-                     hash_bits: int = HASH_BITS, nw_deep: int = 0):
+                     hash_bits: int = HASH_BITS, nw_deep: int = 0,
+                     subm: int = 128):
     """Per-block encode fn + output row width, with the measured default
     config for the sort-emit path. Shared by make_encoder and the
     sharded/distributed wrappers so every tier produces identical streams.
@@ -685,7 +686,7 @@ def encoder_block_fn(B: int, G: int, depth: int = 2, nw: int = NW,
         fn = functools.partial(_encode_block_v2, B=B, G=G, depth=depth,
                                nw=nw, small_offsets=small_offsets,
                                lazy=lazy, hash_bits=hash_bits,
-                               nw_deep=nw_deep)
+                               nw_deep=nw_deep, subm=subm)
         return fn, B
     OUTCAP = out_capacity(B)
     MAXSEQ = (B // max(G, MIN_MATCH)) + 2
@@ -704,7 +705,7 @@ def encoder_block_fn(B: int, G: int, depth: int = 2, nw: int = NW,
 def make_encoder(block_size: int, G: int = 0, depth: int = 2,
                  nw: int = NW, small_offsets: tuple = SMALL_OFFSETS,
                  lazy: int = 0, hash_bits: int = HASH_BITS,
-                 nw_deep: int = 0):
+                 nw_deep: int = 0, subm: int = 128):
     """Build the jitted batched encoder for a given block size / parse grid.
 
     Signature: (blocks u8[N, B], lens i32[N]) ->
@@ -715,7 +716,7 @@ def make_encoder(block_size: int, G: int = 0, depth: int = 2,
     re-encode those on the host tier; always all-False for the G==0 path.
     """
     fn, _ = encoder_block_fn(block_size, G, depth, nw, small_offsets, lazy,
-                             hash_bits, nw_deep)
+                             hash_bits, nw_deep, subm)
 
     @jax.jit
     def encode(blocks, lens):

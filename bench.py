@@ -261,7 +261,12 @@ def main():
     if len(real) >= B * N:
         ra = np.frombuffer(bytes(real[:B * N]), dtype=np.uint8).reshape(N, B)
         jr = jnp.asarray(ra)
-        enc_r = lz4_device.make_encoder(B, G, 8, 16, lazy=1)
+        # r4 chip sweep winner (scripts/sweep_r4*_device.py, /tmp/sweep_r4d
+        # log): G=4 depth=4 nw=6 subm=32 lazy=1 -> 135.9 MB/s @ 2.173 —
+        # both r2 bars (>=125 MB/s AND ratio >=2.1) at once. G=4's finer
+        # anchors + the cheap subm=32 chain marking buy the ratio; nw=6
+        # keeps the shifted-compare window under the HBM wall.
+        enc_r = lz4_device.make_encoder(B, 4, 4, 6, subm=32, lazy=1)
         out, sizes, tails, flags = enc_r(jr, jl)
         _ = np.asarray(sizes)
         t0 = time.perf_counter()
