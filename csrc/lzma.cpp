@@ -19,6 +19,8 @@
 #include <cstdlib>
 #include <cstddef>
 
+#include "btmf.h"
+
 #define ATPU_EXPORT extern "C" __attribute__((visibility("default")))
 
 namespace {
@@ -565,6 +567,54 @@ struct EncMF {
   }
 };
 
+// Binary-tree matcher adapter for the optimal parse (levels 7+): same
+// find_pairs/insert surface as EncMF so lzma_run_optimal stays matcher-
+// generic. insert_get both searches and inserts in one walk, so the
+// DP's find_pairs-then-insert pair collapses (lastIns guard). Shared
+// implementation: csrc/btmf.h (the AOCL_Bt4_MatchFinder_* /
+// ZSTD_BtGetAllMatches investment point, own structure).
+struct BtEncMF {
+  btmf::BtMF bt;
+  size_t n = 0;
+  size_t lastIns = (size_t)-1;
+  int depthCap = 32;
+  struct MPair { int len; u32 dist; };
+
+  bool alloc(u32 win, size_t len, int depth) {
+    n = len;
+    depthCap = depth;
+    bt.minLen = 2;
+    return bt.alloc(win, len, EHASH_BITS);
+  }
+  void release() { bt.release(); }
+  void insert(const u8* base, size_t pos) {
+    if (pos == lastIns) return;
+    lastIns = pos;
+    bt.insert(base, pos, n, depthCap, MATCH_LEN_MAX);
+  }
+  int find(const u8* base, size_t pos, size_t len, int depth, u32* distOut) {
+    btmf::BtPair tmp[48];
+    lastIns = pos;
+    int c = bt.insert_get(base, pos, len, depth, MATCH_LEN_MAX, tmp, 48);
+    if (!c) { *distOut = 0; return 0; }
+    *distOut = tmp[c - 1].dist;
+    return tmp[c - 1].len;
+  }
+  int find_pairs(const u8* base, size_t pos, size_t len, int depth,
+                 MPair* out, int maxPairs) {
+    btmf::BtPair tmp[48];
+    if (maxPairs > 48) maxPairs = 48;
+    lastIns = pos;
+    int c = bt.insert_get(base, pos, len, depth, MATCH_LEN_MAX, tmp,
+                          maxPairs);
+    for (int i = 0; i < c; i++) {
+      out[i].len = tmp[i].len;
+      out[i].dist = tmp[i].dist;
+    }
+    return c;
+  }
+};
+
 // ---------------------------------------------------------------------------
 // bit prices (1/16-bit units) for the optimal parse — the LZMA SDK's
 // GetPrice idea (algos/lzma/LzmaEnc.c price machinery), own tables
@@ -796,12 +846,13 @@ struct OptNode {
   u32 reps[4];
 };
 
+template <class MF>
 static bool lzma_run_optimal(const u8* src, size_t n, REnc& re, Probs& P,
-                             EncMF& mf, const EncParams& ep) {
+                             MF& mf, const EncParams& ep) {
   u32 posMask = (1u << P.pb) - 1;
   const int NN = OPT_CHUNK + OPT_SLACK + 1;
   OptNode* nd = (OptNode*)malloc(sizeof(OptNode) * (size_t)NN);
-  EncMF::MPair pairs[48];
+  typename MF::MPair pairs[48];
   i32* path = (i32*)malloc(sizeof(i32) * (size_t)NN);
   ChunkPrices* cp = (ChunkPrices*)malloc(sizeof(ChunkPrices));
   if (!nd || !path || !cp) { free(nd); free(path); free(cp); return false; }
@@ -1045,6 +1096,24 @@ static i64 lzma_encode(const u8* src, size_t n, u8* dst, size_t dstCap,
 
   Probs P;
   if (!P.alloc(lc, lp, pb)) return ERR_CORRUPT;
+
+  if (ep.depth >= 48 && n <= btmf::BTMF_MAX_N) {
+    // levels 6+: optimal parse over the binary-tree matcher (reach
+    // analog of liblzma's bt4 at presets 6-9). Falls through to the
+    // chain matcher if the tree allocation fails (2*i32*n).
+    BtEncMF bmf;
+    if (bmf.alloc(ep.dict, n, ep.depth >> 2)) {
+      REnc re(dst + 13, dstCap - 13);
+      bool ok = lzma_run_optimal(src, n, re, P, bmf, ep);
+      re.flush();
+      bmf.release();
+      P.release();
+      if (!ok) return ERR_CORRUPT;
+      if (re.overflow) return ERR_DST_SMALL;
+      return (i64)(13 + re.len);
+    }
+  }
+
   EncMF mf;
   if (!mf.alloc(ep.dict, ep.clog)) { P.release(); return ERR_CORRUPT; }
   REnc re(dst + 13, dstCap - 13);

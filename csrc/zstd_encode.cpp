@@ -18,6 +18,8 @@
 
 #include <cstdint>
 #include <cstring>
+
+#include "btmf.h"
 #include <cstdlib>
 #include <cstddef>
 #include <cmath>
@@ -1548,6 +1550,8 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
   ZOptPrices* oprices = nullptr;
   i64 result = ERR_CORRUPT;
   RowMF rmf{};
+  btmf::BtMF btm;   // bt matcher for the optimal-parse levels (L16+)
+  bool useBt = false;
   bool useRow = lp.strat == ZSTRAT_ROW;
   bool useOpt = lp.strat == ZSTRAT_OPT;
   // fast/dfast single-probe table width: sized to stay cache-resident
@@ -1572,6 +1576,7 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
   u32 rowEnt = lp.depth <= 24 ? 16 : (lp.depth <= 48 ? 32 : 64);
   if (useRow && !rmf.alloc(lp.window, rowEnt)) {
     mf.release();
+  btm.release();
   if (useRow) rmf.release();
     free(buf);
     return ERR_CORRUPT;
@@ -1589,12 +1594,24 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
     oprices = (ZOptPrices*)malloc(sizeof(ZOptPrices));
     if (!onodes || !opath || !oprices) goto done;
     oprices->defaults();
+    // binary-tree matcher (the ZSTD_BtGetAllMatches / btopt investment
+    // point, shared implementation csrc/btmf.h): deeper verified reach
+    // than chains at the same visit budget. Chain fallback if the
+    // 2*i32*total tree does not fit.
+    const char* btEnv = getenv("AOCL_ZSTD_BT");
+    if (total <= btmf::BTMF_MAX_N && !(btEnv && btEnv[0] == '0')) {
+      useBt = btm.alloc(lp.window, total, ZHASH_BITS);
+      btm.minLen = 3;  // zstd minimum match length
+    }
   }
   if (useRow) {
     for (size_t i = 0; i + 8 <= pref; i++) {
       rmf.insert(base, i);
       mf.head[zhash(base + i)] = (int32_t)i;
     }
+  } else if (useBt) {
+    for (size_t i = 0; i + 4 <= pref; i++)
+      btm.insert(base, i, total, 16, 65538);
   } else {
     for (size_t i = 0; i + 4 <= pref; i++) mf.insert(base, i);
   }
@@ -1928,6 +1945,23 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
         ZMF::MPair zpairs[48];
         int dpDepth = lp.depth >> 3;
         if (dpDepth < 16) dpDepth = 16;
+        // Measured frontier on the 4-file realset (MEASURED.md r4 bt
+        // section): with the bt supplying reach, the chain walk only
+        // needs its CLOSE pairs — a shallow budget (12-48, scaling with
+        // level) keeps the hybrid at the chains-DP speed class while the
+        // union lifts ratio above chains-only at every level. Env
+        // overrides (AOCL_BT_CHD / AOCL_BT_INSD) kept for recalibration.
+        static int chD0 = getenv("AOCL_BT_CHD")
+            ? atoi(getenv("AOCL_BT_CHD")) : 0;
+        static int insD0 = getenv("AOCL_BT_INSD")
+            ? atoi(getenv("AOCL_BT_INSD")) : 0;
+        int chDepth = dpDepth;
+        if (useBt) {
+          chDepth = dpDepth >> 3;
+          if (chDepth < 12) chDepth = 12;
+          if (chD0) chDepth = chD0;
+        }
+        int insDepth = insD0 ? insD0 : 16;
         const int ONICE = 128;  // long-candidate DP jump
         // the first block prices blind (flat defaults): run its DP twice,
         // pass 1 gathering symbol stats to reprice pass 2 (match-finder
@@ -1940,7 +1974,10 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
           if (o[i].from < 0) continue;
           size_t abs = bstart + i;
           if (i < skipUntil) {
-            if (doInsert && abs + 4 <= total) mf.insert(base, abs);
+            if (doInsert && abs + 4 <= total) {
+              if (useBt) btm.insert(base, abs, total, insDepth, 65538);
+              mf.insert(base, abs);
+            }
             continue;
           }
           u32 bp = o[i].price;
@@ -1965,7 +2002,10 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
             }
           }
           if (maxLen < 3 || abs + 4 > total) {
-            if (doInsert && abs + 4 <= total) mf.insert(base, abs);
+            if (doInsert && abs + 4 <= total) {
+              if (useBt) btm.insert(base, abs, total, insDepth, 65538);
+              mf.insert(base, abs);
+            }
             continue;
           }
           // reps
@@ -2010,8 +2050,61 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
           // new matches
           if (bestRep < ONICE) {
             int cnt = mf.find_pairs(base, abs, (size_t)(limit - base),
-                                    dpDepth, zpairs, 48);
+                                    chDepth, zpairs, 48);
             if (doInsert) mf.insert(base, abs);
+            if (useBt) {
+              // Hybrid pair set: the chain walk (newest-first) supplies
+              // each length's CLOSEST distance; the bt walk supplies
+              // reach beyond the chain budget (its improving pairs ride
+              // the suffix-ordered path, so their distances skew old —
+              // measured 15x the chain's on structured data, which is
+              // why bt-only LOST 8% ratio here). Union both, then drop
+              // dominated pairs (a later pair with longer len and
+              // smaller-or-equal dist prices those lengths cheaper).
+              // Horizon is position-independent (n=total, fixed maxLen):
+              // the tree's adopt-at-cap collapse is only sound when
+              // compare caps never grow between inserts (LzFind's
+              // implicit invariant); a block-end horizon corrupted
+              // subtree order at every block boundary (caught by the
+              // paranoid build). The DP clamps emitted lens to the block.
+              btmf::BtPair bp[96];
+              int bc = doInsert
+                  ? btm.insert_get(base, abs, total, dpDepth, 65538, bp, 48)
+                  : btm.get_only(base, abs, total, dpDepth, 65538, bp, 48);
+              if (bc) {
+                for (int bk = 0; bk < cnt && bc < 96; bk++, bc++) {
+                  bp[bc].len = zpairs[bk].len;
+                  bp[bc].dist = zpairs[bk].dist;
+                }
+                // insertion sort by (len asc, dist asc); tiny arrays
+                for (int bi = 1; bi < bc; bi++) {
+                  btmf::BtPair t = bp[bi];
+                  int bj = bi - 1;
+                  while (bj >= 0 && (bp[bj].len > t.len ||
+                         (bp[bj].len == t.len && bp[bj].dist > t.dist))) {
+                    bp[bj + 1] = bp[bj];
+                    bj--;
+                  }
+                  bp[bj + 1] = t;
+                }
+                // backward dominance sweep: keep a pair only if its dist
+                // beats every longer pair's dist
+                btmf::BtPair kept[96];
+                int m = 0;
+                u32 bestD = 0xFFFFFFFFu;
+                for (int bi = bc - 1; bi >= 0; bi--) {
+                  if (bp[bi].dist < bestD) {
+                    bestD = bp[bi].dist;
+                    kept[m++] = bp[bi];  // reverse (descending len) order
+                  }
+                }
+                for (int bi = 0; bi < m && bi < 48; bi++) {
+                  zpairs[bi].len = kept[m - 1 - bi].len;
+                  zpairs[bi].dist = kept[m - 1 - bi].dist;
+                }
+                cnt = m < 48 ? m : 48;
+              }
+            }
             int L = 3;
             for (int k = 0; k < cnt; k++) {
               int kl = zpairs[k].len < maxLen ? zpairs[k].len : maxLen;
@@ -2042,6 +2135,7 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
               if (zpairs[k].len >= maxLen) break;
             }
           } else if (doInsert) {
+            if (useBt) btm.insert(base, abs, total, insDepth, 65538);
             mf.insert(base, abs);
           }
         }
