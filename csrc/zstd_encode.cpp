@@ -490,8 +490,34 @@ struct HufEnc {
   // encode one stream (symbols emitted from the END, decoder reads
   // backwards to get them in order)
   size_t stream(const u8* lit, size_t n, u8* out, size_t cap) const {
+    // 3 symbols per flush check: codes are canonical (pre-masked) and
+    // <= 11 bits, so with <= 31 pending bits after a flush, three ors
+    // peak at 64 accumulated bits (last shift 53) — no masking, one
+    // amortized flush per batch instead of a checked put per symbol
+    // (the Huffman emit was 17% of L3 encode, gprof).
     BitW bw(out, cap);
-    for (size_t i = n; i-- > 0;) bw.put(codes[lit[i]], nbits[lit[i]]);
+    size_t i = n;
+    if (cap >= 16) {
+      size_t safe = cap - 8;  // word flushes stay in bounds unchecked
+      while (i >= 3 && bw.len <= safe) {
+        u8 s2 = lit[i - 1], s1 = lit[i - 2], s0 = lit[i - 3];
+        i -= 3;
+        bw.acc |= (u64)codes[s2] << bw.nbits;
+        bw.nbits += nbits[s2];
+        bw.acc |= (u64)codes[s1] << bw.nbits;
+        bw.nbits += nbits[s1];
+        bw.acc |= (u64)codes[s0] << bw.nbits;
+        bw.nbits += nbits[s0];
+        while (bw.nbits >= 32) {
+          u32 w = (u32)bw.acc;
+          memcpy(bw.out + bw.len, &w, 4);
+          bw.len += 4;
+          bw.acc >>= 32;
+          bw.nbits -= 32;
+        }
+      }
+    }
+    while (i-- > 0) bw.put(codes[lit[i]], nbits[lit[i]]);
     size_t sl = bw.close();
     return bw.overflow ? 0 : sl;
   }
@@ -1563,7 +1589,7 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
     // measured on the real-file corpus (MEASURED.md r4 "fast-table
     // residency"): 14/15 beat 17 by 1.3-2.6x on ELF/records at <1% ratio
     // (still above stock's ratio on every test file)
-    fbits = (lp.strat == ZSTRAT_FAST) ? 14 : 15;
+    fbits = (lp.strat == ZSTRAT_FAST) ? 14 : 16;
     int slog = highbit32((u32)(total | 1)) + 1;  // don't oversize on
     if (fbits > slog) fbits = slog;              // small inputs
   }
