@@ -70,6 +70,7 @@ _ML_BITS = jnp.asarray(
 
 import os as _os
 _UNROLL = int(_os.environ.get("AOCL_ZD_UNROLL", "8"))
+_STAGES = int(_os.environ.get("AOCL_ZD_STAGES", "3"))  # prefix ablation
 
 
 def _lane_take(arr2d, idx):
@@ -335,12 +336,20 @@ def make_decoder(B: int, SB: int, QB: int, MAXL: int = 0,
             jnp.where((littype == 1)[:, None],
                       meta[:, PM_RLEBYTE, None].astype(jnp.uint8), rawlit))
 
+        # stage-prefix ablation for the chip roofline (AOCL_ZD_STAGES=1|2):
+        # XLA dead-code-eliminates the stages a prefix does not touch, so
+        # prefix deltas isolate per-stage cost (CLAUDE.md measuring rule)
+        if _STAGES == 1:
+            return litbuf, regen
+
         # ---- stage 2: FSE sequence scan ----
         qlens = meta[:, PM_SEQLEN]
         nbseq = meta[:, PM_NBSEQ]
         ll, ml, off = _sequence_scan(
             qbytes, qlens, nbseq, fsetab, meta[:, PM_LLLOG],
             meta[:, PM_OFLOG], meta[:, PM_MLLOG], MAXSEQ)
+        if _STAGES == 2:
+            return litbuf, nbseq + ll[:, 0] + ml[:, 0] + off[:, 0]
 
         # ---- stage 3: LZ77 execution ----
         out, dlen = jax.vmap(

@@ -694,6 +694,7 @@ static int bwt_overshoot_attempt(const u8* s, int n, int k, u8* L,
     int out = 0, prev = -1;
     int origPtr = -1, need = 0;
     i64 budget = 64 * (i64)n;  // total compared symbols across all pairs
+    bool blown = false;
     for (int i = 0; i < m; i++) {
       int j = SA[i];
       if (j >= n) continue;
@@ -720,15 +721,78 @@ static int bwt_overshoot_attempt(const u8* s, int n, int k, u8* L,
           int want = d - n + mx + 1;  // k that beats this tie
           if (want > need) need = want;
         }
-        if (budget < 0) {         // ties too deep for pairwise checks
-          if (needK) *needK = need;
-          free(x); free(SA);
-          return -2;
-        }
+        if (budget < 0) { blown = true; break; }
       }
       if (j == 0) origPtr = out;
       L[out++] = s[j == 0 ? n - 1 : j - 1];
       prev = j;
+    }
+    if (blown) {
+      // The cheap pairwise verify drowned in deep-but-resolved prefixes
+      // (it burns budget without learning the tie depth — C source
+      // measured 5 blind 4x rungs, a full SA-IS each, with need==0).
+      // Compute the EXACT deepest $-decided tie once via Kasai's O(m)
+      // LCP pass so the ladder jumps straight to the resolving k.
+      // Easy blocks never reach this path and pay nothing.
+      int* rank = (int*)malloc(sizeof(int) * (size_t)m);
+      int* lcp = (int*)malloc(sizeof(int) * (size_t)m);
+      bool kasaiOk = rank && lcp;
+      if (kasaiOk) {
+        for (int i = 0; i < m; i++) rank[SA[i]] = i;
+        int h = 0;
+        for (int i = 0; i < m; i++) {
+          int r = rank[i];
+          if (r > 0) {
+            int j2 = SA[r - 1];
+            int cap = m - (i > j2 ? i : j2);
+            while (h < cap && x[i + h] == x[j2 + h]) h++;
+            lcp[r] = h;
+            if (h) h--;
+          } else {
+            h = 0;
+            lcp[0] = 0;
+          }
+        }
+        need = 0;
+        int runMin = m;
+        int prv = -1;
+        for (int i = 0; i < m; i++) {
+          if (i > 0 && lcp[i] < runMin) runMin = lcp[i];
+          int j2 = SA[i];
+          if (j2 >= n) continue;
+          if (prv >= 0) {
+            int mx = j2 > prv ? j2 : prv;
+            int shorter = n + k - mx;
+            if (runMin >= shorter) {
+              int want = runMin - n + mx + 1;
+              if (want > need) need = want;
+            }
+          }
+          prv = j2;
+          runMin = m;
+        }
+      }
+      free(rank);
+      free(lcp);
+      if (!kasaiOk) need = k;  // alloc failed: escalate, never accept blind
+      if (need == 0) {
+        // every tie resolved — the sort is valid, the budget was merely
+        // drowned by deep-but-resolved prefixes: emit and accept
+        out = 0;
+        origPtr = -1;
+        for (int i = 0; i < m; i++) {
+          int j2 = SA[i];
+          if (j2 >= n) continue;
+          if (j2 == 0) origPtr = out;
+          L[out++] = s[j2 == 0 ? n - 1 : j2 - 1];
+        }
+        free(x); free(SA);
+        if (needK) *needK = 0;
+        return out != n ? -1 : origPtr;
+      }
+      if (needK) *needK = need;
+      free(x); free(SA);
+      return -2;
     }
     if (needK) *needK = need;
     ret = out != n ? -1 : (need ? -2 : origPtr);
@@ -772,10 +836,9 @@ static int bwt_forward_sais(const u8* s, int n, u8* L) {
         : bwt_overshoot_attempt<u16>(s, n, k, L, &need, remap16);
     if (r != -2) return r;
     if (k >= n) return -1;  // cannot happen (k==n is exact); belt+braces
-    // `need` is measured against TRUNCATED suffixes, so it can
-    // under-report deep periodic ties by ~k per rung — escalate
-    // geometrically with `need` as a floor
-    k = need + 2048 > 4 * k ? need + 2048 : 4 * k;
+    // `need` is exact when the Kasai fallback ran (budget blow) and a
+    // truncated-suffix lower bound otherwise; jump there with a 2x floor
+    k = need + 64 > 2 * k ? need + 64 : 2 * k;
     if (k > n || k < 0) k = n;
   }
 }
