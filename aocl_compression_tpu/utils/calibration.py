@@ -40,18 +40,18 @@ from .config import TIER_HOST, TIER_MESH, TIER_XLA
 # provenance: scripts/recalibrate.py, 2026-08-19, 4.0 MB mixed corpus,
 # host tiers measured on this box; device tiers carried over (run with --device to refresh)
 MEASURED_MBPS: Dict[Tuple[str, str], Dict[int, float]] = {
-    ("bzip2", "compress"): {TIER_HOST: 4.6, TIER_XLA: 2.0},
-    ("lz4", "compress"): {TIER_HOST: 710.8, TIER_XLA: 141.9},
-    ("lz4", "compress_blocks"): {TIER_HOST: 442.6, TIER_XLA: 141.9, TIER_MESH: 141.9},
-    ("lz4", "decompress_blocks"): {TIER_HOST: 1153.1, TIER_XLA: 45.0, TIER_MESH: 45.0},
-    ("lz4hc", "compress_blocks"): {TIER_HOST: 23.8, TIER_XLA: 17.8},
-    ("lzma", "compress"): {TIER_HOST: 5.7},
-    ("snappy", "compress_blocks"): {TIER_HOST: 616.0, TIER_XLA: 87.1, TIER_MESH: 87.1},
-    ("snappy", "decompress_blocks"): {TIER_HOST: 943.0, TIER_XLA: 40.0},
-    ("zlib", "compress"): {TIER_HOST: 178.3, TIER_XLA: 15.2},
-    ("zlib", "compress_blocks"): {TIER_HOST: 162.8, TIER_XLA: 15.2, TIER_MESH: 15.2},
-    ("zstd", "compress"): {TIER_HOST: 386.8, TIER_XLA: 10.5},
-    ("zstd", "compress_blocks"): {TIER_HOST: 353.2, TIER_XLA: 10.5, TIER_MESH: 10.5},
+    ("bzip2", "compress"): {TIER_HOST: 11.1, TIER_XLA: 2.0},
+    ("lz4", "compress"): {TIER_HOST: 749.9, TIER_XLA: 141.9},
+    ("lz4", "compress_blocks"): {TIER_HOST: 514.2, TIER_XLA: 141.9, TIER_MESH: 141.9},
+    ("lz4", "decompress_blocks"): {TIER_HOST: 1408.2, TIER_XLA: 45.0, TIER_MESH: 45.0},
+    ("lz4hc", "compress_blocks"): {TIER_HOST: 24.6, TIER_XLA: 17.8},
+    ("lzma", "compress"): {TIER_HOST: 3.8},
+    ("snappy", "compress_blocks"): {TIER_HOST: 637.0, TIER_XLA: 87.1, TIER_MESH: 87.1},
+    ("snappy", "decompress_blocks"): {TIER_HOST: 945.3, TIER_XLA: 40.0},
+    ("zlib", "compress"): {TIER_HOST: 192.4, TIER_XLA: 15.2},
+    ("zlib", "compress_blocks"): {TIER_HOST: 186.6, TIER_XLA: 15.2, TIER_MESH: 15.2},
+    ("zstd", "compress"): {TIER_HOST: 397.9, TIER_XLA: 10.5},
+    ("zstd", "compress_blocks"): {TIER_HOST: 345.0, TIER_XLA: 10.5, TIER_MESH: 10.5},
 }
 # --- END GENERATED TABLE ---
 
