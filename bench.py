@@ -9,10 +9,11 @@ value / 740.
 
 The PRIMARY point (r3, VERDICT item 7) is the REAL-FILE corpus — big C
 sources + ELF shared objects from this box, the honest Silesia stand-in —
-at the search config whose measured real-file ratio (2.149, CPU-verified
-bit-identical to chip) clears the baseline codec's Silesia ratio 2.101:
-G=8 tiles, depth-8 candidate search, nw=16 match window, lazy demotion.
-The synthetic-corpus point at the faster shallow config (ratio 2.77-2.88
+at the r4 chip-swept config whose measured real-file ratio (2.146)
+clears the baseline codec's Silesia ratio 2.101: G=4 tile anchors,
+depth-4 candidate search, nw=5 match window, subm=32 chain marking,
+one-step lazy demotion (142.9 MB/s chip-measured; MEASURED.md r4).
+The synthetic-corpus point at the G=8 config (ratio 2.77-2.88
 there, 2.04 on real files — the r2 honesty gap) stays in extras.
 
 Methodology mirrors the reference bench (-p best-of-N, test/codec_bench.c:904):
@@ -261,12 +262,14 @@ def main():
     if len(real) >= B * N:
         ra = np.frombuffer(bytes(real[:B * N]), dtype=np.uint8).reshape(N, B)
         jr = jnp.asarray(ra)
-        # r4 chip sweep winner (scripts/sweep_r4*_device.py, /tmp/sweep_r4d
-        # log): G=4 depth=4 nw=6 subm=32 lazy=1 -> 135.9 MB/s @ 2.173 —
-        # both r2 bars (>=125 MB/s AND ratio >=2.1) at once. G=4's finer
-        # anchors + the cheap subm=32 chain marking buy the ratio; nw=6
-        # keeps the shifted-compare window under the HBM wall.
-        enc_r = lz4_device.make_encoder(B, 4, 4, 6, subm=32, lazy=1)
+        # r4 chip sweep winner (scripts/sweep_r4*_device.py; MEASURED.md r4
+        # sweep tables): G=4 depth=4 nw=5 subm=32 lazy=1 -> 142.9 MB/s @
+        # ratio 2.146 — both r2 bars (>=125 MB/s AND ratio >=2.1) at once,
+        # projected v5e-16 2.29 GB/s. G=4's finer anchors + the cheap
+        # subm=32 chain marking buy the ratio; nw=5 keeps the shifted-
+        # compare window under the HBM wall (nw=6 = 135.9 @ 2.173 if more
+        # ratio margin is ever needed).
+        enc_r = lz4_device.make_encoder(B, 4, 4, 5, subm=32, lazy=1)
         out, sizes, tails, flags = enc_r(jr, jl)
         _ = np.asarray(sizes)
         t0 = time.perf_counter()
