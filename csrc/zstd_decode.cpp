@@ -884,7 +884,8 @@ static i64 decode_block(DCtx* ctx, const u8* src, size_t srcSize, u8* dst,
   size_t litWild;
   if (type == 1) litWild = 0;
   else if (lit == litBuf) litWild = litRegen;
-  else litWild = litRegen >= 16 ? litRegen - 16 : 0;
+  else litWild = litRegen >= 32 ? litRegen - 32 : 0;  // 32B wild steps
+                                  // may read 31 past the section
 
   u32 s = 0;
   // Fast loop: one unconditional branch-free window refill per read group
@@ -956,10 +957,12 @@ static i64 decode_block(DCtx* ctx, const u8* src, size_t srcSize, u8* dst,
       const u8* lp = lit + litPos;
       memcpy(op, lp, 16);
       if (llv > 16) {
+        // literals never overlap the output: 32-byte ymm steps (wild
+        // writes stay inside the +32 dstCap slack gate above)
         u8* o = op + 16;
         const u8* q = lp + 16;
         i64 n = (i64)llv - 16;
-        do { memcpy(o, q, 16); o += 16; q += 16; n -= 16; } while (n > 0);
+        do { memcpy(o, q, 32); o += 32; q += 32; n -= 32; } while (n > 0);
       }
       litPos += llv;
       u8* op2 = op + llv;
@@ -970,7 +973,9 @@ static i64 decode_block(DCtx* ctx, const u8* src, size_t srcSize, u8* dst,
         if (mlv > 16) {
           u8* o = op2 + 16;
           i64 n = (i64)mlv - 16;
-          if (offset >= 16) {
+          if (offset >= 32) {
+            do { memcpy(o, o - offset, 32); o += 32; n -= 32; } while (n > 0);
+          } else if (offset >= 16) {
             do { memcpy(o, o - offset, 16); o += 16; n -= 16; } while (n > 0);
           } else {
             do {
