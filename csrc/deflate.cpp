@@ -552,7 +552,17 @@ static i64 inflate_raw(const u8* src, size_t srcSize, u8* dst, size_t dstCap,
           const u8* q = o - d;
           // copy ladder under a +32 slack margin (16-byte chunks may
           // write past the logical end; later output overwrites)
-          if (nend + 32 <= dstCap && d >= 16) {
+          if (nend + 32 <= dstCap && d >= 32) {
+            // one vmovdqu ymm per step at x86-64-v3; overrun <= 31 stays
+            // inside the +32 slack gate
+            i64 nn = len;
+            do {
+              memcpy(o, q, 32);
+              o += 32;
+              q += 32;
+              nn -= 32;
+            } while (nn > 0);
+          } else if (nend + 32 <= dstCap && d >= 16) {
             i64 nn = len;
             do {
               memcpy(o, q, 16);

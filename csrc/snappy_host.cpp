@@ -100,17 +100,18 @@ inline uint8_t* emit_literal(uint8_t* op, const uint8_t* lit, int64_t len,
             *op++ = (uint8_t)(l >> 16);
             *op++ = (uint8_t)(l >> 24);
         }
-        if (wildEnd && op + n + 16 <= wildEnd) {
-            // 16-byte wildcopy chunks (dstCap >= max_compressed_length is
-            // enforced at entry, so slack almost always exists)
+        if (wildEnd && op + n + 32 <= wildEnd) {
+            // 32-byte wildcopy chunks — one ymm move each at x86-64-v3
+            // (dstCap >= max_compressed_length is enforced at entry, so
+            // slack almost always exists)
             uint8_t* o = op;
             const uint8_t* q = lit;
             int64_t r = n;
             do {
-                std::memcpy(o, q, 16);
-                o += 16;
-                q += 16;
-                r -= 16;
+                std::memcpy(o, q, 32);
+                o += 32;
+                q += 32;
+                r -= 32;
             } while (r > 0);
         } else {
             std::memcpy(op, lit, (size_t)n);
