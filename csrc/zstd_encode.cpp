@@ -1121,8 +1121,23 @@ static i64 write_literals(const u8* lit, size_t n, u8* out, size_t cap,
   int type = 2;
   HufEnc he;
   if (n >= 8) {
+    // 4-way split histogram: a single count table store-forwards every
+    // repeated symbol (text literals repeat constantly); four disjoint
+    // tables let the increments pipeline (the reference's HIST_count_
+    // parallel idea, hist.c — own shape)
     u32 freq[256] = {0};
-    for (size_t i = 0; i < n; i++) freq[lit[i]]++;
+    {
+      u32 f1[256] = {0}, f2[256] = {0}, f3[256] = {0};
+      size_t i = 0;
+      for (; i + 4 <= n; i += 4) {
+        freq[lit[i]]++;
+        f1[lit[i + 1]]++;
+        f2[lit[i + 2]]++;
+        f3[lit[i + 3]]++;
+      }
+      for (; i < n; i++) freq[lit[i]]++;
+      for (int v = 0; v < 256; v++) freq[v] += f1[v] + f2[v] + f3[v];
+    }
     // exact treeless cost in bits; -1 = a literal the prev table can't code
     i64 tlBits = (pe && pe->hufV) ? 0 : -1;
     if (tlBits == 0) {
