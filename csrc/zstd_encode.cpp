@@ -27,6 +27,22 @@
 
 #define ATPU_EXPORT extern "C" __attribute__((visibility("default")))
 
+// Encode-phase profiling (build with -DATPU_PROF; zero-cost otherwise).
+// Slots: 0 scan, 1 literal histogram, 2 huf build+desc, 3 huf stream,
+// 4 write_sequences, 5 frame/rest.
+#ifdef ATPU_PROF
+#include <x86intrin.h>
+static unsigned long long g_eprof[6];
+#define EPROF_T0() unsigned long long _t0 = __rdtsc()
+#define EPROF_ADD(slot) (g_eprof[slot] += __rdtsc() - _t0, _t0 = __rdtsc())
+ATPU_EXPORT void atpu_zstd_enc_prof(unsigned long long* out) {
+  for (int i = 0; i < 6; i++) { out[i] = g_eprof[i]; g_eprof[i] = 0; }
+}
+#else
+#define EPROF_T0() ((void)0)
+#define EPROF_ADD(slot) ((void)0)
+#endif
+
 namespace {
 
 typedef uint8_t u8;
@@ -1120,6 +1136,7 @@ static i64 write_literals(const u8* lit, size_t n, u8* out, size_t cap,
   size_t bl = 0;
   int type = 2;
   HufEnc he;
+  EPROF_T0();
   if (n >= 8) {
     // 4-way split histogram: a single count table store-forwards every
     // repeated symbol (text literals repeat constantly); four disjoint
@@ -1138,6 +1155,7 @@ static i64 write_literals(const u8* lit, size_t n, u8* out, size_t cap,
       for (; i < n; i++) freq[lit[i]]++;
       for (int v = 0; v < 256; v++) freq[v] += f1[v] + f2[v] + f3[v];
     }
+    EPROF_ADD(1);
     // exact treeless cost in bits; -1 = a literal the prev table can't code
     i64 tlBits = (pe && pe->hufV) ? 0 : -1;
     if (tlBits == 0) {
@@ -1159,6 +1177,7 @@ static i64 write_literals(const u8* lit, size_t n, u8* out, size_t cap,
       ds = he.write_desc(desc, sizeof(desc));
       heBuilt = ds > 0;
     }
+    EPROF_ADD(2);
     bool four = n > 1023;  // 4 streams mandatory above 1023 regenerated
 
     auto stream_body = [&](const HufEnc& h, const u8* d, int dsz,
@@ -1200,6 +1219,7 @@ static i64 write_literals(const u8* lit, size_t n, u8* out, size_t cap,
       bodyT = (u8*)malloc(n + 512);
       if (bodyT) blT = stream_body(pe->huf, nullptr, 0, bodyT);
     }
+    EPROF_ADD(3);
     if (blT >= 0 && (blF < 0 || blT <= blF)) {
       body = bodyT;
       bl = (size_t)blT;
@@ -1604,7 +1624,7 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
     // measured on the real-file corpus (MEASURED.md r4 "fast-table
     // residency"): 14/15 beat 17 by 1.3-2.6x on ELF/records at <1% ratio
     // (still above stock's ratio on every test file)
-    fbits = (lp.strat == ZSTRAT_FAST) ? 14 : 16;
+    fbits = (lp.strat == ZSTRAT_FAST) ? 15 : 16;
     int slog = highbit32((u32)(total | 1)) + 1;  // don't oversize on
     if (fbits > slog) fbits = slog;              // small inputs
   }
@@ -1667,6 +1687,7 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
       size_t nseq = 0, nlit = 0;
       u32 run = 0;
       u32 repSnap[3] = {rep[0], rep[1], rep[2]};
+      EPROF_T0();
 
       auto evaluate = [&](size_t p, bool insert) -> EvalResult {
         const u8* limit = base + (blockEnd - p > 65538
@@ -1728,74 +1749,102 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
         // not cross blockEnd (signed: tiny inputs would underflow)
         const i64 scanEnd = ((i64)total - 8 < (i64)blockEnd - 4
                                  ? (i64)total - 8 : (i64)blockEnd - 4);
+        // Pipelined scan: the per-position critical path is 4 dependent
+        // reads (input -> hash -> table -> candidate bytes); issue the
+        // NEXT position's hash + table lookup before this position's
+        // compares resolve so consecutive probes overlap (the published
+        // analysis of this latency chain: zstd_fast.c:98-143 — own
+        // structure). Single-entry table at L1: half the footprint of
+        // the old 2-entry buckets = better cache residency.
+        if ((i64)pos <= scanEnd) {
+        u32 hN = zhash6f(base + pos, fbits);
+        int32_t candN = tab[hN];
         while ((i64)pos <= scanEnd) {
           int len = 0;
           u32 dist = 0;
           bool isRep = false;
+          const u32 h = hN;
+          const int32_t cand = candN;
+          const u32 cur = rd32le_(base + pos);
+          // miss-stride acceleration through incompressible spans
+          // (the reference's kSearchStrength idiom)
+          const size_t nxt = pos + 1 + ((pos - anchor) >> 6);
+          if ((i64)nxt <= scanEnd) {
+            hN = zhash6f(base + nxt, fbits);
+            candN = tab[hN];
+          }
           // ll == 0 shifts repcode meaning (offset_value 1 = rep1), so at
           // a match boundary probe rep1 directly, then fall back to the
           // one-literal rep0 trick (the reference's ZSTD_fast rep-at-ip+1)
           if (pos == anchor) {
+            // At a match boundary a rep1 hit RIGHT HERE codes ZERO
+            // literals (ll == 0 shifts repcodes: offset_value 1 = rep1)
+            // while the classic rep0-at-ip+1 trick pays one literal.
+            // A "source-side" break (the mismatch byte lives in the
+            // match SOURCE, not at pos) makes exactly this shape: pos is
+            // clean against two-periods-back even though one-period-back
+            // is dirty. Compute both reps and keep the ll=0 one unless
+            // rep0 covers strictly more bytes (stock averages 0.77
+            // lit/seq on records.bin vs 1.05 for rep0-first — the whole
+            // -11% ratio gap was this literal-per-break).
+            int lenR1 = 0;
+            if ((size_t)rep[1] <= pos && rep[1] != 0 &&
+                cur == rd32le_(base + pos - rep[1]))
+              lenR1 = 4 + zmatch_len(base + pos + 4,
+                                     base + pos - rep[1] + 4, limit);
+            int lenR0 = 0;
             if ((size_t)rep[0] <= pos + 1 &&
                 pos + 1 + 8 <= total && pos + 1 + 4 <= blockEnd &&
                 rd32le_(base + pos + 1)
-                    == rd32le_(base + pos + 1 - rep[0])) {
-              tab[zhash6f(base + pos, fbits) * 2] = (int32_t)pos;
-              pos++;
-              continue;
-            }
-            if ((size_t)rep[1] <= pos && rep[1] != 0 &&
-                rd32le_(base + pos) == rd32le_(base + pos - rep[1])) {
-              len = 4 + zmatch_len(base + pos + 4, base + pos - rep[1] + 4,
-                                   limit);
+                    == rd32le_(base + pos + 1 - rep[0]))
+              lenR0 = 4 + zmatch_len(base + pos + 1 + 4,
+                                     base + pos + 1 - rep[0] + 4, limit);
+            if (lenR1 >= 4 && lenR1 >= lenR0) {
+              len = lenR1;
               dist = rep[1];
               isRep = true;
+            } else if (lenR0 >= 4) {
+              tab[h] = (int32_t)pos;
+              // nxt == pos + 1 at the anchor, so the pipelined hN/candN
+              // already hold the values for the next position
+              pos++;
+              continue;
+            } else if ((size_t)rep[1] <= pos + 1 && rep[1] != 0 &&
+                       pos + 1 + 8 <= total && pos + 1 + 4 <= blockEnd &&
+                       rd32le_(base + pos + 1)
+                           == rd32le_(base + pos + 1 - rep[1])) {
+              // rep1 one literal ahead: a failed rep0 probe would
+              // otherwise hand the position to the hash candidate, whose
+              // (often far) distance then becomes the new rep0 — on
+              // periodic data that "distance drift" doubles the break
+              // rate and was measured at -11% ratio (records.bin L1).
+              // One extra compare at match boundaries re-locks the chain.
+              len = 4 + zmatch_len(base + pos + 1 + 4,
+                                   base + pos + 1 - rep[1] + 4, limit);
+              pos++;  // the common store below uses the pre-increment h,
+                      // whose slot then points one past its hash site; the
+                      // candidate content check makes that harmless
+              dist = rep[1];
+              isRep = true;
+              // emitted below with ll = 1 (pos - anchor == 1)
             }
           }
+          tab[h] = (int32_t)pos;
           if (!len && pos > anchor && (size_t)rep[0] <= pos &&
-              rd32le_(base + pos) == rd32le_(base + pos - rep[0])) {
+              cur == rd32le_(base + pos - rep[0])) {
             len = 4 + zmatch_len(base + pos + 4, base + pos - rep[0] + 4,
                                  limit);
             dist = rep[0];
             isRep = true;
-          } else {
-            u32 h = zhash6f(base + pos, fbits) * 2;
-            int32_t cand = tab[h];
-            int32_t cand2 = tab[h + 1];
-            tab[h + 1] = cand;
-            tab[h] = (int32_t)pos;
-            if (cand >= 0 && pos - (size_t)cand <= lp.window &&
-                rd32le_(base + (size_t)cand) == rd32le_(base + pos)) {
-              len = 4 + zmatch_len(base + pos + 4, base + (size_t)cand + 4,
-                                   limit);
-              dist = (u32)(pos - (size_t)cand);
-            }
-            // second bucket entry: it is always FARTHER — switching
-            // offsets breaks rep chains and costs full offset codes, so
-            // require a meaningful length win (and never leave rep0).
-            // Only consulted when the first probe missed or stayed short:
-            // a >=16-byte primary hit is kept as-is, which removes the
-            // second compare chain from the common hit path (with the
-            // interleaved buckets and the >>6 miss stride: L1 ~+5%
-            // speed for ~0.4% ratio on the real-file corpus).
-            if (len < 16 &&
-                cand2 >= 0 && cand2 != cand && dist != rep[0] &&
-                pos - (size_t)cand2 <= lp.window &&
-                rd32le_(base + (size_t)cand2) == rd32le_(base + pos)) {
-              int l2 = 4 + zmatch_len(base + pos + 4,
-                                      base + (size_t)cand2 + 4, limit);
-              u32 d2 = (u32)(pos - (size_t)cand2);
-              int gain = (d2 == rep[0]) ? 0 : 1;
-              if (l2 > len + gain) {
-                len = l2;
-                dist = d2;
-              }
-            }
+          } else if (!len && cand >= 0 &&
+                     pos - (size_t)cand <= lp.window &&
+                     rd32le_(base + (size_t)cand) == cur) {
+            len = 4 + zmatch_len(base + pos + 4, base + (size_t)cand + 4,
+                                 limit);
+            dist = (u32)(pos - (size_t)cand);
           }
           if (!len) {
-            // miss-stride acceleration through incompressible spans
-            // (the reference's kSearchStrength idiom)
-            pos += 1 + ((pos - anchor) >> 6);
+            pos = nxt;
             continue;
           }
           // extend backward over pending literals (rep0 emission needs
@@ -1816,11 +1865,21 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
           nseq++;
           size_t endp = pos + (size_t)len;
           if (pos + 1 + 8 <= total)
-            tab[zhash6f(base + pos + 1, fbits) * 2] = (int32_t)(pos + 1);
+            tab[zhash6f(base + pos + 1, fbits)] = (int32_t)(pos + 1);
+          // long matches: refresh the table inside the matched span too —
+          // nearer candidates shrink offset extra bits (48% of the seq
+          // section on text) and raise the hit rate after the match
+          for (size_t q = pos + 9; q + 8 <= endp && q + 8 <= total; q += 8)
+            tab[zhash6f(base + q, fbits)] = (int32_t)q;
           if (endp >= 2 && endp - 2 > pos + 1 && endp - 2 + 8 <= total)
-            tab[zhash6f(base + endp - 2, fbits) * 2] = (int32_t)(endp - 2);
+            tab[zhash6f(base + endp - 2, fbits)] = (int32_t)(endp - 2);
           pos = endp;
           anchor = pos;
+          if ((i64)pos <= scanEnd) {
+            hN = zhash6f(base + pos, fbits);
+            candN = tab[hN];
+          }
+        }
         }
         // trailing literals of this block
         {
@@ -2333,6 +2392,7 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
       }
 
       // ---- write the block ----
+      EPROF_ADD(0);
       size_t blockRaw = blockEnd - bstart;
       PrevEntropy peSnap = pe;  // raw/RLE fallback must not advance the
                                 // decoder-visible entropy state
@@ -2340,12 +2400,14 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
                                  BLOCK_MAX + (BLOCK_MAX >> 2) + 2048, &pe);
       bool ok = litSz >= 0;
       i64 seqSz = 0;
+      EPROF_ADD(5);
       if (ok) {
         seqSz = write_sequences(seqs, nseq, scratch + litSz,
                                 (size_t)(BLOCK_MAX + (BLOCK_MAX >> 2)
                                          + 4096 - litSz), &pe);
         ok = seqSz >= 0;
       }
+      EPROF_ADD(4);
       int last = blockEnd == total ? 1 : 0;
       size_t content = ok ? (size_t)(litSz + seqSz) : (size_t)-1;
       // nseq == 0 is a legal compressed block (literals section + a
