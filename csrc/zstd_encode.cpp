@@ -1910,21 +1910,44 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
           u32 dist = 0;
           bool isRep = false;
           if (pos == anchor) {
-            // boundary rep probes, same shifted-repcode shape as the
-            // fast loop: rep0 one literal ahead, then rep1 here
+            // boundary rep probes, same shifted-repcode priority as the
+            // fast loop: rep1 RIGHT HERE codes zero literals (ll == 0
+            // shifts repcodes) — prefer it over the one-literal
+            // rep0-at-anchor+1 trick unless rep0 covers strictly more
+            // bytes (source-side breaks; records.bin L3 14.37 -> 16.6)
+            int lenR1 = 0;
+            if ((size_t)rep[1] <= pos && rep[1] != 0 &&
+                rd32le_(base + pos) == rd32le_(base + pos - rep[1]))
+              lenR1 = 4 + zmatch_len(base + pos + 4,
+                                     base + pos - rep[1] + 4, limit);
+            int lenR0 = 0;
             if ((size_t)rep[0] <= pos + 1 &&
                 pos + 1 + 8 <= total && pos + 1 + 4 <= blockEnd &&
                 rd32le_(base + pos + 1)
-                    == rd32le_(base + pos + 1 - rep[0])) {
+                    == rd32le_(base + pos + 1 - rep[0]))
+              lenR0 = 4 + zmatch_len(base + pos + 1 + 4,
+                                     base + pos + 1 - rep[0] + 4, limit);
+            if (lenR1 >= 4 && lenR1 >= lenR0) {
+              len = lenR1;
+              dist = rep[1];
+              isRep = true;
+            } else if (lenR0 >= 4) {
               tabL[zhash8d(base + pos, fbits)] = (int32_t)pos;
               tabS[zhash5(base + pos, fbits)] = (int32_t)pos;
               pos++;
               continue;
-            }
-            if ((size_t)rep[1] <= pos && rep[1] != 0 &&
-                rd32le_(base + pos) == rd32le_(base + pos - rep[1])) {
-              len = 4 + zmatch_len(base + pos + 4, base + pos - rep[1] + 4,
-                                   limit);
+            } else if ((size_t)rep[1] <= pos + 1 && rep[1] != 0 &&
+                       pos + 1 + 8 <= total && pos + 1 + 4 <= blockEnd &&
+                       rd32le_(base + pos + 1)
+                           == rd32le_(base + pos + 1 - rep[1])) {
+              // rep1 one literal ahead: re-lock the rep chain instead of
+              // handing the break to a far hash candidate (same
+              // distance-drift fix as the fast loop)
+              len = 4 + zmatch_len(base + pos + 1 + 4,
+                                   base + pos + 1 - rep[1] + 4, limit);
+              tabL[zhash8d(base + pos, fbits)] = (int32_t)pos;
+              tabS[zhash5(base + pos, fbits)] = (int32_t)pos;
+              pos++;
               dist = rep[1];
               isRep = true;
             }
