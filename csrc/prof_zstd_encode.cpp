@@ -36,7 +36,7 @@ int main(int argc, char** argv) {
   auto data = slurp(argv[1]);
   int level = argc > 2 ? atoi(argv[2]) : 1;
   std::vector<uint8_t> out((size_t)atpu_zstd_compress_bound((long long)data.size()));
-  unsigned long long prof[6];
+  unsigned long long prof[8];
   atpu_zstd_enc_prof(prof);  // reset
   double best = 1e30;
   long long csz = 0;
@@ -54,9 +54,9 @@ int main(int argc, char** argv) {
   for (int i = 0; i < 5; i++) tot += prof[i];  // slot5 overlaps 1-3
   printf("%s L%d: %.1f MB/s ratio %.4f\n", argv[1], level,
          data.size() / best / 1e6, (double)data.size() / (double)csz);
-  const char* names[6] = {"scan", "hist", "hufbuild", "hufstream",
-                          "sequences", "write_lit_total"};
-  for (int i = 0; i < 6; i++)
+  const char* names[8] = {"scan", "hist", "hufbuild", "hufstream",
+                          "sequences", "write_lit_total", "seq_hist_choose", "seq_tblbuild"};
+  for (int i = 0; i < 8; i++)
     printf("  %-16s %12llu cyc  %5.1f%%\n", names[i], prof[i],
            100.0 * (double)prof[i] / (double)tot);
   return 0;

@@ -32,11 +32,11 @@
 // 4 write_sequences, 5 frame/rest.
 #ifdef ATPU_PROF
 #include <x86intrin.h>
-static unsigned long long g_eprof[6];
+static unsigned long long g_eprof[8];
 #define EPROF_T0() unsigned long long _t0 = __rdtsc()
 #define EPROF_ADD(slot) (g_eprof[slot] += __rdtsc() - _t0, _t0 = __rdtsc())
 ATPU_EXPORT void atpu_zstd_enc_prof(unsigned long long* out) {
-  for (int i = 0; i < 6; i++) { out[i] = g_eprof[i]; g_eprof[i] = 0; }
+  for (int i = 0; i < 8; i++) { out[i] = g_eprof[i]; g_eprof[i] = 0; }
 }
 #else
 #define EPROF_T0() ((void)0)
@@ -85,6 +85,21 @@ struct BitW {
       acc >>= 32;
       nbits -= 32;
     }
+  }
+  // 64-bit fast path for the sequence/Huffman hot loops: add() never
+  // checks capacity (caller guarantees nbits + n <= 64 between flushes),
+  // flush() stores 8 bytes and retires whole bytes only — one
+  // unaligned store replaces up to two checked 4-byte puts
+  inline void add(u64 v, int n) {
+    acc |= v << nbits;
+    nbits += n;
+  }
+  inline void flush() {
+    if (len + 8 > cap) { overflow = true; nbits &= 7; return; }
+    memcpy(out + len, &acc, 8);
+    len += (size_t)(nbits >> 3);
+    acc >>= nbits & ~7;
+    nbits &= 7;
   }
   size_t close() {  // sentinel bit + flush
     put(1, 1);
@@ -537,6 +552,86 @@ struct HufEnc {
     size_t sl = bw.close();
     return bw.overflow ? 0 : sl;
   }
+
+  // Interleaved 4-stream encode: the format's four independent bitstreams
+  // (mandatory above 1023 regenerated bytes) exist exactly so four
+  // accumulator chains can run in parallel — sequential emission leaves
+  // three of the four chains idle behind one serial shift/or chain.
+  // 4 symbols per stream per iteration (4 x 11 bits + 7 pending <= 64),
+  // one 8-byte byte-granular store per stream per iteration. Streams 1-3
+  // land in a bounded scratch and are compacted behind stream 0.
+  // Returns total bytes at out (jumbo sizes in sls[4]), or -1.
+  i64 stream4(const u8* lit, size_t n, u8* out, size_t cap,
+              size_t sls[4]) const {
+    if (n > (size_t)BLOCK_MAX || cap < 8) return -1;
+    size_t q = (n + 3) / 4;
+    const u8* src[4] = {lit, lit + q, lit + 2 * q, lit + 3 * q};
+    const size_t scap = ((size_t)BLOCK_MAX / 4 * 11) / 8 + 32;
+    static thread_local u8 scr[3 * (((size_t)BLOCK_MAX / 4 * 11) / 8 + 32)];
+    u8* outs[4] = {out, scr, scr + scap, scr + 2 * scap};
+    u64 acc[4] = {0, 0, 0, 0};
+    int nb[4] = {0, 0, 0, 0};
+    size_t len[4] = {0, 0, 0, 0};
+    size_t idx[4] = {q, q, q, n - 3 * q};
+    const size_t safe0 = cap - 8;
+    while (idx[0] >= 4 && idx[3] >= 4 && len[0] <= safe0) {
+      for (int k = 0; k < 4; k++) {
+        const u8* s = src[k];
+        size_t ik = idx[k];
+        u64 a = acc[k];
+        int nbk = nb[k];
+        u8 c3 = s[ik - 1], c2 = s[ik - 2], c1 = s[ik - 3], c0 = s[ik - 4];
+        a |= (u64)codes[c3] << nbk;
+        nbk += nbits[c3];
+        a |= (u64)codes[c2] << nbk;
+        nbk += nbits[c2];
+        a |= (u64)codes[c1] << nbk;
+        nbk += nbits[c1];
+        a |= (u64)codes[c0] << nbk;
+        nbk += nbits[c0];
+        memcpy(outs[k] + len[k], &a, 8);
+        len[k] += (size_t)(nbk >> 3);
+        acc[k] = a >> (nbk & ~7);
+        nb[k] = nbk & 7;
+        idx[k] = ik - 4;
+      }
+    }
+    for (int k = 0; k < 4; k++) {  // scalar tails + sentinel + drain
+      u64 a = acc[k];
+      int nbk = nb[k];
+      size_t ik = idx[k], lk = len[k];
+      const size_t capk = k == 0 ? cap : scap;
+      while (ik-- > 0) {
+        u8 c = src[k][ik];
+        a |= (u64)codes[c] << nbk;
+        nbk += nbits[c];
+        if (nbk >= 32) {
+          if (lk + 8 > capk) return -1;
+          memcpy(outs[k] + lk, &a, 8);
+          lk += (size_t)(nbk >> 3);
+          a >>= nbk & ~7;
+          nbk &= 7;
+        }
+      }
+      a |= 1ull << nbk;  // closing sentinel bit
+      nbk += 1;
+      while (nbk > 0) {
+        if (lk >= capk) return -1;
+        outs[k][lk++] = (u8)a;
+        a >>= 8;
+        nbk -= 8;
+      }
+      sls[k] = lk;
+      if (k < 3 && lk >= 65536) return -1;  // jumbo u16 size fields
+    }
+    size_t tot = sls[0];
+    for (int k = 1; k < 4; k++) {
+      if (tot + sls[k] > cap) return -1;
+      memmove(out + tot, outs[k], sls[k]);
+      tot += sls[k];
+    }
+    return (i64)tot;
+  }
 };
 
 // ---------------------------------------------------------------------------
@@ -581,16 +676,17 @@ struct SeqCodeLut {
     }
   }
 };
-static int ll_code(u32 ll) {
-  static const SeqCodeLut lut;
-  if (ll < 256) return lut.ll[ll];
+// namespace-scope instance: function-local statics pay a thread-safe
+// init guard load+branch on EVERY call, and these run 2-4x per sequence
+static const SeqCodeLut kSeqLut;
+static inline int ll_code(u32 ll) {
+  if (ll < 256) return kSeqLut.ll[ll];
   for (int c = 35; c >= 16; c--)
     if (ll >= LL_BASE[c]) return c;
   return 16;
 }
-static int ml_code(u32 ml) {
-  static const SeqCodeLut lut;
-  if (ml < 384) return lut.ml[ml];
+static inline int ml_code(u32 ml) {
+  if (ml < 384) return kSeqLut.ml[ml];
   for (int c = 52; c >= 0; c--)
     if (ml >= ML_BASE[c]) return c;
   return 0;
@@ -1191,16 +1287,10 @@ static i64 write_literals(const u8* lit, size_t n, u8* out, size_t cap,
       }
       size_t j = l;
       l += 6;
-      size_t q = (n + 3) / 4;
-      size_t ls[4] = {q, q, q, n - 3 * q};
-      size_t off = 0, sls[4];
-      for (int k = 0; k < 4; k++) {
-        size_t sl = h.stream(lit + off, ls[k], b + l, n + 400 - l);
-        if (!sl || (k < 3 && sl >= 65536)) return -1;
-        sls[k] = sl;
-        l += sl;
-        off += ls[k];
-      }
+      size_t sls[4];
+      i64 sl4 = h.stream4(lit, n, b + l, n + 400 - l, sls);
+      if (sl4 < 0) return -1;
+      l += (size_t)sl4;
       wr16le(b + j, (u16)sls[0]);
       wr16le(b + j + 2, (u16)sls[1]);
       wr16le(b + j + 4, (u16)sls[2]);
@@ -1339,13 +1429,20 @@ static i64 write_sequences(const Seq* seqs, size_t nseq, u8* out,
   }
   if (nseq == 0) return (i64)len;
 
-  // histograms (codes are LUT lookups — the encode pass below recomputes
-  // them instead of staging three per-sequence byte arrays)
+  // histogram pass also stages the three per-sequence code bytes so the
+  // hot encode loop below reads bytes instead of re-deriving codes
+  // (stock's ZSTD_seqToCodes shape — own code)
+  static thread_local u8 llcArr[BLOCK_MAX / 3 + 16];
+  static thread_local u8 mlcArr[BLOCK_MAX / 3 + 16];
+  static thread_local u8 ofcArr[BLOCK_MAX / 3 + 16];
   u32 llf[36] = {0}, mlf[53] = {0}, off[32] = {0};
   for (size_t i = 0; i < nseq; i++) {
     int lc = ll_code(seqs[i].ll);
     int mc = ml_code(seqs[i].ml);
     int oc = highbit32(seqs[i].ofv);
+    llcArr[i] = (u8)lc;
+    mlcArr[i] = (u8)mc;
+    ofcArr[i] = (u8)oc;
     llf[lc]++;
     mlf[mc]++;
     if (oc > 30) return ERR_CORRUPT;
@@ -1356,6 +1453,7 @@ static i64 write_sequences(const Seq* seqs, size_t nseq, u8* out,
     for (int s = 0; s < 32; s++) g_statOF[s] += off[s];
     for (int s = 0; s < 53; s++) g_statML[s] += mlf[s];
   }
+  EPROF_T0();
   TableChoice tcll, tcof, tcml;
   choose_table(llf, 36, (u32)nseq, LL_DEF, LL_DEFLOG, 9, &tcll);
   choose_table(off, 29, (u32)nseq, OF_DEF, OF_DEFLOG, 8, &tcof);
@@ -1405,6 +1503,7 @@ static i64 write_sequences(const Seq* seqs, size_t nseq, u8* out,
 
   if (cap < len + 1) return ERR_DST_SMALL;
   out[len++] = (u8)((tcll.mode << 6) | (tcof.mode << 4) | (tcml.mode << 2));
+  EPROF_ADD(6);
 
   FSEEnc ell, eof_, eml;
   auto setup = [&](TableChoice& tc, FSEEnc& e, const short* def, int defLog,
@@ -1472,6 +1571,7 @@ static i64 write_sequences(const Seq* seqs, size_t nseq, u8* out,
       !setup(tcml, eml, ML_DEF, ML_DEFLOG, 53, 53, mlN, mlL, mlV))
     return ERR_DST_SMALL;
 
+  EPROF_ADD(7);
   BitW bw(out + len, cap - len);
   // encode backwards: init states from the LAST sequence, then loop.
   // Per sequence: ONE fused put for the three state transitions
@@ -1480,9 +1580,7 @@ static i64 write_sequences(const Seq* seqs, size_t nseq, u8* out,
   // flush-check overhead.
   size_t n1 = nseq - 1;
   {
-    int lc = ll_code(seqs[n1].ll);
-    int mc = ml_code(seqs[n1].ml);
-    int oc = highbit32(seqs[n1].ofv);
+    int lc = llcArr[n1], mc = mlcArr[n1], oc = ofcArr[n1];
     ell.init_state(lc);
     eof_.init_state(oc);
     eml.init_state(mc);
@@ -1492,18 +1590,29 @@ static i64 write_sequences(const Seq* seqs, size_t nseq, u8* out,
     bw.put(seqs[n1].ofv - (1u << oc), oc);
   }
   for (size_t i = n1; i-- > 0;) {
-    int lc = ll_code(seqs[i].ll);
-    int mc = ml_code(seqs[i].ml);
-    int oc = highbit32(seqs[i].ofv);
+    int lc = llcArr[i], mc = mlcArr[i], oc = ofcArr[i];
     int no, nm, nl;
     u32 bo = eof_.step(oc, &no);
     u32 bm = eml.step(mc, &nm);
     u32 bl = ell.step(lc, &nl);
-    bw.put(bo | (bm << no) | (bl << (no + nm)), no + nm + nl);
+    // two unchecked adds + two byte-granular flushes per sequence
+    // (invariant: nbits <= 7 after flush; states <= 27 bits, extras
+    // lb+mb+oc <= 56 except astronomically long ll/ml with a 25+ bit
+    // offset together — split path below keeps the invariant exact)
+    bw.add(bo | (bm << no) | ((u64)bl << (no + nm)), no + nm + nl);
+    bw.flush();
     int lb = LL_BITS[lc], mb = ML_BITS[mc];
-    bw.put((seqs[i].ll - LL_BASE[lc])
-               | ((seqs[i].ml - ML_BASE[mc]) << lb), lb + mb);
-    bw.put(seqs[i].ofv - (1u << oc), oc);
+    u64 exll = (u64)(seqs[i].ll - LL_BASE[lc])
+               | ((u64)(seqs[i].ml - ML_BASE[mc]) << lb);
+    if (lb + mb + oc <= 56) {
+      bw.add(exll | ((u64)(seqs[i].ofv - (1u << oc)) << (lb + mb)),
+             lb + mb + oc);
+    } else {
+      bw.add(exll, lb + mb);
+      bw.flush();
+      bw.add(seqs[i].ofv - (1u << oc), oc);
+    }
+    bw.flush();
   }
   eml.flush(bw);
   eof_.flush(bw);
@@ -1759,12 +1868,18 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
         if ((i64)pos <= scanEnd) {
         u32 hN = zhash6f(base + pos, fbits);
         int32_t candN = tab[hN];
+        // candidate CONTENT is also pipelined: base+cand is a random
+        // access into the window (L2/L3 miss), the single longest link
+        // in the chain — issue it one iteration early, unconditionally
+        // (clamped index on empty slots; one wasted load beats a stall)
+        u32 cbN = rd32le_(base + (size_t)(candN < 0 ? 0 : candN));
         while ((i64)pos <= scanEnd) {
           int len = 0;
           u32 dist = 0;
           bool isRep = false;
           const u32 h = hN;
           const int32_t cand = candN;
+          const u32 cb = cbN;
           const u32 cur = rd32le_(base + pos);
           // miss-stride acceleration through incompressible spans
           // (the reference's kSearchStrength idiom)
@@ -1772,6 +1887,7 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
           if ((i64)nxt <= scanEnd) {
             hN = zhash6f(base + nxt, fbits);
             candN = tab[hN];
+            cbN = rd32le_(base + (size_t)(candN < 0 ? 0 : candN));
           }
           // ll == 0 shifts repcode meaning (offset_value 1 = rep1), so at
           // a match boundary probe rep1 directly, then fall back to the
@@ -1837,8 +1953,7 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
             dist = rep[0];
             isRep = true;
           } else if (!len && cand >= 0 &&
-                     pos - (size_t)cand <= lp.window &&
-                     rd32le_(base + (size_t)cand) == cur) {
+                     pos - (size_t)cand <= lp.window && cb == cur) {
             len = 4 + zmatch_len(base + pos + 4, base + (size_t)cand + 4,
                                  limit);
             dist = (u32)(pos - (size_t)cand);
@@ -1878,6 +1993,7 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
           if ((i64)pos <= scanEnd) {
             hN = zhash6f(base + pos, fbits);
             candN = tab[hN];
+            cbN = rd32le_(base + (size_t)(candN < 0 ? 0 : candN));
           }
         }
         }
