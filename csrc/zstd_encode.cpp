@@ -2021,10 +2021,31 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
         const u8* const limit = base + blockEnd;
         const i64 scanEnd = ((i64)total - 8 < (i64)blockEnd - 4
                                  ? (i64)total - 8 : (i64)blockEnd - 4);
+        // pipelined like the fast loop: next position's two hashes, two
+        // table slots AND both candidate contents (the random window
+        // loads) issue one iteration ahead of this position's compares
+        if ((i64)pos <= scanEnd) {
+        u32 hlN = zhash8d(base + pos, fbits), hsN = zhash5(base + pos, fbits);
+        int32_t clN = tabL[hlN], csN = tabS[hsN];
+        u64 cblN = rd64le_(base + (size_t)(clN < 0 ? 0 : clN));
+        u32 cbsN = rd32le_(base + (size_t)(csN < 0 ? 0 : csN));
         while ((i64)pos <= scanEnd) {
           int len = 0;
           u32 dist = 0;
           bool isRep = false;
+          const u32 hl = hlN, hs = hsN;
+          const int32_t cl = clN, cs = csN;
+          const u64 cbl = cblN;
+          const u32 cbs = cbsN;
+          const size_t nxt = pos + 1 + ((pos - anchor) >> 7);
+          if ((i64)nxt <= scanEnd) {
+            hlN = zhash8d(base + nxt, fbits);
+            hsN = zhash5(base + nxt, fbits);
+            clN = tabL[hlN];
+            csN = tabS[hsN];
+            cblN = rd64le_(base + (size_t)(clN < 0 ? 0 : clN));
+            cbsN = rd32le_(base + (size_t)(csN < 0 ? 0 : csN));
+          }
           if (pos == anchor) {
             // boundary rep probes, same shifted-repcode priority as the
             // fast loop: rep1 RIGHT HERE codes zero literals (ll == 0
@@ -2048,8 +2069,9 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
               dist = rep[1];
               isRep = true;
             } else if (lenR0 >= 4) {
-              tabL[zhash8d(base + pos, fbits)] = (int32_t)pos;
-              tabS[zhash5(base + pos, fbits)] = (int32_t)pos;
+              tabL[hl] = (int32_t)pos;
+              tabS[hs] = (int32_t)pos;
+              // nxt == pos + 1 at the anchor: pipeline already holds it
               pos++;
               continue;
             } else if ((size_t)rep[1] <= pos + 1 && rep[1] != 0 &&
@@ -2061,8 +2083,8 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
               // distance-drift fix as the fast loop)
               len = 4 + zmatch_len(base + pos + 1 + 4,
                                    base + pos + 1 - rep[1] + 4, limit);
-              tabL[zhash8d(base + pos, fbits)] = (int32_t)pos;
-              tabS[zhash5(base + pos, fbits)] = (int32_t)pos;
+              tabL[hl] = (int32_t)pos;
+              tabS[hs] = (int32_t)pos;
               pos++;
               dist = rep[1];
               isRep = true;
@@ -2075,14 +2097,10 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
             dist = rep[0];
             isRep = true;
           } else if (!len) {
-            u32 hl = zhash8d(base + pos, fbits);
-            u32 hs = zhash5(base + pos, fbits);
-            int32_t cl = tabL[hl];
-            int32_t cs = tabS[hs];
             tabL[hl] = (int32_t)pos;
             tabS[hs] = (int32_t)pos;
             if (cl >= 0 && pos - (size_t)cl <= lp.window &&
-                rd64le_(base + (size_t)cl) == rd64le_(base + pos)) {
+                cbl == rd64le_(base + pos)) {
               len = 8 + zmatch_len(base + pos + 8, base + (size_t)cl + 8,
                                    limit);
               // the 8-byte confirm may cross blockEnd (the loop only
@@ -2091,7 +2109,7 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
               if (len > maxl) len = maxl;
               dist = (u32)(pos - (size_t)cl);
             } else if (cs >= 0 && pos - (size_t)cs <= lp.window &&
-                       rd32le_(base + (size_t)cs) == rd32le_(base + pos)) {
+                       cbs == rd32le_(base + pos)) {
               len = 4 + zmatch_len(base + pos + 4, base + (size_t)cs + 4,
                                    limit);
               dist = (u32)(pos - (size_t)cs);
@@ -2117,7 +2135,7 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
             }
           }
           if (!len) {
-            pos += 1 + ((pos - anchor) >> 7);
+            pos = nxt;
             continue;
           }
           // extend backward over pending literals (rep0 emission needs
@@ -2156,6 +2174,15 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
           }
           pos = endp;
           anchor = pos;
+          if ((i64)pos <= scanEnd) {  // restart the probe pipeline
+            hlN = zhash8d(base + pos, fbits);
+            hsN = zhash5(base + pos, fbits);
+            clN = tabL[hlN];
+            csN = tabS[hsN];
+            cblN = rd64le_(base + (size_t)(clN < 0 ? 0 : clN));
+            cbsN = rd32le_(base + (size_t)(csN < 0 ? 0 : csN));
+          }
+        }
         }
         {
           size_t tl = blockEnd - anchor;
