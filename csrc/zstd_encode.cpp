@@ -1909,7 +1909,7 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
               lenR1 = 4 + zmatch_len(base + pos + 4,
                                      base + pos - rep[1] + 4, limit);
             int lenR0 = 0;
-            if ((size_t)rep[0] <= pos + 1 &&
+            if (lenR1 < 16 && (size_t)rep[0] <= pos + 1 &&
                 pos + 1 + 8 <= total && pos + 1 + 4 <= blockEnd &&
                 rd32le_(base + pos + 1)
                     == rd32le_(base + pos + 1 - rep[0]))
@@ -1971,7 +1971,14 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
             len++;
           }
           size_t run2 = pos - anchor;
-          memcpy(lits + nlit, base + anchor, run2);
+          if (run2 <= 16 && anchor + 16 <= total) {
+            // tiny-run fast path: two unconditional 8-byte words beat a
+            // variable-size memcpy PLT call (runs are 0-2 on rep chains)
+            memcpy(lits + nlit, base + anchor, 8);
+            memcpy(lits + nlit + 8, base + anchor + 8, 8);
+          } else {
+            memcpy(lits + nlit, base + anchor, run2);
+          }
           nlit += run2;
           u32 ofv = zofv_emit(rep, dist, run2);
           seqs[nseq].ll = (u32)run2;
@@ -2058,7 +2065,7 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
               lenR1 = 4 + zmatch_len(base + pos + 4,
                                      base + pos - rep[1] + 4, limit);
             int lenR0 = 0;
-            if ((size_t)rep[0] <= pos + 1 &&
+            if (lenR1 < 16 && (size_t)rep[0] <= pos + 1 &&
                 pos + 1 + 8 <= total && pos + 1 + 4 <= blockEnd &&
                 rd32le_(base + pos + 1)
                     == rd32le_(base + pos + 1 - rep[0]))
@@ -2147,7 +2154,14 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
             len++;
           }
           size_t run2 = pos - anchor;
-          memcpy(lits + nlit, base + anchor, run2);
+          if (run2 <= 16 && anchor + 16 <= total) {
+            // tiny-run fast path: two unconditional 8-byte words beat a
+            // variable-size memcpy PLT call (runs are 0-2 on rep chains)
+            memcpy(lits + nlit, base + anchor, 8);
+            memcpy(lits + nlit + 8, base + anchor + 8, 8);
+          } else {
+            memcpy(lits + nlit, base + anchor, run2);
+          }
           nlit += run2;
           u32 ofv = zofv_emit(rep, dist, run2);
           seqs[nseq].ll = (u32)run2;
@@ -2159,10 +2173,16 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
             tabL[zhash8d(base + pos + 1, fbits)] = (int32_t)(pos + 1);
             tabS[zhash5(base + pos + 1, fbits)] = (int32_t)(pos + 1);
           }
-          for (size_t q = pos + 2; q + 8 <= total && q < endp;
-               q += (size_t)lp.dstep) {
+          // interior inserts: dense for the first 64 bytes of the span,
+          // geometrically sparser beyond — positions deep inside a long
+          // match stay reachable through rep chains, so dense insertion
+          // there buys no ratio while long-match data paid ~len/dstep
+          // hash+store pairs per match
+          for (size_t q = pos + 2, st = (size_t)lp.dstep;
+               q + 8 <= total && q < endp; q += st) {
             tabL[zhash8d(base + q, fbits)] = (int32_t)q;
             tabS[zhash5(base + q, fbits)] = (int32_t)q;
+            if (q >= pos + 64 && st < 32) st *= 2;
           }
           if (endp >= 2 && endp - 2 > pos + 2 && endp - 2 + 8 <= total) {
             tabL[zhash8d(base + endp - 2, fbits)] = (int32_t)(endp - 2);
