@@ -1051,10 +1051,14 @@ static LevelP zparams(int level) {
   // already breaks on a non-monotonic link.
   static const LevelP t[23] = {
     {0, 0, 0, 0, 0, 0, 0},
-    {1u << 19, 4, 0, 16, 16, ZSTRAT_FAST, 0},  // 1
-    {1u << 20, 6, 0, 24, 17, ZSTRAT_DFAST, 4}, // 2
-    {1u << 21, 8, 0, 32, 17, ZSTRAT_DFAST, 2}, // 3
-    {1u << 20, 12, 1, 32, 17, ZSTRAT_ROW, 0},  // 4
+    // 8 MiB windows at L1-4: the reference replaces stock's level table
+    // with wlog 23 for the fast tiers (clevels.h AOCL_ZSTD_defaultC-
+    // Parameters L1-4) — on large inputs window reach IS the ratio
+    // (measured: their L3 beat ours by 27% on an 8 MB ELF until this)
+    {1u << 23, 4, 0, 16, 16, ZSTRAT_FAST, 0},  // 1
+    {1u << 23, 6, 0, 24, 17, ZSTRAT_DFAST, 4}, // 2
+    {1u << 23, 8, 0, 32, 17, ZSTRAT_DFAST, 2}, // 3
+    {1u << 23, 12, 1, 32, 17, ZSTRAT_ROW, 0},  // 4
     {1u << 21, 16, 1, 48, 18, ZSTRAT_ROW, 0},  // 5
     {1u << 21, 24, 1, 64, 18, ZSTRAT_ROW, 0},  // 6
     {1u << 21, 32, 2, 96, 19, ZSTRAT_ROW, 0},  // 7
