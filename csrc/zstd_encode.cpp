@@ -1058,7 +1058,7 @@ static LevelP zparams(int level) {
     {1u << 23, 4, 0, 16, 16, ZSTRAT_FAST, 0},  // 1
     {1u << 23, 6, 0, 24, 17, ZSTRAT_DFAST, 4}, // 2
     {1u << 23, 8, 0, 32, 17, ZSTRAT_DFAST, 2}, // 3
-    {1u << 23, 12, 1, 32, 17, ZSTRAT_ROW, 0},  // 4
+    {1u << 23, 12, 0, 48, 18, ZSTRAT_DFAST, 1},// 4 (dfast like the ref's L4)
     {1u << 21, 16, 1, 48, 18, ZSTRAT_ROW, 0},  // 5
     {1u << 21, 24, 1, 64, 18, ZSTRAT_ROW, 0},  // 6
     {1u << 21, 32, 2, 96, 19, ZSTRAT_ROW, 0},  // 7
@@ -1737,7 +1737,10 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
     // measured on the real-file corpus (MEASURED.md r4 "fast-table
     // residency"): 14/15 beat 17 by 1.3-2.6x on ELF/records at <1% ratio
     // (still above stock's ratio on every test file)
-    fbits = (lp.strat == ZSTRAT_FAST) ? 15 : 16;
+    // dfast: 16-bit tables keep L2/L3 in L2-cache; L4 (depth 12 in the
+    // table = the ref's hlog-18 tier) trades residency for reach
+    fbits = (lp.strat == ZSTRAT_FAST) ? 15
+            : (lp.strat == ZSTRAT_DFAST && lp.depth >= 12) ? 17 : 16;
     int slog = highbit32((u32)(total | 1)) + 1;  // don't oversize on
     if (fbits > slog) fbits = slog;              // small inputs
   }
@@ -1806,8 +1809,24 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
         const u8* limit = base + (blockEnd - p > 65538
                                   ? p + 65538 : blockEnd);
         int repLen = 0;
-        if ((size_t)rep[0] <= p && rep[0] <= lp.window && p + 3 <= total)
+        u32 repDist = 0;
+        if ((size_t)rep[0] <= p && rep[0] <= lp.window && p + 3 <= total) {
           repLen = zmatch_len(base + p, base + p - rep[0], limit);
+          repDist = rep[0];
+        }
+        // rep1 probe: at a source-side break rep0 fails here but the
+        // two-periods-back copy is clean — without this the finder hands
+        // the position to a full-offset candidate and the drifting rep
+        // chain costs double breaks on periodic data (records.bin L4
+        // was -23% vs the reference until this; same fix as fast/dfast)
+        if (rep[1] != 0 && (size_t)rep[1] <= p && rep[1] <= lp.window &&
+            p + 3 <= total) {
+          int l1 = zmatch_len(base + p, base + p - rep[1], limit);
+          if (l1 > repLen) {
+            repLen = l1;
+            repDist = rep[1];
+          }
+        }
         u32 nd = 0;
         int nl = 0;
         if (p + 4 <= total) {
@@ -1839,9 +1858,9 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
           }
         }
         if (nl < 4) nl = 0;  // 3-byte far matches rarely pay
-        if (repLen >= 3 && repLen + 1 >= nl) return {repLen, rep[0]};
+        if (repLen >= 3 && repLen + 1 >= nl) return {repLen, repDist};
         if (nl >= 4) return {nl, nd};
-        if (repLen >= 3) return {repLen, rep[0]};
+        if (repLen >= 3) return {repLen, repDist};
         return {0, 0};
       };
 
@@ -2537,7 +2556,18 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
         }
         if (lp.lazy && ev.len < lp.nice && pos + 1 < blockEnd) {
           EvalResult ev2 = evaluate(pos + 1, false);
-          if (ev2.len > ev.len + (lp.lazy >= 2 ? 0 : 1)) {
+          // offset-aware deferral (the reference's lazy gain rule,
+          // zstd_lazy.c ZSTD_compressBlock_lazy_generic: 4*len minus the
+          // offset-code log): a one-byte-longer FAR candidate must not
+          // displace a repcode match — that trade costs a literal plus a
+          // full offset code and breaks the rep chain
+          u32 nr[3];
+          int g1 = 4 * ev.len
+                   - (int)highbit32(zofv_map(rep, ev.dist, run, nr));
+          int g2 = 4 * ev2.len
+                   - (int)highbit32(zofv_map(rep, ev2.dist, run + 1, nr))
+                   - (lp.lazy >= 2 ? 3 : 7);
+          if (g2 > g1) {
             cachePos = pos + 1;
             cacheEv = ev2;
             lits[nlit++] = base[pos++];
@@ -2545,15 +2575,10 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
             continue;
           }
         }
-        u32 ofv;
-        if (ev.dist == rep[0] && run > 0) {
-          ofv = 1;  // rep0; no history update
-        } else {
-          ofv = ev.dist + 3;
-          rep[2] = rep[1];
-          rep[1] = rep[0];
-          rep[0] = ev.dist;
-        }
+        // full repcode mapping (rep1/rep2 hits and the ll==0 shift were
+        // previously coded as full offsets here — only rep0-with-
+        // literals got the cheap code)
+        u32 ofv = zofv_emit(rep, ev.dist, run);
         seqs[nseq].ll = run;
         seqs[nseq].ml = (u32)ev.len;
         seqs[nseq].ofv = ofv;
