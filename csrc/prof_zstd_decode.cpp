@@ -1,11 +1,11 @@
-// Standalone zstd host decode profiler (round 4, VERDICT #4).
+// Standalone zstd host DECODE profiler (round 5, VERDICT #2).
 // Build:  g++ -O3 -march=x86-64-v3 -std=c++17 -DATPU_PROF \
 //           csrc/zstd_decode.cpp csrc/zstd_encode.cpp \
-//           csrc/prof_zstd_decode.cpp -o /tmp/prof_zstd
-// Run:    /tmp/prof_zstd FILE [level] [stock_stream_file]
-// Prints decode MB/s plus the lit/seq cycle split from ATPU_PROF so the
-// attack order (Huffman literal kernel vs sequence loop) is measured,
-// not guessed.
+//           csrc/prof_zstd_decode.cpp -o /tmp/prof_zd
+// Run:    /tmp/prof_zd FILE [level]
+// Compresses FILE at [level] once, then times decode min-of-9 and prints
+// the lit/seq phase cycle split so the Huffman-vs-sequence attack order
+// is measured, not guessed.
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -17,8 +17,7 @@ extern "C" {
 long long atpu_zstd_compress(const uint8_t*, size_t, uint8_t*, size_t, int,
                              const uint8_t*, size_t);
 long long atpu_zstd_compress_bound(long long);
-long long atpu_zstd_decompress(const uint8_t*, size_t, uint8_t*, size_t,
-                               const uint8_t*, size_t);
+long long atpu_zstd_decompress(const uint8_t*, size_t, uint8_t*, size_t);
 void atpu_zstd_prof(unsigned long long*);
 }
 
@@ -34,46 +33,36 @@ static std::vector<uint8_t> slurp(const char* path) {
   return v;
 }
 
-static void bench_decode(const char* label, const std::vector<uint8_t>& comp,
-                         size_t rawLen) {
-  std::vector<uint8_t> out(rawLen + 64);
+int main(int argc, char** argv) {
+  if (argc < 2) { fprintf(stderr, "usage: %s FILE [level]\n", argv[0]); return 2; }
+  auto data = slurp(argv[1]);
+  int level = argc > 2 ? atoi(argv[2]) : 3;
+  std::vector<uint8_t> comp((size_t)atpu_zstd_compress_bound((long long)data.size()));
+  long long csz = atpu_zstd_compress(data.data(), data.size(), comp.data(),
+                                     comp.size(), level, nullptr, 0);
+  if (csz <= 0) { fprintf(stderr, "encode err %lld\n", csz); return 1; }
+  std::vector<uint8_t> out(data.size());
   unsigned long long prof[4];
   atpu_zstd_prof(prof);  // reset
   double best = 1e30;
-  int iters = 15;
-  for (int i = 0; i < iters; i++) {
+  for (int i = 0; i < 9; i++) {
     auto t0 = std::chrono::steady_clock::now();
-    long long r = atpu_zstd_decompress(comp.data(), comp.size(), out.data(),
-                                       rawLen, nullptr, 0);
+    long long dn = atpu_zstd_decompress(comp.data(), (size_t)csz, out.data(),
+                                        out.size());
     auto t1 = std::chrono::steady_clock::now();
-    if (r != (long long)rawLen) { fprintf(stderr, "decode err %lld\n", r); exit(1); }
+    if (dn != (long long)data.size()) { fprintf(stderr, "decode err %lld\n", dn); return 1; }
     double dt = std::chrono::duration<double>(t1 - t0).count();
     if (dt < best) best = dt;
   }
+  if (memcmp(out.data(), data.data(), data.size())) { fprintf(stderr, "MISMATCH\n"); return 1; }
   atpu_zstd_prof(prof);
-  double tot = (double)(prof[0] + prof[1] + prof[3]);
-  printf("%-18s %7.1f MB/s   lit %4.1f%%  seq %4.1f%%  tables %4.1f%%  "
-         "(%llu seqs/iter)\n",
-         label, rawLen / 1e6 / best, 100.0 * prof[0] / tot,
-         100.0 * prof[1] / tot, 100.0 * prof[3] / tot,
-         prof[2] / (unsigned long long)iters);
-}
-
-int main(int argc, char** argv) {
-  if (argc < 2) { fprintf(stderr, "usage: %s FILE [level]\n", argv[0]); return 1; }
-  auto raw = slurp(argv[1]);
-  int level = argc > 2 ? atoi(argv[2]) : 3;
-  std::vector<uint8_t> comp((size_t)atpu_zstd_compress_bound((long long)raw.size()));
-  long long c = atpu_zstd_compress(raw.data(), raw.size(), comp.data(),
-                                   comp.size(), level, nullptr, 0);
-  if (c < 0) { fprintf(stderr, "compress err %lld\n", c); return 1; }
-  comp.resize((size_t)c);
-  printf("file=%s raw=%zu own-L%d comp=%zu ratio=%.3f\n", argv[1], raw.size(),
-         level, comp.size(), (double)raw.size() / comp.size());
-  bench_decode("own stream", comp, raw.size());
-  if (argc > 3) {
-    auto st = slurp(argv[3]);
-    bench_decode("stock stream", st, raw.size());
-  }
+  printf("%s L%d: %.1f MB/s ratio %.3f\n", argv[1], level,
+         data.size() / best / 1e6, (double)data.size() / (double)csz);
+  const char* names[4] = {"literals", "sequences", "nbSeqTotal", "fse_tables"};
+  unsigned long long tot = prof[0] + prof[1] + prof[3];
+  for (int i = 0; i < 4; i++)
+    printf("  %-11s %14llu %s %5.1f%%\n", names[i], prof[i],
+           i == 2 ? "seqs" : "cyc",
+           i == 2 ? 0.0 : 100.0 * prof[i] / (tot ? tot : 1));
   return 0;
 }
