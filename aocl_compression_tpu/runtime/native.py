@@ -120,6 +120,9 @@ def get_lib() -> ctypes.CDLL:
             ("atpu_zstd_compress", _i64,
              [_u8p, ctypes.c_size_t, _u8p, ctypes.c_size_t, _i32, _u8p,
               ctypes.c_size_t]),
+            ("atpu_zstd_compress_ex", _i64,
+             [_u8p, ctypes.c_size_t, _u8p, ctypes.c_size_t, _i32, _u8p,
+              ctypes.c_size_t, _i32]),
             ("atpu_zstd_compress_bound", _i64, [_i64]),
             ("atpu_zstd_build_dict_header", _i64,
              [ctypes.POINTER(ctypes.c_uint32), ctypes.c_uint32,
@@ -730,19 +733,22 @@ def lzma_decompress(data: bytes,
 
 
 def zstd_compress(data: bytes, level: int = 3,
-                  dictionary: Optional[bytes] = None) -> bytes:
-    """Own zstd encoder (csrc/zstd_encode.cpp), levels 1-22, with
-    raw-content or structured dictionary support (content prefix +
-    repcode/dictID handling)."""
+                  dictionary: Optional[bytes] = None,
+                  checksum: bool = False) -> bytes:
+    """Own zstd encoder (csrc/zstd_encode.cpp), levels -64..22 (negative
+    = --fast tiers, reference clevels.h row 0 + targetLength accel),
+    raw-content or structured dictionary support, optional
+    Content_Checksum emission (reference ZSTD_c_checksumFlag)."""
     lib = get_lib()
     src = _tobuf(data)
     d = _tobuf(dictionary) if dictionary else None
     cap = lib.atpu_zstd_compress_bound(len(data)) + 64
     ref, dp2 = _alloc_out(cap)
-    n = lib.atpu_zstd_compress(
+    n = lib.atpu_zstd_compress_ex(
         _as_u8p(src), len(data), dp2, cap, level,
         _as_u8p(d) if d is not None and d.size else None,
-        int(d.size) if d is not None else 0)
+        int(d.size) if d is not None else 0,
+        1 if checksum else 0)
     if n < 0:
         raise ValueError("zstd compress failed")
     return _finish_out(ref, n)

@@ -1043,6 +1043,15 @@ struct ZOptNode {
 // row-lazy (L5-12: SIMD tag rows + 4-byte assist, the
 // AOCL_ZSTD_compressBlock_*_row analog), hash chains (L4, L13+)
 static LevelP zparams(int level) {
+  if (level < 0) {
+    // negative = --fast levels (reference clevels.h row 0 "base for
+    // negative levels" {19,12,13,1,6,1,fast} with targetLength = -level
+    // as scan acceleration; zstd_compress.c ZSTD_getCParams_internal).
+    // dstep carries the acceleration for the FAST scan loop.
+    int accel = -level;
+    if (accel > 64) accel = 64;
+    return {1u << 19, 4, 0, 16, 13, ZSTRAT_FAST, accel};
+  }
   if (level < 1) level = 1;
   if (level > 22) level = 22;
   // clog caps the chain-link table at 2^clog entries (the reference's
@@ -1634,6 +1643,7 @@ struct EvalResult { int len; u32 dist; };
 
 }  // namespace
 
+extern "C" u64 atpu_xxh64(const u8* src, size_t len, u64 seed);
 extern "C" i64 atpu_zstd_dict_info(const u8* dict, size_t dictSize,
                                    size_t* contentOff, u32* reps,
                                    u32* dictID);
@@ -1643,9 +1653,12 @@ extern "C" i64 atpu_zstd_dict_entropy(const u8* dict, size_t dictSize,
                                       short* ofNorm, int* ofLog,
                                       short* mlNorm, int* mlLog);
 
-ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
-                                   size_t dstCap, int level, const u8* dict,
-                                   size_t dictSize) {
+// flags bit 0: emit a Content_Checksum (low 32 of XXH64, RFC 8878 §3.1.1;
+// reference: ZSTD_c_checksumFlag, zstd_compress.c:916)
+ATPU_EXPORT i64 atpu_zstd_compress_ex(const u8* src, size_t n, u8* dst,
+                                      size_t dstCap, int level,
+                                      const u8* dict, size_t dictSize,
+                                      int flags) {
   LevelP lp = zparams(level);
   u32 rep[3] = {1, 4, 8};
   const u8* dcontent = nullptr;
@@ -1688,6 +1701,7 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
   else if (n >= 256) { fhd = 0x40; fcsLen = 2; }
   else { fhd = 0x00; fcsLen = 1; }
   if (fcsLen == 1) fhd |= 0x20;  // single-segment => 1-byte FCS present
+  if (flags & 1) fhd |= 0x04;    // Content_Checksum_flag
   if (dictID) fhd |= 3;          // 4-byte dictionary ID
   dst[op++] = fhd;
   if (!(fhd & 0x20)) {
@@ -1739,7 +1753,7 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
     // (still above stock's ratio on every test file)
     // dfast: 16-bit tables keep L2/L3 in L2-cache; L4 (depth 12 in the
     // table = the ref's hlog-18 tier) trades residency for reach
-    fbits = (lp.strat == ZSTRAT_FAST) ? 15
+    fbits = (lp.strat == ZSTRAT_FAST) ? (lp.dstep ? 13 : 15)
             : (lp.strat == ZSTRAT_DFAST && lp.depth >= 12) ? 17 : 16;
     int slog = highbit32((u32)(total | 1)) + 1;  // don't oversize on
     if (fbits > slog) fbits = slog;              // small inputs
@@ -1906,7 +1920,8 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
           const u32 cur = rd32le_(base + pos);
           // miss-stride acceleration through incompressible spans
           // (the reference's kSearchStrength idiom)
-          const size_t nxt = pos + 1 + ((pos - anchor) >> 6);
+          const size_t nxt = pos + 1 + (size_t)lp.dstep
+                             + ((pos - anchor) >> 6);
           if ((i64)nxt <= scanEnd) {
             hN = zhash6f(base + nxt, fbits);
             candN = tab[hN];
@@ -2668,6 +2683,11 @@ ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
       }
       if (last) break;
     }
+    if (flags & 1) {
+      if (op + 4 > dstCap) { result = ERR_DST_SMALL; goto done; }
+      wr32le(dst + op, (u32)atpu_xxh64(src, n, 0));
+      op += 4;
+    }
     result = (i64)op;
   }
 done:
@@ -2681,6 +2701,13 @@ done:
   mf.release();
   if (useRow) rmf.release();
   return result;
+}
+
+ATPU_EXPORT i64 atpu_zstd_compress(const u8* src, size_t n, u8* dst,
+                                   size_t dstCap, int level, const u8* dict,
+                                   size_t dictSize) {
+  return atpu_zstd_compress_ex(src, n, dst, dstCap, level, dict, dictSize,
+                               0);
 }
 
 // Serialize a structured-dictionary ENTROPY header (the ZDICT format's
