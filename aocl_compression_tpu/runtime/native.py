@@ -67,6 +67,11 @@ def get_lib() -> ctypes.CDLL:
             ("atpu_rap_skip", _i64, [_u8p, _i64]),
             ("atpu_rap_frame_bound", _i64, [_i64, _i64]),
             ("atpu_xxh32", ctypes.c_uint32, [_u8p, _i64, ctypes.c_uint32]),
+            ("atpu_xxh32_init", None, [ctypes.c_void_p, ctypes.c_uint32]),
+            ("atpu_xxh32_update", None, [ctypes.c_void_p, _u8p, _i64]),
+            ("atpu_xxh32_digest", ctypes.c_uint32, [ctypes.c_void_p]),
+            ("atpu_lz4_compress_continue", _i64,
+             [_u8p, _i64, _u8p, _i64, _i32, _i64]),
             ("atpu_lz4_decompress_dict", _i64,
              [_u8p, _i64, _u8p, _i64, _u8p, _i64]),
             ("atpu_zstd_decompress", _i64,
@@ -223,6 +228,46 @@ def lz4_compress(data: bytes, accel: int = 1) -> bytes:
     n = lib.atpu_lz4_compress(_as_u8p(src), len(data), dp, cap, accel)
     if n < 0:
         raise ValueError("lz4 host compress failed")
+    return _finish_out(ref, n)
+
+
+class XXH32Stream:
+    """Incremental XXH32 (csrc atpu_xxh32_init/update/digest) — the LZ4F
+    streaming compressor's content checksum without buffering."""
+
+    def __init__(self, seed: int = 0):
+        self._lib = get_lib()
+        self._st = ctypes.create_string_buffer(48)
+        self._lib.atpu_xxh32_init(ctypes.cast(self._st, ctypes.c_void_p),
+                                  seed)
+
+    def update(self, data: bytes) -> None:
+        if not data:
+            return
+        buf = _tobuf(data)
+        self._lib.atpu_xxh32_update(
+            ctypes.cast(self._st, ctypes.c_void_p), _as_u8p(buf), len(data))
+
+    def digest(self) -> int:
+        return int(self._lib.atpu_xxh32_digest(
+            ctypes.cast(self._st, ctypes.c_void_p)))
+
+
+def lz4_compress_continue(block: bytes, history: bytes,
+                          accel: int = 1) -> bytes:
+    """Compress one linked block: matches may reference `history` (the
+    previous <=64 KiB of the stream). csrc atpu_lz4_compress_continue."""
+    lib = get_lib()
+    hist = history[-65536:]
+    joined = _tobuf(hist + block)
+    cap = lib.atpu_lz4_compress_bound(len(block))
+    ref, dp = _alloc_out(cap)
+    srcp = ctypes.cast(_as_u8p(joined), ctypes.c_void_p).value or 0
+    n = lib.atpu_lz4_compress_continue(
+        ctypes.cast(srcp + len(hist), ctypes.POINTER(ctypes.c_uint8)),
+        len(block), dp, cap, accel, len(hist))
+    if n < 0:
+        raise ValueError("lz4 linked-block compress failed")
     return _finish_out(ref, n)
 
 

@@ -37,9 +37,12 @@ from .runtime import native
 _ZLIB_HEADER = b"\x78\x01"
 _ZLIB_FINAL = b"\x03\x00"
 
-_STREAM_CODECS = ("zlib", "gzip", "zstd", "bzip2")
+_STREAM_CODECS = ("zlib", "gzip", "zstd", "bzip2", "lz4")
 
 _GZIP_HEADER = b"\x1f\x8b\x08\x00" + b"\x00" * 4 + b"\x00\xff"
+
+_LZ4F_MAGIC = 0x184D2204
+_LZ4F_BLOCK_SIZES = {4: 1 << 16, 5: 1 << 18, 6: 1 << 20, 7: 1 << 22}
 
 
 class CompressStream:
@@ -54,8 +57,7 @@ class CompressStream:
         if codec not in _STREAM_CODECS:
             raise ValueError(
                 f"streaming supports {_STREAM_CODECS}, not {codec!r} "
-                "(lz4/snappy block formats need stream-level preambles; "
-                "use the LZ4 frame format codecs.lz4_frame for lz4)")
+                "(snappy's block format has no stream preamble)")
         self.codec = codec
         self.level = level
         self.block_size = block_size
@@ -65,6 +67,22 @@ class CompressStream:
         self._adler = 1
         self._crc = 0
         self._total_in = 0
+        if codec == "lz4":
+            # LZ4F frame with LINKED blocks: each block's matches may
+            # reference the previous 64 KiB (the reference's
+            # LZ4F_compressUpdate path, algos/lz4/lz4frame.c); decoders:
+            # upstream lz4, codecs.lz4_frame.decompress_frame, and
+            # DecompressStream("lz4")
+            for bsid, bsz in sorted(_LZ4F_BLOCK_SIZES.items()):
+                if block_size <= bsz:
+                    self._lz4_bsid = bsid
+                    break
+            else:
+                self._lz4_bsid = 7
+            self.block_size = min(block_size,
+                                  _LZ4F_BLOCK_SIZES[self._lz4_bsid])
+            self._lz4_hist = b""
+            self._lz4_xxh = native.XXH32Stream()
 
     def _compress_block(self, block: bytes) -> bytes:
         if self.codec == "zlib":
@@ -77,6 +95,14 @@ class CompressStream:
                                   native.DEFLATE_SYNC_CHUNK)
         if self.codec == "zstd":
             return native.zstd_compress(block, self.level or 3)
+        if self.codec == "lz4":
+            self._lz4_xxh.update(block)
+            c = native.lz4_compress_continue(block, self._lz4_hist,
+                                             max(1, self.level or 1))
+            self._lz4_hist = (self._lz4_hist + block)[-65536:]
+            if len(c) >= len(block):  # incompressible: stored block
+                return struct.pack("<I", len(block) | 0x80000000) + block
+            return struct.pack("<I", len(c)) + c
         return native.bz2_compress(block, self.level or 9)
 
     def write(self, data: bytes) -> bytes:
@@ -90,6 +116,8 @@ class CompressStream:
                 out += _ZLIB_HEADER
             elif self.codec == "gzip":
                 out += _GZIP_HEADER
+            elif self.codec == "lz4":
+                out += self._lz4_header()
             self._started = True
         while len(self._buf) >= self.block_size:
             block = bytes(self._buf[:self.block_size])
@@ -107,8 +135,10 @@ class CompressStream:
                 out += _ZLIB_HEADER
             elif self.codec == "gzip":
                 out += _GZIP_HEADER
+            elif self.codec == "lz4":
+                out += self._lz4_header()
             self._started = True
-        if self._buf or self._total_in == 0:
+        if self._buf or (self._total_in == 0 and self.codec != "lz4"):
             out += self._compress_block(bytes(self._buf))
             self._buf.clear()
         if self.codec == "zlib":
@@ -118,7 +148,16 @@ class CompressStream:
             out += _ZLIB_FINAL  # final empty raw block
             out += struct.pack("<II", self._crc & 0xFFFFFFFF,
                                self._total_in & 0xFFFFFFFF)
+        elif self.codec == "lz4":
+            out += struct.pack("<I", 0)  # EndMark
+            out += struct.pack("<I", self._lz4_xxh.digest())
         return bytes(out)
+
+    def _lz4_header(self) -> bytes:
+        flg = (1 << 6) | (1 << 2)  # version 01, linked blocks, C.Checksum
+        desc = bytes([flg, self._lz4_bsid << 4])
+        hc = (native.xxh32(desc, 0) >> 8) & 0xFF
+        return struct.pack("<I", _LZ4F_MAGIC) + desc + bytes([hc])
 
 
 class DecompressStream:
@@ -140,6 +179,14 @@ class DecompressStream:
             self._ctx = native.InflateStream(raw=False)
         elif codec == "bzip2":
             self._ctx = native.Bz2DecodeStream()
+        elif codec == "lz4":
+            # LZ4F frame state machine: header -> blocks (linked or
+            # independent; 64 KiB history carried) -> trailer; multiple
+            # concatenated frames supported like upstream lz4
+            self._lz4_state = "header"
+            self._lz4_hist = b""
+            self._lz4_xxh = None
+            self._lz4_hdr = None
         elif codec == "gzip":
             # member state machine: header -> body (raw inflate ctx with a
             # fed-but-unconsumed mirror so the trailer can be located) ->
@@ -165,6 +212,9 @@ class DecompressStream:
         if self.codec == "gzip":
             self._buf += data
             return self._gz_pump(final=False)
+        if self.codec == "lz4":
+            self._buf += data
+            return self._lz4_pump()
         self._buf += data
         out = bytearray()
         while True:
@@ -176,6 +226,91 @@ class DecompressStream:
             del self._buf[:consumed]
             if not self._buf:
                 break
+        return bytes(out)
+
+    def _lz4_pump(self) -> bytes:
+        out = bytearray()
+        while True:
+            if self._lz4_state == "header":
+                if len(self._buf) < 7:
+                    break
+                magic = struct.unpack_from("<I", self._buf)[0]
+                if magic != 0x184D2204:
+                    if (magic & 0xFFFFFFF0) == 0x184D2A50:  # skippable
+                        if len(self._buf) < 8:
+                            break
+                        n = struct.unpack_from("<I", self._buf, 4)[0]
+                        if len(self._buf) < 8 + n:
+                            break
+                        del self._buf[:8 + n]
+                        continue
+                    raise ValueError("not an LZ4 frame (bad magic)")
+                flg = self._buf[4]
+                if (flg >> 6) != 1:
+                    raise ValueError("unsupported LZ4 frame version")
+                has_csize = bool(flg & (1 << 3))
+                dlen = 2 + (8 if has_csize else 0) + (4 if flg & 1 else 0)
+                if len(self._buf) < 4 + dlen + 1:
+                    break
+                desc = bytes(self._buf[4:4 + dlen])
+                if self._buf[4 + dlen] != (native.xxh32(desc, 0) >> 8) & 0xFF:
+                    raise ValueError("frame descriptor checksum mismatch")
+                if flg & 1:
+                    raise ValueError(
+                        "lz4 frame: dictionary-linked frames not supported")
+                bs = _LZ4F_BLOCK_SIZES.get((self._buf[5] >> 4) & 7)
+                if bs is None:
+                    raise ValueError("bad block-size descriptor")
+                self._lz4_hdr = {
+                    "indep": bool(flg & (1 << 5)),
+                    "bchk": bool(flg & (1 << 4)),
+                    "cchk": bool(flg & (1 << 2)),
+                    "bs": bs,
+                }
+                self._lz4_hist = b""
+                self._lz4_xxh = native.XXH32Stream()
+                del self._buf[:4 + dlen + 1]
+                self._lz4_state = "blocks"
+            elif self._lz4_state == "blocks":
+                if len(self._buf) < 4:
+                    break
+                raw = struct.unpack_from("<I", self._buf)[0]
+                if raw == 0:  # EndMark
+                    del self._buf[:4]
+                    self._lz4_state = "trailer"
+                    continue
+                stored = bool(raw & 0x80000000)
+                n = raw & 0x7FFFFFFF
+                need = 4 + n + (4 if self._lz4_hdr["bchk"] else 0)
+                if len(self._buf) < need:
+                    break
+                payload = bytes(self._buf[4:4 + n])
+                if self._lz4_hdr["bchk"]:
+                    want = struct.unpack_from("<I", self._buf, 4 + n)[0]
+                    if native.xxh32(payload, 0) != want:
+                        raise ValueError("block checksum mismatch")
+                del self._buf[:need]
+                if stored:
+                    blk = payload
+                elif self._lz4_hdr["indep"]:
+                    blk = native.lz4_decompress(payload, self._lz4_hdr["bs"])
+                else:
+                    blk = native.lz4_decompress_with_history(
+                        payload, self._lz4_hdr["bs"], self._lz4_hist)
+                self._lz4_hist = (self._lz4_hist + blk)[-65536:]
+                self._lz4_xxh.update(blk)
+                out += blk
+            else:  # trailer
+                if self._lz4_hdr["cchk"]:
+                    if len(self._buf) < 4:
+                        break
+                    want = struct.unpack_from("<I", self._buf)[0]
+                    if self._lz4_xxh.digest() != want:
+                        raise ValueError("content checksum mismatch")
+                    del self._buf[:4]
+                self._lz4_state = "header"  # concatenated frames
+                if not self._buf:
+                    break
         return bytes(out)
 
     def _gz_pump(self, final: bool) -> bytes:

@@ -205,6 +205,91 @@ int64_t atpu_lz4_compress(const uint8_t* src, int64_t srcLen,
     return atpu_lz4_compress_tail(src, srcLen, dst, dstCap, accel, nullptr);
 }
 
+// Linked-block (streaming) compress: bytes [src - prefixLen, src) are the
+// caller's history window — matches may start inside it, so consecutive
+// LZ4F linked blocks reference each other exactly like the reference's
+// LZ4F_compressUpdate path (algos/lz4/lz4frame.c LZ4F_compressBlock with
+// a carried LZ4_stream_t). Capability analog, own code: the history is a
+// contiguous prefix (the Python streamer keeps the previous 64 KiB
+// adjacent), so one table over base = src - prefixLen covers both.
+int64_t atpu_lz4_compress_continue(const uint8_t* src, int64_t srcLen,
+                                   uint8_t* dst, int64_t dstCap, int accel,
+                                   int64_t prefixLen) {
+    if (srcLen < 0 || dstCap < 0 || prefixLen < 0) return -1;
+    if (prefixLen == 0)
+        return atpu_lz4_compress_tail(src, srcLen, dst, dstCap, accel,
+                                      nullptr);
+    if (accel < 1) accel = 1;
+    if (prefixLen > (int64_t)kMaxDistance) {
+        src -= 0;  // only the last 64K of history is reachable anyway
+        // (the caller passes at most 64K; larger is clamped here)
+        prefixLen = kMaxDistance;
+    }
+    const uint8_t* base = src - prefixLen;
+    uint8_t* op = dst;
+    const uint8_t* oend = dst + dstCap;
+    const uint8_t* anchor = src;
+    const uint8_t* iend = src + srcLen;
+
+    if (srcLen > kMfLimit) {
+        uint32_t* table = (uint32_t*)std::calloc(kHashSize, sizeof(uint32_t));
+        if (!table) return -1;
+        // seed the table with the history window
+        for (int64_t i = 0; i + 4 <= prefixLen; i++)
+            table[hash4(read32(base + i))] = (uint32_t)i;
+        const uint8_t* ip = src;
+        const uint8_t* mflimit = iend - kMfLimit;
+        constexpr int kSkipTrigger = 6;
+
+        table[hash4(read32(ip))] = (uint32_t)(ip - base);
+        ip++;
+        uint32_t fwdH = hash4(read32(ip));
+
+        for (;;) {
+            const uint8_t* match;
+            const uint8_t* fwdIp = ip;
+            int64_t step = 1;
+            int64_t searchMatchNb = (int64_t)accel << kSkipTrigger;
+            do {
+                uint32_t h = fwdH;
+                ip = fwdIp;
+                fwdIp = ip + step;
+                step = searchMatchNb++ >> kSkipTrigger;
+                if (fwdIp > mflimit) goto last_literals;
+                match = base + table[h];
+                fwdH = hash4(read32(fwdIp));
+                table[h] = (uint32_t)(ip - base);
+            } while (read32(match) != read32(ip) || match + kMaxDistance < ip
+                     || match >= ip);
+            while (ip > anchor && match > base && ip[-1] == match[-1]) {
+                ip--;
+                match--;
+            }
+            {
+                const uint8_t* mlimit = iend - kLastLiterals;
+                int64_t mlen = kMinMatch
+                    + count_match(ip + kMinMatch, match + kMinMatch, mlimit);
+                if (op + seq_out_size(ip - anchor, mlen) > oend) {
+                    std::free(table);
+                    return -1;
+                }
+                op = emit_sequence(op, anchor, ip - anchor, ip - match, mlen,
+                                   oend);
+                ip += mlen;
+                anchor = ip;
+            }
+            if (ip > mflimit) break;
+            table[hash4(read32(ip - 2))] = (uint32_t)(ip - 2 - base);
+            fwdH = hash4(read32(ip));
+        }
+    last_literals:
+        std::free(table);
+    }
+    if (op + seq_out_size(iend - anchor, 0) > oend) return -1;
+    op = emit_sequence(op, anchor, iend - anchor, 0, 0);
+    return op - dst;
+}
+
 // Safe decompressor: validates lengths/offsets against both buffers.
 // Shape: a margin-gated fast loop (fixed-size 16-byte literal copies for
 // the 93%-common litLen <= 14 token, fused 20-byte match copies for

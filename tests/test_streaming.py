@@ -109,7 +109,7 @@ def test_stream_misuse_raises():
     with pytest.raises(ValueError):
         cs.write(b"more")
     with pytest.raises(ValueError):
-        streaming.CompressStream("lz4")
+        streaming.CompressStream("snappy")
 
 
 @pytest.mark.parametrize("codec", ["zlib", "bzip2"])
@@ -235,3 +235,61 @@ def test_gzip_stream_crc_mismatch_detected():
     with pytest.raises(ValueError):
         ds.write(bytes(g))
         ds.finish()
+
+
+def test_lz4_stream_linked_roundtrip():
+    """CompressStream('lz4') emits a linked-block LZ4F frame that both the
+    one-shot frame decoder and the streaming decoder reproduce, and the
+    frame is smaller than the independent-block one-shot at equal block
+    size (linked blocks see the previous 64K; lz4frame.c
+    LZ4F_compressUpdate parity)."""
+    from aocl_compression_tpu.codecs import lz4_frame
+    from aocl_compression_tpu.streaming import CompressStream
+    from aocl_compression_tpu.streaming import DecompressStream
+    data = _payload(900000, seed=5)
+    cs = CompressStream("lz4", block_size=1 << 16)
+    frame = _feed(cs, data, [1, 7, 65536, 100000, 3, 999999])
+    assert lz4_frame.decompress_frame(frame) == data
+    ds = DecompressStream("lz4")
+    got = bytearray()
+    for i in range(0, len(frame), 37777):
+        got += ds.write(frame[i : i + 37777])
+    assert bytes(got) == data
+    indep = lz4_frame.compress_frame(data, block_size_id=4,
+                                     store_content_size=False)
+    assert len(frame) < len(indep)
+
+
+def test_lz4_stream_decoder_takes_independent_and_skippable():
+    from aocl_compression_tpu.codecs import lz4_frame
+    from aocl_compression_tpu.streaming import DecompressStream
+    data = _payload(150000, seed=6)
+    f = lz4_frame.compress_frame(data, block_checksum=True)
+    skippable = (0x184D2A50).to_bytes(4, "little") + (5).to_bytes(
+        4, "little") + b"extra"
+    ds = DecompressStream("lz4")
+    assert ds.write(skippable + f + skippable + f) == data + data
+
+
+def test_lz4_stream_checksum_mismatch_detected():
+    from aocl_compression_tpu.streaming import CompressStream
+    from aocl_compression_tpu.streaming import DecompressStream
+    data = _payload(100000, seed=7)
+    cs = CompressStream("lz4")
+    frame = bytearray(cs.write(data) + cs.finish())
+    frame[-1] ^= 0xFF  # corrupt the content checksum
+    ds = DecompressStream("lz4")
+    with pytest.raises(ValueError):
+        ds.write(bytes(frame))
+
+
+def test_xxh32_stream_matches_oneshot():
+    data = _payload(100001, seed=8)
+    xs = native.XXH32Stream()
+    for i in range(0, len(data), 997):
+        xs.update(data[i : i + 997])
+    assert xs.digest() == native.xxh32(data)
+    for n in [0, 1, 15, 16, 17, 31]:
+        xs = native.XXH32Stream()
+        xs.update(data[:n])
+        assert xs.digest() == native.xxh32(data[:n])
