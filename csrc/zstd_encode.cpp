@@ -1734,6 +1734,13 @@ ATPU_EXPORT i64 atpu_zstd_compress_ex(const u8* src, size_t n, u8* dst,
   u8* lits = nullptr;
   u8* scratch = nullptr;
   ZOptNode* onodes = nullptr;
+  u8* scratch2 = nullptr;   // block-splitter trial buffers (opt tier)
+  u8* scratch3 = nullptr;
+  int32_t* h3tab = nullptr;  // 3-byte last-occurrence (opt tier assist)
+  u32* ppIdx = nullptr;
+  u8* ppCnt = nullptr;
+  u32* ppPool = nullptr;
+  const size_t PP_POOL_CAP = (size_t)(BLOCK_MAX + 1) * 8;
   int32_t* opath = nullptr;
   ZOptPrices* oprices = nullptr;
   i64 result = ERR_CORRUPT;
@@ -1783,7 +1790,24 @@ ATPU_EXPORT i64 atpu_zstd_compress_ex(const u8* src, size_t n, u8* dst,
     onodes = (ZOptNode*)malloc(sizeof(ZOptNode) * (BLOCK_MAX + 1));
     opath = (int32_t*)malloc(sizeof(int32_t) * (BLOCK_MAX + 1));
     oprices = (ZOptPrices*)malloc(sizeof(ZOptPrices));
-    if (!onodes || !opath || !oprices) goto done;
+    // pass-1 pair pool: the repriced second DP pass replays the
+    // dominance-filtered candidate set instead of re-walking the
+    // tree/chains (btultra2-style two-pass at every block would
+    // otherwise double the match-finding bill)
+    ppIdx = (u32*)malloc(sizeof(u32) * (BLOCK_MAX + 1));
+    ppCnt = (u8*)malloc(BLOCK_MAX + 1);
+    ppPool = (u32*)malloc(sizeof(u32) * 2 * PP_POOL_CAP);
+    // dedicated 3-byte table: chains/bt hash >= 4 bytes, so cheap CLOSE
+    // len-3 matches (repcode fodder) were invisible to the DP — the
+    // reference's btopt keeps an explicit hash3 for exactly this
+    // (ZSTD_insertAndFindFirstIndexHash3, zstd_opt.c)
+    h3tab = (int32_t*)malloc(sizeof(int32_t) << 16);
+    scratch2 = (u8*)malloc(BLOCK_MAX + (BLOCK_MAX >> 2) + 16384);
+    scratch3 = (u8*)malloc(BLOCK_MAX + (BLOCK_MAX >> 2) + 16384);
+    if (!onodes || !opath || !oprices || !ppIdx || !ppCnt || !ppPool ||
+        !h3tab || !scratch2 || !scratch3)
+      goto done;
+    memset(h3tab, 0xFF, sizeof(int32_t) << 16);
     oprices->defaults();
     // binary-tree matcher (the ZSTD_BtGetAllMatches / btopt investment
     // point, shared implementation csrc/btmf.h): deeper verified reach
@@ -2287,11 +2311,17 @@ ATPU_EXPORT i64 atpu_zstd_compress_ex(const u8* src, size_t n, u8* dst,
         }
         int insDepth = insD0 ? insD0 : 16;
         const int ONICE = 128;  // long-candidate DP jump
-        // the first block prices blind (flat defaults): run its DP twice,
-        // pass 1 gathering symbol stats to reprice pass 2 (match-finder
-        // insertion happens only in pass 1)
-        bool rerun = bstart == pref && blen >= 4096;
+        // btultra2-style two-pass at EVERY block: pass 1 solves with the
+        // carried prices and gathers this block's own path statistics,
+        // pass 2 re-solves with those prices (reference:
+        // ZSTD_compressBlock_btultra2 / ZSTD_initStats, zstd_opt.c:1398
+        // — own structure). Pass 2 replays pass-1's candidate pool, so
+        // the second solve costs DP relaxation only.
+        bool rerun = blen >= 4096;
         bool doInsert = true;
+        if (getenv("AOCL_OPT_DEFSEED")) oprices->defaults();
+        size_t ppUsed = 0;
+        memset(ppCnt, 0xFF, blen);  // 0xFF = no cached pairs (re-find)
       dp_pass:
         size_t skipUntil = 0;
         for (size_t i = 0; i < blen; i++) {
@@ -2371,10 +2401,59 @@ ATPU_EXPORT i64 atpu_zstd_compress_ex(const u8* src, size_t n, u8* dst,
               }
             }
           }
+          // close 3-byte assist: probe + insert the hash3 table (insert
+          // only in pass 1 so pass 2 sees the same candidates)
+          int l3 = 0;
+          u32 d3 = 0;
+          if (abs + 8 <= total) {
+            u32 k3 = ((rd32le_(base + abs) & 0xFFFFFFu) * 506832829u)
+                     >> 16;
+            int32_t c3 = h3tab[k3];
+            if (doInsert) h3tab[k3] = (int32_t)abs;
+            if (c3 >= 0 && (size_t)c3 < abs && abs - (size_t)c3 <= 65535 &&
+                base[c3] == base[abs] && base[c3 + 1] == base[abs + 1] &&
+                base[c3 + 2] == base[abs + 2]) {
+              l3 = 3 + zmatch_len(base + abs + 3, base + (size_t)c3 + 3,
+                                  limit);
+              d3 = (u32)(abs - (size_t)c3);
+            }
+          }
           // new matches
           if (bestRep < ONICE) {
-            int cnt = mf.find_pairs(base, abs, (size_t)(limit - base),
-                                    chDepth, zpairs, 48);
+            if (l3 >= 3) {
+              int kl = l3 < maxLen ? l3 : maxLen;
+              u32 nr[3];
+              u32 ofv = zofv_map(rp, d3, lr, nr);
+              u32 pbase = bp + oprices->ll[ll_code(lr)]
+                          + oprices->of[highbit32(ofv)];
+              for (int L = 3; L <= kl; L++) {
+                u32 p = pbase + oprices->ml[ml_code((u32)L)];
+                ZOptNode& t = o[i + (size_t)L];
+                if (p < t.price) {
+                  t.price = p;
+                  t.from = (int32_t)i;
+                  t.len = L;
+                  t.dist = d3;
+                  t.reps[0] = nr[0];
+                  t.reps[1] = nr[1];
+                  t.reps[2] = nr[2];
+                  t.litRun = 0;
+                }
+              }
+            }
+            int cnt;
+            if (!doInsert && ppCnt[i] != 0xFF) {
+              // pass 2: replay pass-1's dominance-filtered pair set
+              cnt = ppCnt[i];
+              const u32* pp = ppPool + 2 * ppIdx[i];
+              for (int k = 0; k < cnt; k++) {
+                zpairs[k].len = (int)pp[2 * k];
+                zpairs[k].dist = pp[2 * k + 1];
+              }
+              goto have_pairs;
+            }
+            cnt = mf.find_pairs(base, abs, (size_t)(limit - base),
+                                chDepth, zpairs, 48);
             if (doInsert) mf.insert(base, abs);
             if (useBt) {
               // Hybrid pair set: the chain walk (newest-first) supplies
@@ -2429,6 +2508,18 @@ ATPU_EXPORT i64 atpu_zstd_compress_ex(const u8* src, size_t n, u8* dst,
                 cnt = m < 48 ? m : 48;
               }
             }
+            if (doInsert && rerun && cnt <= 8 &&
+                ppUsed + (size_t)cnt <= PP_POOL_CAP) {
+              ppIdx[i] = (u32)ppUsed;
+              ppCnt[i] = (u8)cnt;
+              u32* pp = ppPool + 2 * ppUsed;
+              for (int k = 0; k < cnt; k++) {
+                pp[2 * k] = (u32)zpairs[k].len;
+                pp[2 * k + 1] = zpairs[k].dist;
+              }
+              ppUsed += (size_t)cnt;
+            }
+          have_pairs:;
             int L = 3;
             for (int k = 0; k < cnt; k++) {
               int kl = zpairs[k].len < maxLen ? zpairs[k].len : maxLen;
@@ -2624,6 +2715,153 @@ ATPU_EXPORT i64 atpu_zstd_compress_ex(const u8* src, size_t n, u8* dst,
       // ---- write the block ----
       EPROF_ADD(0);
       size_t blockRaw = blockEnd - bstart;
+      // Block splitting (opt tier): heterogeneous 128K spans (ELF
+      // sections, file concatenations) compress better as sub-blocks
+      // with their own entropy tables — the reference's splitter is on
+      // by default at the btopt+ levels (zstd_compress_superblock /
+      // splitBlock; measured: their L19 emits ~33K blocks and beat us
+      // 27% on ELF pre-wlog fix, ~1%+ residue after). Trial-emit the
+      // whole block vs 2-way vs 4-way sequence-boundary partitions and
+      // keep the smallest; a split is only accepted when EVERY part
+      // emits compressed (a raw part would discard sequences whose
+      // repcode history later parts assume).
+      if (useOpt && nseq >= 64 && blockRaw >= 32768) {
+        size_t cov[5], sidx[5], lidx[5];
+        cov[0] = 0; sidx[0] = 0; lidx[0] = 0;
+        // find 3 split points at coverage quartiles (sequence-aligned)
+        {
+          size_t target[3] = {blockRaw >> 2, blockRaw >> 1,
+                              3 * (blockRaw >> 2)};
+          size_t c = 0, l = 0, t = 0;
+          for (size_t si = 0; si < nseq && t < 3; si++) {
+            c += seqs[si].ll + seqs[si].ml;
+            l += seqs[si].ll;
+            while (t < 3 && c >= target[t]) {
+              cov[t + 1] = c; sidx[t + 1] = si + 1; lidx[t + 1] = l;
+              t++;
+            }
+          }
+          if (t < 3) goto no_split;  // degenerate coverage
+        }
+        cov[4] = blockRaw; sidx[4] = nseq; lidx[4] = nlit;
+        {
+          const size_t CAP = BLOCK_MAX + (BLOCK_MAX >> 2) + 12288;
+          PrevEntropy peW = pe, pe2 = pe, pe4 = pe;
+          i64 szW = -1, sz2 = -1, sz4 = -1;
+          size_t p2off[3], p4off[5];
+          i64 p2sz[2], p4sz[4];
+          {
+            i64 a = write_literals(lits, nlit, scratch, CAP, &peW);
+            i64 b = a < 0 ? -1 : write_sequences(seqs, nseq, scratch + a,
+                                                 CAP - (size_t)a, &peW);
+            if (a >= 0 && b >= 0) szW = a + b + 3;
+          }
+          // 2-way: parts [0,2) and [2,4) of the quartile table
+          {
+            size_t o = 0;
+            bool okS = true;
+            static const int segs2[2][2] = {{0, 2}, {2, 4}};
+            for (int k = 0; k < 2 && okS; k++) {
+              size_t qa = (size_t)segs2[k][0], qb = (size_t)segs2[k][1];
+              size_t ns = sidx[qb] - sidx[qa];
+              size_t nl = lidx[qb] - lidx[qa];
+              size_t rawN = cov[qb] - cov[qa];
+              if (k == 1) nl = nlit - lidx[qa];  // trailing literals
+              p2off[k] = o;
+              i64 a = write_literals(lits + lidx[qa], nl, scratch2 + o,
+                                     CAP - o, &pe2);
+              i64 b = a < 0 ? -1
+                  : write_sequences(seqs + sidx[qa], ns,
+                                    scratch2 + o + a, CAP - o - (size_t)a,
+                                    &pe2);
+              if (a < 0 || b < 0 || (size_t)(a + b) >= rawN) {
+                okS = false;
+                break;
+              }
+              p2sz[k] = a + b;
+              o += (size_t)(a + b);
+            }
+            if (okS) sz2 = (i64)o + 2 * 3;
+          }
+          // 4-way: quartile parts
+          {
+            size_t o = 0;
+            bool okS = true;
+            for (int k = 0; k < 4 && okS; k++) {
+              size_t ns = sidx[k + 1] - sidx[k];
+              size_t nl = lidx[k + 1] - lidx[k];
+              size_t rawN = cov[k + 1] - cov[k];
+              if (k == 3) nl = nlit - lidx[k];
+              p4off[k] = o;
+              i64 a = write_literals(lits + lidx[k], nl, scratch3 + o,
+                                     CAP - o, &pe4);
+              i64 b = a < 0 ? -1
+                  : write_sequences(seqs + sidx[k], ns, scratch3 + o + a,
+                                    CAP - o - (size_t)a, &pe4);
+              if (a < 0 || b < 0 || (size_t)(a + b) >= rawN) {
+                okS = false;
+                break;
+              }
+              p4sz[k] = a + b;
+              o += (size_t)(a + b);
+            }
+            if (okS) sz4 = (i64)o + 4 * 3;
+          }
+          int last = blockEnd == total ? 1 : 0;
+          if (sz4 >= 0 && (szW < 0 || sz4 < szW) && (sz2 < 0 || sz4 <= sz2)
+              && (size_t)sz4 < blockRaw) {
+            if (op + (size_t)sz4 > dstCap) { result = ERR_DST_SMALL;
+                                             goto done; }
+            size_t o = 0;
+            for (int k = 0; k < 4; k++) {
+              u32 bh = ((u32)p4sz[k] << 3) | (2u << 1)
+                       | (u32)(last && k == 3);
+              dst[op++] = (u8)bh;
+              dst[op++] = (u8)(bh >> 8);
+              dst[op++] = (u8)(bh >> 16);
+              memcpy(dst + op, scratch3 + o, (size_t)p4sz[k]);
+              op += (size_t)p4sz[k];
+              o += (size_t)p4sz[k];
+            }
+            pe = pe4;
+            if (last) break;
+            continue;
+          }
+          if (sz2 >= 0 && (szW < 0 || sz2 < szW) && (size_t)sz2 < blockRaw) {
+            if (op + (size_t)sz2 > dstCap) { result = ERR_DST_SMALL;
+                                             goto done; }
+            size_t o = 0;
+            for (int k = 0; k < 2; k++) {
+              u32 bh = ((u32)p2sz[k] << 3) | (2u << 1)
+                       | (u32)(last && k == 1);
+              dst[op++] = (u8)bh;
+              dst[op++] = (u8)(bh >> 8);
+              dst[op++] = (u8)(bh >> 16);
+              memcpy(dst + op, scratch2 + o, (size_t)p2sz[k]);
+              op += (size_t)p2sz[k];
+              o += (size_t)p2sz[k];
+            }
+            pe = pe2;
+            if (last) break;
+            continue;
+          }
+          if (szW >= 3 && (size_t)(szW - 3) < blockRaw) {
+            if (op + (size_t)szW > dstCap) { result = ERR_DST_SMALL;
+                                             goto done; }
+            size_t content = (size_t)(szW - 3);
+            u32 bh = ((u32)content << 3) | (2u << 1) | (u32)last;
+            dst[op++] = (u8)bh;
+            dst[op++] = (u8)(bh >> 8);
+            dst[op++] = (u8)(bh >> 16);
+            memcpy(dst + op, scratch, content);
+            op += content;
+            pe = peW;
+            if (last) break;
+            continue;
+          }
+        }
+      }
+    no_split:;
       PrevEntropy peSnap = pe;  // raw/RLE fallback must not advance the
                                 // decoder-visible entropy state
       i64 litSz = write_literals(lits, nlit, scratch,
@@ -2698,6 +2936,12 @@ done:
   free(onodes);
   free(opath);
   free(oprices);
+  free(ppIdx);
+  free(ppCnt);
+  free(ppPool);
+  free(h3tab);
+  free(scratch2);
+  free(scratch3);
   mf.release();
   if (useRow) rmf.release();
   return result;
