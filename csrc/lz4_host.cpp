@@ -595,24 +595,24 @@ int64_t atpu_lz4hc_compress_tail(const uint8_t* src, int64_t srcLen,
             }
         };
 
-        while (ip <= mflimit) {
-            int64_t pos = ip - src;
-            insert_upto(pos + 1);
-            // --- chain search for the longest match ---
+        // chain search for the longest match at src+pos (candidates
+        // must already be inserted up to pos+1)
+        auto chain_best = [&](int64_t pos, int64_t* bestOffOut) -> int64_t {
+            const uint8_t* p = src + pos;
             int64_t bestLen = kMinMatch - 1;
             int64_t bestOff = 0;
-            int32_t cand = prev[pos & kMaxDistance];  // newest candidate before pos
+            int32_t cand;
             {
-                uint32_t h = hash4(read32(ip));
+                uint32_t h = hash4(read32(p));
                 cand = head[h] == (int32_t)pos ? prev[pos & kMaxDistance]
                                                : head[h];
             }
             int64_t attempts = maxAttempts;
             while (cand >= 0 && pos - cand <= kMaxDistance && attempts--) {
                 const uint8_t* m = src + cand;
-                if (m[bestLen] == ip[bestLen] && read32(m) == read32(ip)) {
+                if (m[bestLen] == p[bestLen] && read32(m) == read32(p)) {
                     int64_t len = kMinMatch
-                        + count_match(ip + kMinMatch, m + kMinMatch, mlimit);
+                        + count_match(p + kMinMatch, m + kMinMatch, mlimit);
                     if (len > bestLen) {
                         bestLen = len;
                         bestOff = pos - cand;
@@ -621,6 +621,37 @@ int64_t atpu_lz4hc_compress_tail(const uint8_t* src, int64_t srcLen,
                 cand = prev[cand & kMaxDistance];
                 // guard against wrapped slots pointing forward
                 if (cand >= (int32_t)pos) break;
+            }
+            *bestOffOut = bestOff;
+            return bestLen;
+        };
+        // lazy window doubles with level (upstream lz4hc's wider-match
+        // stitching, LZ4HC_InsertAndGetWiderMatch lz4hc.c:299 —
+        // expressed as plain 1..2-step deferral, own structure)
+        const int lazySteps = level >= 8 ? 2 : (level >= 5 ? 1 : 0);
+        while (ip <= mflimit) {
+            int64_t pos = ip - src;
+            insert_upto(pos + 1);
+            int64_t bestOff = 0;
+            int64_t bestLen = chain_best(pos, &bestOff);
+            if (bestLen >= kMinMatch && bestLen < 48 && lazySteps) {
+                // deferral: a strictly longer match one (or two) bytes
+                // ahead covers more for the cost of literals that LZ4
+                // tokens encode nearly free
+                for (int st = 0; st < lazySteps && ip + 1 <= mflimit;
+                     st++) {
+                    insert_upto(pos + 2);
+                    int64_t off1 = 0;
+                    int64_t len1 = chain_best(pos + 1, &off1);
+                    if (len1 > bestLen + (st ? 1 : 0)) {
+                        ip++;
+                        pos++;
+                        bestLen = len1;
+                        bestOff = off1;
+                    } else {
+                        break;
+                    }
+                }
             }
             if (bestLen >= kMinMatch) {
                 const uint8_t* match = ip - bestOff;
