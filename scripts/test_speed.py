@@ -35,34 +35,43 @@ LEVELS = {"lz4": 0, "lz4hc": 9, "snappy": 0, "zlib": 1, "zstd": 3,
           "bzip2": 9, "lzma": 6}
 
 
-def bench_file(method: str, level: int, data: bytes, iters: int,
-               vanilla: bool) -> dict:
+def bench_file_pair(method: str, level: int, data: bytes,
+                    iters: int) -> tuple:
+    """Interleaved optimized/vanilla min-of-N: the two modes alternate
+    within each iteration so host-steal drift hits both equally (running
+    one mode to completion first mis-attributed box drift as a mode
+    delta — the round-4 'default slower than vanilla' artifact)."""
     kw = {"measure_stats": True}
     if level:
         kw["level"] = level
-    if vanilla:
-        kw["opt_off"] = True
-        kw["enable_rap"] = False
-    h = unified.setup(method, **kw)
+    ho = unified.setup(method, **kw)
+    hv = unified.setup(method, opt_off=True, enable_rap=False, **kw)
     try:
-        best_c = best_d = float("inf")
-        c = b""
+        res = {}
+        for tag, h in (("optimized", ho), ("vanilla", hv)):
+            res[tag] = {"c": float("inf"), "d": float("inf"),
+                        "ratio": 0.0}
         for _ in range(iters):
-            t0 = time.perf_counter()
-            c = unified.compress(h, data)
-            best_c = min(best_c, time.perf_counter() - t0)
-        out = b""
-        for _ in range(iters):
-            t0 = time.perf_counter()
-            out = unified.decompress(h, c, expected_size=len(data))
-            best_d = min(best_d, time.perf_counter() - t0)
-        if out != data:
-            raise AssertionError(f"{method} roundtrip FAILED")
-        return {"c_mbps": len(data) / best_c / 1e6,
-                "d_mbps": len(data) / best_d / 1e6,
-                "ratio": len(data) / max(1, len(c))}
+            for tag, h in (("optimized", ho), ("vanilla", hv)):
+                t0 = time.perf_counter()
+                c = unified.compress(h, data)
+                res[tag]["c"] = min(res[tag]["c"],
+                                    time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                out = unified.decompress(h, c, expected_size=len(data))
+                res[tag]["d"] = min(res[tag]["d"],
+                                    time.perf_counter() - t0)
+                if out != data:
+                    raise AssertionError(f"{method} roundtrip FAILED")
+                res[tag]["ratio"] = len(data) / max(1, len(c))
+        return tuple(
+            {"c_mbps": len(data) / res[tag]["c"] / 1e6,
+             "d_mbps": len(data) / res[tag]["d"] / 1e6,
+             "ratio": res[tag]["ratio"]}
+            for tag in ("optimized", "vanilla"))
     finally:
-        unified.destroy(h)
+        unified.destroy(ho)
+        unified.destroy(hv)
 
 
 def geomean(xs):
@@ -137,17 +146,13 @@ def main() -> int:
         with open(path, "rb") as f:
             data = f.read(args.max_mb << 20)
         for m in methods:
-            modes = ["optimized", "vanilla"] + (
-                ["stock"] if args.vs_stock else [])
-            for mode in modes:
-                if mode == "stock":
-                    r = bench_stock(m, LEVELS.get(m, 0) or 6, data,
-                                    args.iters)
-                    if r is None:
-                        continue
-                else:
-                    r = bench_file(m, LEVELS.get(m, 0), data, args.iters,
-                                   vanilla=(mode == "vanilla"))
+            ro, rv = bench_file_pair(m, LEVELS.get(m, 0), data, args.iters)
+            pairs = [("optimized", ro), ("vanilla", rv)]
+            if args.vs_stock:
+                rs = bench_stock(m, LEVELS.get(m, 0) or 6, data, args.iters)
+                if rs is not None:
+                    pairs.append(("stock", rs))
+            for mode, r in pairs:
                 rows.append({"file": os.path.basename(path), "method": m,
                              "mode": mode,
                              **{k: round(v, 3) for k, v in r.items()}})
