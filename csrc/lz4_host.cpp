@@ -36,6 +36,25 @@ inline uint32_t hash4(uint32_t v) {
     return (v * 2654435761u) >> (32 - kHashBits);
 }
 
+inline uint64_t read64(const uint8_t* p) {
+    uint64_t v;
+    std::memcpy(&v, p, 8);
+    return v;
+}
+
+// 5-byte hash for the fast compressor (upstream's byU32-mode idea,
+// lz4.c LZ4_hash5): a 4-byte hash surfaces every minimum-length match,
+// chopping compressible regions into 35-50% more, shorter sequences —
+// which costs BOTH sides (per-sequence emit on encode, per-sequence
+// token decode on decode; measured on the reference oracle, MEASURED.md
+// round-5 "lz4 stream structure"). Hashing 5 bytes hides 4-byte-only
+// matches, and the compact table keeps the hot loop L1-resident.
+constexpr int kHash5Bits = 13;
+inline uint32_t hash5(const uint8_t* p) {
+    return (uint32_t)(((read64(p) << 24) * 0x9E3779B185EBCA87ull)
+                      >> (64 - kHash5Bits));
+}
+
 // match length by 8-byte XOR + ctz (upstream's LZ4_count class idiom);
 // limit applies to p (the input side)
 inline int64_t count_match(const uint8_t* p, const uint8_t* m,
@@ -139,15 +158,16 @@ int64_t atpu_lz4_compress_tail(const uint8_t* src, int64_t srcLen,
     const uint8_t* iend = src + srcLen;
 
     if (srcLen > kMfLimit) {
-        uint32_t* table = (uint32_t*)std::calloc(kHashSize, sizeof(uint32_t));
+        uint32_t* table = (uint32_t*)std::calloc(1 << kHash5Bits,
+                                                 sizeof(uint32_t));
         if (!table) return -1;
         const uint8_t* ip = src;
         const uint8_t* mflimit = iend - kMfLimit;
         constexpr int kSkipTrigger = 6;
 
-        table[hash4(read32(ip))] = 0;
+        table[hash5(ip)] = 0;
         ip++;
-        uint32_t fwdH = hash4(read32(ip));
+        uint32_t fwdH = hash5(ip);
 
         for (;;) {
             const uint8_t* match;
@@ -162,7 +182,7 @@ int64_t atpu_lz4_compress_tail(const uint8_t* src, int64_t srcLen,
                 step = searchMatchNb++ >> kSkipTrigger;
                 if (fwdIp > mflimit) goto last_literals;
                 match = src + table[h];
-                fwdH = hash4(read32(fwdIp));
+                fwdH = hash5(fwdIp);
                 table[h] = (uint32_t)(ip - src);
             } while (read32(match) != read32(ip) || match + kMaxDistance < ip
                      || match >= ip);
@@ -187,8 +207,8 @@ int64_t atpu_lz4_compress_tail(const uint8_t* src, int64_t srcLen,
             }
             if (ip > mflimit) break;
             // refresh the table near the match end, then continue
-            table[hash4(read32(ip - 2))] = (uint32_t)(ip - 2 - src);
-            fwdH = hash4(read32(ip));
+            table[hash5(ip - 2)] = (uint32_t)(ip - 2 - src);
+            fwdH = hash5(ip);
         }
     last_literals:
         std::free(table);
@@ -232,18 +252,21 @@ int64_t atpu_lz4_compress_continue(const uint8_t* src, int64_t srcLen,
     const uint8_t* iend = src + srcLen;
 
     if (srcLen > kMfLimit) {
-        uint32_t* table = (uint32_t*)std::calloc(kHashSize, sizeof(uint32_t));
+        uint32_t* table = (uint32_t*)std::calloc(1 << kHash5Bits,
+                                                 sizeof(uint32_t));
         if (!table) return -1;
-        // seed the table with the history window
-        for (int64_t i = 0; i + 4 <= prefixLen; i++)
-            table[hash4(read32(base + i))] = (uint32_t)i;
+        // seed the table with the history window (8-byte hash reads need
+        // i + 8 <= prefixLen + srcLen, true while i < prefixLen: the
+        // current block supplies the slack, srcLen > kMfLimit here)
+        for (int64_t i = 0; i < prefixLen; i++)
+            table[hash5(base + i)] = (uint32_t)i;
         const uint8_t* ip = src;
         const uint8_t* mflimit = iend - kMfLimit;
         constexpr int kSkipTrigger = 6;
 
-        table[hash4(read32(ip))] = (uint32_t)(ip - base);
+        table[hash5(ip)] = (uint32_t)(ip - base);
         ip++;
-        uint32_t fwdH = hash4(read32(ip));
+        uint32_t fwdH = hash5(ip);
 
         for (;;) {
             const uint8_t* match;
@@ -257,7 +280,7 @@ int64_t atpu_lz4_compress_continue(const uint8_t* src, int64_t srcLen,
                 step = searchMatchNb++ >> kSkipTrigger;
                 if (fwdIp > mflimit) goto last_literals;
                 match = base + table[h];
-                fwdH = hash4(read32(fwdIp));
+                fwdH = hash5(fwdIp);
                 table[h] = (uint32_t)(ip - base);
             } while (read32(match) != read32(ip) || match + kMaxDistance < ip
                      || match >= ip);
@@ -279,8 +302,8 @@ int64_t atpu_lz4_compress_continue(const uint8_t* src, int64_t srcLen,
                 anchor = ip;
             }
             if (ip > mflimit) break;
-            table[hash4(read32(ip - 2))] = (uint32_t)(ip - 2 - base);
-            fwdH = hash4(read32(ip));
+            table[hash5(ip - 2)] = (uint32_t)(ip - 2 - base);
+            fwdH = hash5(ip);
         }
     last_literals:
         std::free(table);

@@ -147,6 +147,80 @@ def ours_fns(codec: str, level: int):
     raise KeyError(codec)
 
 
+def ours_direct(codec: str, level: int, data: bytes):
+    """C-direct timed calls with persistent pre-faulted buffers.
+
+    The oracle side's aocl_llc_* writes into a create_string_buffer that
+    was zeroed (page-faulted) at setup, OUTSIDE the timed region — the
+    reference's own codec_bench methodology (test/codec_bench.c). Going
+    through our Python convenience wrappers instead charges a fresh
+    uninitialized PyBytes to every timed call: the kernel zero-fill
+    page faults land INSIDE the timed decode, ~25% at 2.5 GB/s. This
+    path compares codec to codec: both sides reuse warm buffers.
+
+    Returns (enc() -> clen, dec(clen) -> dlen, comp_bytes(clen),
+    dec_bytes(dlen)).
+    """
+    from aocl_compression_tpu.runtime import native
+    native.get_lib()
+    lib = ctypes.CDLL(native._LIBPATH)
+    n = len(data)
+    inb = ctypes.create_string_buffer(data, n)
+    outcap = 2 * n + (1 << 16)
+    outb = ctypes.create_string_buffer(outcap)
+    decb = ctypes.create_string_buffer(n + 64)
+    I64 = ctypes.c_int64
+    SZ = ctypes.c_size_t
+    VP = ctypes.c_void_p
+    INT = ctypes.c_int
+
+    def fn(name, *at):
+        f = getattr(lib, name)
+        f.restype = I64
+        f.argtypes = list(at)
+        return f
+
+    if codec in ("lz4", "lz4hc"):
+        d = fn("atpu_lz4_decompress", VP, I64, VP, I64)
+        if codec == "lz4":
+            c = fn("atpu_lz4_compress", VP, I64, VP, I64, INT)
+            enc = lambda: c(inb, n, outb, outcap, 1)
+        else:
+            c = fn("atpu_lz4hc_compress", VP, I64, VP, I64, INT)
+            enc = lambda: c(inb, n, outb, outcap, level)
+        dec = lambda cl: d(outb, cl, decb, n)
+    elif codec == "lzma":
+        c = fn("atpu_lzma_compress", VP, SZ, VP, SZ, INT)
+        d = fn("atpu_lzma_decompress", VP, SZ, VP, SZ)
+        enc = lambda: c(inb, n, outb, outcap, level)
+        dec = lambda cl: d(outb, cl, decb, n)
+    elif codec == "bzip2":
+        c = fn("atpu_bz2_compress", VP, SZ, VP, SZ, INT)
+        d = fn("atpu_bz2_decompress", VP, SZ, VP, SZ)
+        enc = lambda: c(inb, n, outb, outcap, level)
+        dec = lambda cl: d(outb, cl, decb, n)
+    elif codec == "snappy":
+        c = fn("atpu_snappy_compress", VP, I64, VP, I64)
+        d = fn("atpu_snappy_uncompress", VP, I64, VP, I64)
+        enc = lambda: c(inb, n, outb, outcap)
+        dec = lambda cl: d(outb, cl, decb, n + 64)
+    elif codec == "zlib":
+        c = fn("atpu_deflate", VP, SZ, VP, SZ, INT, INT)
+        d = fn("atpu_inflate", VP, SZ, VP, SZ, INT)
+        enc = lambda: c(inb, n, outb, outcap, level, 0)
+        dec = lambda cl: d(outb, cl, decb, n, 0)
+    elif codec == "zstd":
+        c = fn("atpu_zstd_compress", VP, SZ, VP, SZ, INT)
+        d = fn("atpu_zstd_decompress", VP, SZ, VP, SZ)
+        enc = lambda: c(inb, n, outb, outcap, level)
+        dec = lambda cl: d(outb, cl, decb, n)
+    else:
+        raise KeyError(codec)
+    return (enc, dec,
+            lambda cl: outb.raw[:cl],
+            lambda dl: decb.raw[:dl])
+
+
 def to_ref_frame(codec: str, ours: bytes) -> bytes:
     """Adapt our stream to what aocl_llc_decompress expects."""
     if codec == "lzma":
@@ -194,6 +268,7 @@ def main() -> int:
                 data = open(os.path.join(args.dataset, fname), "rb").read()
                 mb = len(data) / 1e6
                 ofn, odfn = ours_fns(codec, lvl)
+                oenc, odec, ocomp, odecb = ours_direct(codec, lvl, data)
                 d, out = oracle.handle(ci, data, lvl,
                                        2 * len(data) + (1 << 16))
                 # interleaved min-of-N: ours and the oracle alternate
@@ -202,15 +277,18 @@ def main() -> int:
                 co = rn = None
                 for _ in range(args.iters):
                     t0 = time.perf_counter()
-                    co = ofn(data)
+                    clen = oenc()
                     bo = min(bo, time.perf_counter() - t0)
+                    assert clen > 0
                     t0 = time.perf_counter()
                     rn = oracle.compress(ci, d)
                     bref = min(bref, time.perf_counter() - t0)
                     t0 = time.perf_counter()
-                    o = odfn(co, len(data))
+                    dlen = odec(clen)
                     bod = min(bod, time.perf_counter() - t0)
-                    assert o == data
+                    assert dlen == len(data)
+                    co = ocomp(clen)
+                    assert odecb(dlen) == data
                     # oracle decompress round: feed its own stream back
                     d2, out2 = oracle.handle(ci, out.raw[:rn], lvl,
                                              len(data) + 64)
