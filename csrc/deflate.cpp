@@ -19,6 +19,8 @@
 #include <cstring>
 #include <cstdlib>
 
+#include "btmf.h"
+
 #define ATPU_EXPORT extern "C" __attribute__((visibility("default")))
 
 namespace {
@@ -790,10 +792,10 @@ static const LevelParams LP[10] = {
   {4, 0, 32, 32},    // 3 (deflate_medium class)
   {4, 4, 16, 16},    // 4: lazy from here
   {8, 16, 32, 32},   // 5
-  {8, 16, 128, 128}, // 6
-  {8, 32, 128, 256}, // 7
-  {32, 128, 258, 1024},   // 8
-  {32, 258, 258, 4096},   // 9
+  {8, 32, 258, 128}, // 6
+  {16, 64, 258, 256}, // 7
+  {32, 128, 258, 512},    // 8
+  {32, 258, 258, 1024},   // 9
 };
 
 struct Token { u16 lit_or_len; u16 dist; };  // dist==0 -> literal
@@ -990,17 +992,48 @@ static int match_len(const u8* a, const u8* b, const u8* limit) {
 struct Matcher {
   int32_t head[HASH_SIZE];
   int32_t prev[WSIZE];
+  // 3-byte last-occurrence table, maintained only in h4 mode: the len-3
+  // matches a 4-byte hash can no longer see are only ever useful within
+  // TOO_FAR (zlib's own demotion rule), and the most recent occurrence
+  // is the only one with a small enough distance to price in — one
+  // lookup replaces the whole hash3 chain walk.
+  static const int H3_BITS = 15;
+  int32_t h3last[1 << H3_BITS];
+  bool h4;
 
-  void init() { memset(head, -1, sizeof(head)); }
+  static u32 hash3s(const u8* p) {
+    u32 v = (u32)p[0] | ((u32)p[1] << 8) | ((u32)p[2] << 16);
+    return (v * 2654435761u) >> (32 - H3_BITS);
+  }
+  // chain hash: 3 bytes at the fast levels (zlib semantics), 4 bytes at
+  // the lazy levels — trigram chains on text are thousands deep and
+  // nearly all candidates fail the scan-end probe after a cache miss;
+  // hashing one more byte is where the reference's fast_zlib-based
+  // longest_match gets its chain sparsity (longest_match_x86.c).
+  u32 hcode(const u8* p) const {
+    if (h4) {
+      u32 v;
+      memcpy(&v, p, 4);
+      return (v * 2654435761u) >> (32 - HASH_BITS);
+    }
+    return hash3(p);
+  }
+
+  void init(bool use4) {
+    h4 = use4;
+    memset(head, -1, sizeof(head));
+    if (use4) memset(h3last, -1, sizeof(h3last));
+  }
   void insert(const u8* base, size_t pos) {
-    u32 h = hash3(base + pos);
+    u32 h = hcode(base + pos);
     prev[pos & (WSIZE - 1)] = head[h];
     head[h] = (int32_t)pos;
+    if (h4) h3last[hash3s(base + pos)] = (int32_t)pos;
   }
   // best (len, dist) at pos
   int find(const u8* base, size_t pos, size_t end, const LevelParams& lp,
            int* distOut, int prev_best = 0) const {
-    u32 h = hash3(base + pos);
+    u32 h = hcode(base + pos);
     int32_t cand = head[h];
     int best = MIN_MATCH - 1, bestd = 0;
     // stock zlib's good_match rule (deflate.c longest_match caller):
@@ -1008,18 +1041,51 @@ struct Matcher {
     int chain = prev_best >= lp.good ? (lp.chain >> 2) : lp.chain;
     const u8* scan = base + pos;
     const u8* limit = base + (end - pos > MAX_MATCH ? pos + MAX_MATCH : end);
+    const int maxl = (int)(limit - scan);
+    // Chain-continuation walk (h4 mode): once a match of length `best`
+    // is held, only a window position containing scan[best-3..best] at
+    // relative offset best-3 can beat it — so jump to THAT 4-byte
+    // chain instead of grinding the head chain, whose candidates share
+    // only the first 4 bytes. The idea is fast_zlib's variable-prefix
+    // chain continuation (the reference wires it in as
+    // longest_match_x86.c); scheme re-derived here on our 4-byte
+    // chains with full re-verification of every jump candidate.
+    size_t offset = 0;
     while (cand >= 0 && chain-- > 0) {
       size_t c = (size_t)cand;
-      if (pos - c > WSIZE - 1) break;
-      const u8* mp = base + c;
-      // zlib longest_match scan-end reject: a candidate can only beat
-      // `best` if it also matches at scan[best-1..best] — two loads
-      // kill most candidates before the full compare
-      if (scan + best < limit) {
-        u16 se, me;
-        memcpy(&se, scan + best - 1, 2);
-        memcpy(&me, mp + best - 1, 2);
-        if (se != me) {
+      size_t mstart;
+      if (offset) {
+        if (c < offset || c - offset >= pos) {
+          cand = prev[c & (WSIZE - 1)];
+          if ((size_t)cand >= c) break;
+          continue;
+        }
+        mstart = c - offset;
+      } else {
+        mstart = c;
+      }
+      if (pos - mstart > WSIZE - 1) break;  // chains age monotonically
+      const u8* mp = base + mstart;
+      if (offset == 0) {
+        // zlib longest_match scan-end reject: a candidate can only beat
+        // `best` if it also matches at scan[best-1..best] — two loads
+        // kill most candidates before the full compare
+        if (best >= MIN_MATCH && scan + best < limit) {
+          u16 se, me;
+          memcpy(&se, scan + best - 1, 2);
+          memcpy(&me, mp + best - 1, 2);
+          if (se != me) {
+            cand = prev[c & (WSIZE - 1)];
+            if ((size_t)cand >= c) break;
+            continue;
+          }
+        }
+      } else {
+        // tail bytes agree by chain membership; reject on the head
+        u32 s0, m0;
+        memcpy(&s0, scan, 4);
+        memcpy(&m0, mp, 4);
+        if (s0 != m0) {
           cand = prev[c & (WSIZE - 1)];
           if ((size_t)cand >= c) break;
           continue;
@@ -1028,11 +1094,31 @@ struct Matcher {
       int l = match_len(scan, mp, limit);
       if (l > best) {
         best = l;
-        bestd = (int)(pos - c);
-        if (l >= lp.nice) break;
+        bestd = (int)(pos - mstart);
+        if (l >= lp.nice || l >= maxl) break;
+        if (h4 && best >= 4) {
+          offset = (size_t)best - 3;
+          cand = head[hcode(scan + offset)];
+          continue;
+        }
       }
       cand = prev[c & (WSIZE - 1)];
       if ((size_t)cand >= c) break;  // corrupt chain guard
+    }
+    if (h4 && best < MIN_MATCH) {
+      // len-3 fallback: the nearest trigram occurrence, priced by the
+      // same TOO_FAR rule the caller applies
+      int32_t c3 = h3last[hash3s(scan)];
+      if (c3 >= 0 && pos - (size_t)c3 <= (size_t)TOO_FAR) {
+        const u8* mp = base + c3;
+        if (mp[0] == scan[0] && mp[1] == scan[1] && mp[2] == scan[2]) {
+          int l = match_len(scan, mp, limit);
+          if (l > best) {
+            best = l;
+            bestd = (int)(pos - (size_t)c3);
+          }
+        }
+      }
     }
     *distOut = bestd;
     return best;
@@ -1046,7 +1132,10 @@ static i64 deflate_raw(const u8* src, size_t n, u8* dst, size_t dstCap,
   BitWriter bw(dst, dstCap);
   Matcher* m = (Matcher*)malloc(sizeof(Matcher));
   if (!m) return ERR_CORRUPT;
-  m->init();
+  // 4-byte chains from the first lazy level up; mg guards the wider read
+  const bool use4 = level >= 4;
+  const size_t mg = use4 ? 4 : (size_t)MIN_MATCH;
+  m->init(use4);
   // ~16K symbols per block: matches the reference's lit_bufsize adaptivity
   // (algos/zlib/deflate.c memLevel 8) — regime changes inside a buffer get
   // their own Huffman tables / stored-block choice
@@ -1065,12 +1154,96 @@ static i64 deflate_raw(const u8* src, size_t n, u8* dst, size_t dstCap,
     blockStart = pos;
   };
 
+  // Binary-tree matcher for the top levels (shared bt4, csrc/btmf.h —
+  // the same component serving lzma L6+ and zstd L16+): hash-chain walks
+  // at chain=1024/4096 spend a cache miss per candidate and nearly all
+  // candidates die on the scan-end probe; the bt visits candidates in
+  // suffix order, so every visit either extends the match or halves the
+  // remaining space. Reference analog: the fast_zlib-based
+  // longest_match (algos/zlib/longest_match_x86.c) — different scheme,
+  // same goal of skipping prefix-only candidates.
+  if (level >= 8 && n >= 4 && getenv("ATPU_DEFLATE_BT")) {
+    btmf::BtMF btm;
+    if (btm.alloc(WSIZE, n, 16)) {
+      btm.minLen = MIN_MATCH;
+      const int depth = level == 9 ? 96 : 40;
+      btmf::BtPair prs[64];
+      size_t insertedUpTo = 0;
+      auto btq = [&](size_t p, int* dout) -> int {
+        int cnt = btm.insert_get(src, p, n, depth, MAX_MATCH, prs, 64);
+        insertedUpTo = p + 1;
+        if (!cnt) { *dout = 0; return 0; }
+        int bl = prs[cnt - 1].len;
+        int bd = (int)prs[cnt - 1].dist;
+        if (bl == MIN_MATCH && bd > TOO_FAR) { *dout = 0; return 0; }
+        *dout = bd;
+        return bl;
+      };
+      int pendL = 0, pendD = 0;
+      bool havePend = false;
+      while (pos < n) {
+        if (ntok >= TOKCAP - 2) flush(false);
+        if (pos + 4 > n) {
+          toks[ntok++] = {(u16)src[pos], 0};
+          pos++;
+          continue;
+        }
+        int d1, l1;
+        if (havePend) {
+          l1 = pendL;
+          d1 = pendD;
+          havePend = false;
+        } else {
+          l1 = btq(pos, &d1);
+        }
+        if (l1 >= MIN_MATCH && l1 < lp.lazy && pos + 1 + 4 <= n) {
+          int d2;
+          int l2 = btq(pos + 1, &d2);
+          if (l2 > l1) {
+            toks[ntok++] = {(u16)src[pos], 0};
+            pos++;
+            pendL = l2;
+            pendD = d2;
+            havePend = true;
+            continue;
+          }
+        }
+        if (l1 >= MIN_MATCH) {
+          toks[ntok++] = {(u16)l1, (u16)d1};
+          size_t insEnd = pos + (size_t)l1;
+          for (size_t q = insertedUpTo; q < insEnd && q + 4 <= n; q++)
+            btm.insert(src, q, n, depth, MAX_MATCH);
+          if (insEnd > insertedUpTo) insertedUpTo = insEnd;
+          pos = insEnd;
+        } else {
+          toks[ntok++] = {(u16)src[pos], 0};
+          pos++;
+        }
+      }
+      flush(mode == 1);
+      btm.release();
+      if (mode == 2) {
+        bw.put(0, 1);
+        bw.put(0, 2);
+        bw.align();
+        bw.put(0, 16);
+        bw.put(0xFFFF, 16);
+      } else {
+        bw.align();
+      }
+      free(toks);
+      free(m);
+      if (!ok || bw.overflow) return ERR_DST_SMALL;
+      return (i64)bw.len;
+    }
+  }
+
   size_t missRun = 0;
   int pendL = 0, pendD = 0;
   bool havePend = false;
   while (pos < n) {
     if (ntok >= TOKCAP - 2) flush(false);
-    if (pos + MIN_MATCH > n) {
+    if (pos + mg > n) {
       toks[ntok++] = {(u16)src[pos], 0};
       pos++;
       continue;
@@ -1102,7 +1275,7 @@ static i64 deflate_raw(const u8* src, size_t n, u8* dst, size_t dstCap,
       // costs more bits than the literals it replaces — demote it
       if (l1 == MIN_MATCH && d1 > TOO_FAR) l1 = MIN_MATCH - 1;
     }
-    if (l1 >= MIN_MATCH && lp.lazy && pos + 1 + MIN_MATCH <= n &&
+    if (l1 >= MIN_MATCH && lp.lazy && pos + 1 + mg <= n &&
         l1 < lp.lazy) {
       // lazy: peek the next position; emit a literal if it matches longer
       int d2;
@@ -1128,7 +1301,7 @@ static i64 deflate_raw(const u8* src, size_t n, u8* dst, size_t dstCap,
       // across its visit + tally loop): any hole means the next occurrence
       // of that substring is only findable one byte late — each missing
       // rung measured ~0.5% ratio on C source
-      for (size_t q = pos + 1; q < insEnd && q + MIN_MATCH <= n; q++)
+      for (size_t q = pos + 1; q < insEnd && q + mg <= n; q++)
         m->insert(src, q);
       pos = insEnd;
     } else {
