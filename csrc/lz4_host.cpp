@@ -589,8 +589,11 @@ int64_t atpu_lz4hc_compress_tail(const uint8_t* src, int64_t srcLen,
     if (level >= 10)
         return lz4hc_optimal_tail(src, srcLen, dst, dstCap, level,
                                   tail_lits);
-    // search depth doubles per level: 1<<(level-1), capped
-    int64_t maxAttempts = (int64_t)1 << (level - 1);
+    // search depth doubles per level: 1<<level, capped — the
+    // chain-continuation walk converts attempts into reach cheaply
+    // enough that a 2x budget still leaves every level faster than the
+    // reference's own build (MEASURED.md round-5 lz4hc)
+    int64_t maxAttempts = (int64_t)1 << level;
     if (maxAttempts > 4096) maxAttempts = 4096;
 
     uint8_t* op = dst;
@@ -618,12 +621,27 @@ int64_t atpu_lz4hc_compress_tail(const uint8_t* src, int64_t srcLen,
             }
         };
 
-        // chain search for the longest match at src+pos (candidates
-        // must already be inserted up to pos+1)
-        auto chain_best = [&](int64_t pos, int64_t* bestOffOut) -> int64_t {
+        // Chain search for the WIDEST match covering src+pos (candidates
+        // must already be inserted up to pos+1). Two mechanics:
+        // - chain-continuation walk (same scheme as csrc/deflate.cpp
+        //   Matcher::find): once a best FORWARD length L is held, only a
+        //   position containing p[L-3..L] at relative offset L-3 can
+        //   extend further forward — jump to that 4-byte chain instead
+        //   of grinding same-head candidates.
+        // - span scoring (the reference's InsertAndGetWiderMatch
+        //   behavior, lz4hc.c:299): each candidate is extended BACKWARD
+        //   toward the anchor too, and selection maximizes back+forward
+        //   span — the backward bytes come off the literal run for free.
+        // Returns the span; *backOut says how far before pos it starts.
+        auto chain_best = [&](int64_t pos, int64_t anchorPos,
+                              int64_t* bestOffOut,
+                              int64_t* backOut) -> int64_t {
             const uint8_t* p = src + pos;
-            int64_t bestLen = kMinMatch - 1;
+            int64_t bestSpan = kMinMatch - 1;
+            int64_t bestFwd = kMinMatch - 1;
             int64_t bestOff = 0;
+            int64_t bestBack = 0;
+            int64_t offset = 0;
             int32_t cand;
             {
                 uint32_t h = hash4(read32(p));
@@ -631,22 +649,50 @@ int64_t atpu_lz4hc_compress_tail(const uint8_t* src, int64_t srcLen,
                                                : head[h];
             }
             int64_t attempts = maxAttempts;
-            while (cand >= 0 && pos - cand <= kMaxDistance && attempts--) {
-                const uint8_t* m = src + cand;
-                if (m[bestLen] == p[bestLen] && read32(m) == read32(p)) {
+            const int64_t maxl = mlimit - p;
+            const int64_t maxBack = pos - anchorPos;
+            while (cand >= 0 && attempts--) {
+                int64_t mstart = cand - offset;
+                if (mstart >= pos || mstart < 0) {
+                    int32_t nx = prev[cand & kMaxDistance];
+                    if (nx >= cand) break;
+                    cand = nx;
+                    continue;
+                }
+                if (pos - mstart > kMaxDistance) break;
+                const uint8_t* m = src + mstart;
+                bool plausible = offset == 0
+                    ? (m[bestFwd] == p[bestFwd] && read32(m) == read32(p))
+                    : (read32(m) == read32(p));
+                if (plausible) {
                     int64_t len = kMinMatch
                         + count_match(p + kMinMatch, m + kMinMatch, mlimit);
-                    if (len > bestLen) {
-                        bestLen = len;
-                        bestOff = pos - cand;
+                    if (len + maxBack > bestSpan) {
+                        int64_t back = 0;
+                        while (back < maxBack && mstart - back > 0 &&
+                               p[-back - 1] == m[-back - 1])
+                            back++;
+                        if (len + back > bestSpan) {
+                            bestSpan = len + back;
+                            bestOff = pos - mstart;
+                            bestBack = back;
+                        }
+                    }
+                    if (len > bestFwd) {
+                        bestFwd = len;
+                        if (len >= maxl) break;
+                        offset = len - 3;
+                        cand = head[hash4(read32(p + offset))];
+                        continue;
                     }
                 }
-                cand = prev[cand & kMaxDistance];
-                // guard against wrapped slots pointing forward
-                if (cand >= (int32_t)pos) break;
+                int32_t nx = prev[cand & kMaxDistance];
+                if (nx >= cand) break;  // wrapped slot pointing forward
+                cand = nx;
             }
             *bestOffOut = bestOff;
-            return bestLen;
+            *backOut = bestBack;
+            return bestSpan;
         };
         // lazy window doubles with level (upstream lz4hc's wider-match
         // stitching, LZ4HC_InsertAndGetWiderMatch lz4hc.c:299 —
@@ -655,35 +701,34 @@ int64_t atpu_lz4hc_compress_tail(const uint8_t* src, int64_t srcLen,
         while (ip <= mflimit) {
             int64_t pos = ip - src;
             insert_upto(pos + 1);
-            int64_t bestOff = 0;
-            int64_t bestLen = chain_best(pos, &bestOff);
+            int64_t bestOff = 0, bestBack = 0;
+            int64_t bestLen = chain_best(pos, anchor - src, &bestOff,
+                                         &bestBack);
             if (bestLen >= kMinMatch && bestLen < 48 && lazySteps) {
-                // deferral: a strictly longer match one (or two) bytes
+                // deferral: a strictly wider match one (or two) bytes
                 // ahead covers more for the cost of literals that LZ4
-                // tokens encode nearly free
+                // tokens encode nearly free (spans compared, so a
+                // deferred match that back-extends over this one's
+                // bytes does not double count)
                 for (int st = 0; st < lazySteps && ip + 1 <= mflimit;
                      st++) {
                     insert_upto(pos + 2);
-                    int64_t off1 = 0;
-                    int64_t len1 = chain_best(pos + 1, &off1);
+                    int64_t off1 = 0, back1 = 0;
+                    int64_t len1 = chain_best(pos + 1, anchor - src, &off1,
+                                              &back1);
                     if (len1 > bestLen + (st ? 1 : 0)) {
                         ip++;
                         pos++;
                         bestLen = len1;
                         bestOff = off1;
+                        bestBack = back1;
                     } else {
                         break;
                     }
                 }
             }
             if (bestLen >= kMinMatch) {
-                const uint8_t* match = ip - bestOff;
-                // extend backwards
-                while (ip > anchor && match > src && ip[-1] == match[-1]) {
-                    ip--;
-                    match--;
-                    bestLen++;
-                }
+                ip -= bestBack;  // candidate-specific backward extension
                 if (op + seq_out_size(ip - anchor, bestLen) > oend) {
                     std::free(head);
                     std::free(prev);
@@ -758,7 +803,7 @@ static int64_t lz4hc_optimal_tail(const uint8_t* src, int64_t srcLen,
         };
         // search depth per level (reference clTable tier: 512-16384
         // searches at L10-12; these are chain steps per DP position)
-        const int attempts0 = level >= 12 ? 512 : (level == 11 ? 256 : 96);
+        const int attempts0 = level >= 12 ? 1024 : (level == 11 ? 384 : 160);
         // long-match early-out, scaled like the reference's sufficient_len
         // ladder (lz4hc.c clTable): exhaustive sub-length relaxation buys
         // nothing once a match is this long, and on periodic data the
@@ -774,15 +819,31 @@ static int64_t lz4hc_optimal_tail(const uint8_t* src, int64_t srcLen,
             int64_t best = kMinMatch - 1;
             uint32_t bestd = 0;
             int attempts = attempts0;
-            while (cand >= 0 && p - cand <= kMaxDistance && attempts-- > 0) {
-                const uint8_t* m = src + cand;
-                if (m[best] == ip[best] && read32(m) == read32(ip)) {
+            int64_t offset = 0;  // chain-continuation (see chain_best)
+            const int64_t maxl = mlimit - ip;
+            while (cand >= 0 && attempts-- > 0) {
+                int64_t mstart = cand - offset;
+                if (mstart >= p || mstart < 0) {
+                    int32_t nx = prev[cand & kMaxDistance];
+                    if (nx >= cand) break;
+                    cand = nx;
+                    continue;
+                }
+                if (p - mstart > kMaxDistance) break;
+                const uint8_t* m = src + mstart;
+                bool plausible = offset == 0
+                    ? (m[best] == ip[best] && read32(m) == read32(ip))
+                    : (read32(m) == read32(ip));
+                if (plausible) {
                     int64_t len = kMinMatch + count_match(
                         ip + kMinMatch, m + kMinMatch, mlimit);
                     if (len > best) {
                         best = len;
-                        bestd = (uint32_t)(p - cand);
-                        if (len >= NICE) break;
+                        bestd = (uint32_t)(p - mstart);
+                        if (len >= NICE || len >= maxl) break;
+                        offset = best - 3;
+                        cand = head[hash4(read32(ip + offset))];
+                        continue;
                     }
                 }
                 int32_t nx = prev[cand & kMaxDistance];
