@@ -1755,12 +1755,14 @@ ATPU_EXPORT i64 atpu_zstd_compress_ex(const u8* src, size_t n, u8* dst,
                      && pref == 0;
   int fbits = ZFAST_BITS;
   if (useFastTabs) {
-    // measured on the real-file corpus (MEASURED.md r4 "fast-table
-    // residency"): 14/15 beat 17 by 1.3-2.6x on ELF/records at <1% ratio
-    // (still above stock's ratio on every test file)
+    // re-measured round 5 AFTER the 8 MiB-window change (which made the
+    // old r4 "14/15 beat 17" numbers stale): at wlog 23 a 16-bit fast
+    // table beats 15 on BOTH axes for ELF input (libc 200 -> 244 MB/s,
+    // ratio 2.44 -> 3.38) at ~5% scan cost on text; 17 pays 10-20%
+    // speed for +0.5% ratio — 16 is the knee
     // dfast: 16-bit tables keep L2/L3 in L2-cache; L4 (depth 12 in the
     // table = the ref's hlog-18 tier) trades residency for reach
-    fbits = (lp.strat == ZSTRAT_FAST) ? (lp.dstep ? 13 : 15)
+    fbits = (lp.strat == ZSTRAT_FAST) ? (lp.dstep ? 13 : 16)
             : (lp.strat == ZSTRAT_DFAST && lp.depth >= 12) ? 17 : 16;
     int slog = highbit32((u32)(total | 1)) + 1;  // don't oversize on
     if (fbits > slog) fbits = slog;              // small inputs

@@ -210,10 +210,10 @@ def ours_direct(codec: str, level: int, data: bytes):
         enc = lambda: c(inb, n, outb, outcap, level, 0)
         dec = lambda cl: d(outb, cl, decb, n, 0)
     elif codec == "zstd":
-        c = fn("atpu_zstd_compress", VP, SZ, VP, SZ, INT)
-        d = fn("atpu_zstd_decompress", VP, SZ, VP, SZ)
-        enc = lambda: c(inb, n, outb, outcap, level)
-        dec = lambda cl: d(outb, cl, decb, n)
+        c = fn("atpu_zstd_compress", VP, SZ, VP, SZ, INT, VP, SZ)
+        d = fn("atpu_zstd_decompress", VP, SZ, VP, SZ, VP, SZ)
+        enc = lambda: c(inb, n, outb, outcap, level, None, 0)
+        dec = lambda cl: d(outb, cl, decb, n, None, 0)
     else:
         raise KeyError(codec)
     return (enc, dec,
