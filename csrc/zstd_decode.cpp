@@ -1138,6 +1138,10 @@ static i64 decode_frame(const u8* src, size_t srcSize, u8* dst, size_t dstCap,
       if (p + bsize > end) goto done;
       i64 n = decode_block(&ctx, p, bsize, dst, dstCap, pos, litBuf);
       if (n < 0) { result = n; goto done; }
+      // Block_Maximum_Size conformance (RFC 8878 §3.1.1.2.3): a block
+      // may not regenerate more than 128 KiB; the reference rejects
+      // such streams (we once emitted one — r5 row-level overrun bug)
+      if (n > 131072) goto done;
       p += bsize;
       pos += (size_t)n;
     } else {

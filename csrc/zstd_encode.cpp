@@ -21,6 +21,7 @@
 
 #include "btmf.h"
 #include <cstdlib>
+#include <cstdio>
 #include <cstddef>
 #include <cmath>
 #include <emmintrin.h>
@@ -1689,6 +1690,87 @@ ATPU_EXPORT i64 atpu_zstd_compress_ex(const u8* src, size_t n, u8* dst,
     }
   }
 
+  // ---- long-distance match pre-pass (LDM) ----
+  // Reference capability: zstd_ldm.c + zstd_ldm_geartab.h find
+  // window-scale matches the chain/row matchers cannot reach. Own
+  // scheme: one forward pass hashing the 8-byte window at EVERY
+  // position into a 2^20 last-occurrence table; a verified far match
+  // >= 64 bytes is recorded and the scan jumps over it. Candidates are
+  // interval-filled per block and injected after the normal matcher's
+  // evaluate() — a longer LDM match simply wins the comparison. The
+  // declared frame window grows to cover the distances (capped at
+  // 2^27, the stock decoder's no-flag acceptance limit). Active at the
+  // row/chain levels on >= 8 MiB inputs; the opt tier's bt matcher
+  // already reaches the whole window.
+  u32* ldmStart = nullptr;
+  u32* ldmDistA = nullptr;
+  u32* ldmLenA = nullptr;
+  size_t ldmCount = 0, ldmCursor = 0;
+  u32* ldmD = nullptr;
+  int32_t* ldmR = nullptr;
+  {
+    bool wantLdm = (lp.strat == ZSTRAT_ROW || lp.strat == ZSTRAT_CHAIN) &&
+                   n >= ((size_t)8 << 20);
+    const char* e = getenv("AOCL_ZSTD_LDM");
+    if (e && e[0] == '0') wantLdm = false;
+    if (wantLdm) {
+      const size_t cap = n / 64 + 64;
+      ldmStart = (u32*)malloc(cap * sizeof(u32) * 3);
+      int32_t* ltab = (int32_t*)malloc(sizeof(int32_t) << 20);
+      if (ldmStart && ltab) {
+        ldmDistA = ldmStart + cap;
+        ldmLenA = ldmDistA + cap;
+        memset(ltab, 0xFF, sizeof(int32_t) << 20);
+        u32 maxDist = 0;
+        const size_t minFar = lp.window >> 1;
+        const size_t send = n > 80 ? n - 80 : 0;
+        const u8* lim = src + n;
+        size_t p = 0;
+        while (p < send) {
+          u32 h = (u32)((rd64le_(src + p) * 0x9E3779B185EBCA87ull) >> 44);
+          int32_t c = ltab[h];
+          ltab[h] = (int32_t)p;
+          if (c >= 0) {
+            size_t d = p - (size_t)c;
+            if (d > minFar && d <= ((size_t)1 << 27) &&
+                rd64le_(src + (size_t)c) == rd64le_(src + p)) {
+              size_t l = 8 + (size_t)zmatch_len(src + p + 8,
+                                                src + (size_t)c + 8, lim);
+              if (l >= 64 && ldmCount < cap) {
+                ldmStart[ldmCount] = (u32)p;
+                ldmDistA[ldmCount] = (u32)d;
+                ldmLenA[ldmCount] =
+                    (u32)(l > 0x20000 ? 0x20000 : l);
+                ldmCount++;
+                if ((u32)d > maxDist) maxDist = (u32)d;
+                p += l;
+                continue;
+              }
+            }
+          }
+          p++;
+        }
+        if (ldmCount) {
+          while (lp.window < maxDist) lp.window <<= 1;
+          ldmD = (u32*)malloc(sizeof(u32) * BLOCK_MAX);
+          ldmR = (int32_t*)malloc(sizeof(int32_t) * BLOCK_MAX);
+          if (!ldmD || !ldmR) {
+            free(ldmD);
+            free(ldmR);
+            ldmD = nullptr;
+            ldmR = nullptr;
+            ldmCount = 0;
+          }
+        }
+      }
+      free(ltab);
+      if (!ldmCount) {
+        free(ldmStart);
+        ldmStart = nullptr;
+      }
+    }
+  }
+
   // ---- frame header ----
   size_t op = 0;
   if (dstCap < 24) return ERR_DST_SMALL;
@@ -1845,6 +1927,29 @@ ATPU_EXPORT i64 atpu_zstd_compress_ex(const u8* src, size_t n, u8* dst,
       u32 repSnap[3] = {rep[0], rep[1], rep[2]};
       EPROF_T0();
 
+      // interval-fill this block's LDM candidates (positions are
+      // src-relative in the list; +pref maps into match space)
+      const bool ldmBlk = ldmD != nullptr;
+      if (ldmBlk) {
+        memset(ldmD, 0, sizeof(u32) * (blockEnd - bstart));
+        while (ldmCursor < ldmCount &&
+               (size_t)ldmStart[ldmCursor] + pref + ldmLenA[ldmCursor]
+                   <= bstart + 16)
+          ldmCursor++;
+        for (size_t k = ldmCursor; k < ldmCount; k++) {
+          size_t s = (size_t)ldmStart[k] + pref;
+          if (s >= blockEnd) break;
+          size_t e = s + ldmLenA[k];
+          size_t from = s > bstart ? s : bstart;
+          size_t to = e > 16 ? e - 16 : 0;
+          if (to > blockEnd) to = blockEnd;
+          for (size_t q = from; q < to; q++) {
+            ldmD[q - bstart] = ldmDistA[k];
+            ldmR[q - bstart] = (int32_t)(e - q);
+          }
+        }
+      }
+
       auto evaluate = [&](size_t p, bool insert) -> EvalResult {
         const u8* limit = base + (blockEnd - p > 65538
                                   ? p + 65538 : blockEnd);
@@ -1896,6 +2001,17 @@ ATPU_EXPORT i64 atpu_zstd_compress_ex(const u8* src, size_t n, u8* dst,
                          &nd);
             if (insert) mf.insert(base, p);
           }
+        }
+        // Clamp to the block: the 4-byte candidate baselines verify
+        // bytes that may cross blockEnd (their zmatch_len extension is
+        // limit-capped but the +4 base is not), and a sequence past
+        // blockEnd makes the block regenerate >128 KiB — legal to our
+        // decoder but rejected by stock's Block_Maximum_Size check
+        // (found by the round-5 large-input interop matrix).
+        {
+          int room = (int)(blockEnd - p);
+          if (nl > room) nl = room;
+          if (repLen > room) repLen = room;
         }
         if (nl < 4) nl = 0;  // 3-byte far matches rarely pay
         if (repLen >= 3 && repLen + 1 >= nl) return {repLen, repDist};
@@ -2647,6 +2763,20 @@ ATPU_EXPORT i64 atpu_zstd_compress_ex(const u8* src, size_t n, u8* dst,
         } else {
           ev = evaluate(pos, true);
         }
+        if (ldmBlk) {
+          u32 ld = ldmD[pos - bstart];
+          if (ld) {
+            int lrem = ldmR[pos - bstart];
+            int room = (int)(blockEnd - pos);
+            if (lrem > room) lrem = room;
+            // a window-scale match must beat the local one by a margin
+            // (its offset code is ~10 bits dearer than a near match's)
+            if (lrem >= 16 && lrem > ev.len + 3) {
+              ev.len = lrem;
+              ev.dist = ld;
+            }
+          }
+        }
         if (ev.len < 3) {
           lits[nlit++] = base[pos++];
           run++;
@@ -2716,6 +2846,12 @@ ATPU_EXPORT i64 atpu_zstd_compress_ex(const u8* src, size_t n, u8* dst,
 
       // ---- write the block ----
       EPROF_ADD(0);
+      if (getenv("ATPU_ZSTD_DEBUG_OVERRUN") && pos > blockEnd) {
+        fprintf(stderr, "OVERRUN block bstart=%zu blockEnd=%zu pos=%zu "
+                "nseq=%zu lastml=%u lastll=%u lastofv=%u\n", bstart,
+                blockEnd, pos, nseq, nseq ? seqs[nseq-1].ml : 0,
+                nseq ? seqs[nseq-1].ll : 0, nseq ? seqs[nseq-1].ofv : 0);
+      }
       size_t blockRaw = blockEnd - bstart;
       // Block splitting (opt tier): heterogeneous 128K spans (ELF
       // sections, file concatenations) compress better as sub-blocks
@@ -2932,6 +3068,9 @@ ATPU_EXPORT i64 atpu_zstd_compress_ex(const u8* src, size_t n, u8* dst,
   }
 done:
   free(buf);
+  free(ldmStart);
+  free(ldmD);
+  free(ldmR);
   free(seqs);
   free(lits);
   free(scratch);
