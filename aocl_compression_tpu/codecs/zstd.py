@@ -188,39 +188,43 @@ def train_dictionary(samples: Sequence[bytes], dict_size: int = 16384,
         return header + content
     if len(blob) <= dict_size:
         return blob
+    # fastCover-class selection (the reference's default trainer family,
+    # zdict.c / fastCover.c — own vectorized expression): score k-byte
+    # SEGMENTS by the global frequency of their 8-byte dmers, pick the
+    # best segment per data epoch, and ZERO the chosen segment's dmer
+    # frequencies so later epochs reward NEW coverage instead of
+    # re-picking the same popular content. Long contiguous segments (not
+    # the old 64-byte shreds) preserve the match continuity that makes a
+    # dictionary actually cover small payloads — measured against the
+    # stock trainer on the same samples: 64-byte shreds were +65% output
+    # size; epoch segments land within a few % (MEASURED.md round-5
+    # "ZDICT bar").
     a = np.frombuffer(blob, dtype=np.uint8)
-    K, SEG = 8, 64
-    # rolling 8-gram hash at every position
-    h = np.zeros(len(a) - K + 1, dtype=np.uint64)
-    for k in range(K):
-        h = h * np.uint64(1099511628211) + a[k:len(a) - K + 1 + k]
-    hb = (h >> np.uint64(40)).astype(np.uint32)  # 24-bit buckets
-    counts = np.bincount(hb, minlength=1 << 24)
-    # segment score = sum of its grams' global frequencies
-    score_pos = counts[hb].astype(np.int64)
-    nseg = len(score_pos) // SEG
-    seg_scores = score_pos[:nseg * SEG].reshape(nseg, SEG).sum(axis=1)
-    order = np.argsort(seg_scores)  # ascending: best segments last
-    need = dict_size // SEG
-    # walk candidates in descending SCORE order (not segment index) so the
-    # kept fragments are genuinely the highest-coverage ones; frequent
-    # fragments appear at MANY segment positions — dedup by content hash
-    # or the dictionary fills with copies of the same bytes (each copy
-    # past the first contributes nothing to match coverage)
-    kept, total, seen = [], 0, set()
-    for si in order[::-1].tolist():
-        frag = blob[si * SEG:(si + 1) * SEG]
-        key = hash(frag)
-        if key in seen:
+    D, HB, K = 8, 20, 512
+    h = np.zeros(len(a) - D + 1, dtype=np.uint64)
+    for k in range(D):
+        h = h * np.uint64(1099511628211) + a[k:len(a) - D + 1 + k]
+    hb = (h >> np.uint64(64 - HB)).astype(np.int64)
+    freq = np.bincount(hb, minlength=1 << HB).astype(np.float64)
+    npos = len(hb)
+    nseg_budget = max(1, dict_size // K)
+    epoch = max(K, npos // nseg_budget)
+    chosen = []  # (score, start)
+    for e0 in range(0, max(1, npos - K + 1), epoch):
+        e1 = min(npos, e0 + epoch + K - 1)
+        f = freq[hb[e0:e1]]
+        if len(f) < K:
             continue
-        seen.add(key)
-        kept.append(si)
-        total += SEG
-        if total >= dict_size or len(kept) >= need * 2:
-            break
-    # lay out ascending by score: the most frequent land at the dictionary
-    # tail where back-reference offsets are shortest
-    parts = [blob[si * SEG:(si + 1) * SEG] for si in reversed(kept)]
+        cs = np.concatenate([[0.0], np.cumsum(f)])
+        w = cs[K:] - cs[:-K]
+        i = int(np.argmax(w))
+        start = e0 + i
+        chosen.append((float(w[i]), start))
+        freq[hb[start:start + K]] = 0.0
+    # ascending by score: the most valuable segments land at the
+    # dictionary tail where back-reference offsets are shortest
+    chosen.sort()
+    parts = [blob[s:s + K] for _, s in chosen]
     return b"".join(parts)[-dict_size:]
 
 
