@@ -8,13 +8,15 @@ Baseline: upstream lz4 1.9.2 single-core compress on Silesia = 740 MB/s
 value / 740.
 
 The PRIMARY point (r3, VERDICT item 7) is the REAL-FILE corpus — big C
-sources + ELF shared objects from this box, the honest Silesia stand-in —
-at the r4 chip-swept config whose measured real-file ratio (2.146)
-clears the baseline codec's Silesia ratio 2.101: G=4 tile anchors,
-depth-4 candidate search, nw=5 match window, subm=32 chain marking,
-one-step lazy demotion (142.9 MB/s chip-measured; MEASURED.md r4).
-The synthetic-corpus point at the G=8 config (ratio 2.77-2.88
-there, 2.04 on real files — the r2 honesty gap) stays in extras.
+sources + libc/libm ELF + system headers from this box, the honest
+Silesia stand-in — at the r5 chip-swept config whose measured real-file
+ratio (2.33) clears the baseline codec's Silesia ratio 2.101: 16.8 MB
+batches (N=256; the r4 N=64 point sat ON the ~27-30 ms axon dispatch
+floor), G=8 tile anchors, depth-5 candidate search, nw=5 match window,
+the saturated-match extension ladder (ext_passes=5), subm=64 chain
+marking, one-step lazy demotion (143-146 MB/s chip-measured;
+MEASURED.md r5). The synthetic-corpus point at the legacy G=8 config
+stays in extras.
 
 Methodology mirrors the reference bench (-p best-of-N, test/codec_bench.c:904):
 best of N timed iterations. The compressed payload is materialized in
@@ -242,16 +244,25 @@ def main():
              "lz4_device_synth_ratio": ratio, "corpus_MB": round(mb, 1)}
 
     # PRIMARY: real-file corpus at the ratio-clearing config (module
-    # docstring). Big C sources + ELF shared objects from this box.
+    # docstring). Big C sources + libc/libm ELF + system headers from this
+    # box. N_REAL = 256 blocks (16.8 MB/iter): the r5 roofline showed the
+    # r4 N=64 point sat ON the ~27-30 ms axon dispatch floor (29.4 ms/iter)
+    # — bigger batches amortize the relay and expose the true device rate
+    # (MEASURED.md r5 device section).
+    N_REAL = 256
     real = bytearray()
     import glob
     paths = (sorted(glob.glob("/root/reference/algos/*/*.c*"))
              + sorted(glob.glob("/root/reference/algos/*/*.h"))
              + sorted(glob.glob("/root/reference/algos/zstd/lib/*/*.c"))
-             + sorted(glob.glob("/usr/lib/x86_64-linux-gnu/lib[cm]*.so*"))
-             + sorted(glob.glob("/root/reference/gtest/*/*.cpp")))
+             + sorted(glob.glob("/root/reference/gtest/*/*.cpp"))
+             + sorted(glob.glob("/root/reference/algos/*/*/*.c"))
+             + sorted(glob.glob("/usr/lib/x86_64-linux-gnu/libc.so.*"))
+             + sorted(glob.glob("/usr/lib/x86_64-linux-gnu/libm.so.*"))
+             + sorted(glob.glob("/usr/include/*/*.h"))
+             + sorted(glob.glob("/usr/include/*.h")))
     for path in paths:
-        if len(real) >= B * N:
+        if len(real) >= B * N_REAL:
             break
         try:
             with open(path, "rb") as f:
@@ -259,24 +270,27 @@ def main():
         except OSError:
             pass
     value = synth_value  # fallback if the real corpus is unavailable
-    if len(real) >= B * N:
-        ra = np.frombuffer(bytes(real[:B * N]), dtype=np.uint8).reshape(N, B)
+    if len(real) >= B * N_REAL:
+        NR = N_REAL
+        ra = np.frombuffer(bytes(real[:B * NR]), dtype=np.uint8).reshape(
+            NR, B)
         jr = jnp.asarray(ra)
-        # r4 chip sweep winner (scripts/sweep_r4*_device.py; MEASURED.md r4
-        # sweep tables): G=4 depth=4 nw=5 subm=32 lazy=1 -> 142.9 MB/s @
-        # ratio 2.146 — both r2 bars (>=125 MB/s AND ratio >=2.1) at once,
-        # projected v5e-16 2.29 GB/s. G=4's finer anchors + the cheap
-        # subm=32 chain marking buy the ratio; nw=5 keeps the shifted-
-        # compare window under the HBM wall (nw=6 = 135.9 @ 2.173 if more
-        # ratio margin is ever needed).
-        enc_r = lz4_device.make_encoder(B, 4, 4, 5, subm=32, lazy=1)
-        out, sizes, tails, flags = enc_r(jr, jl)
+        jlr = jnp.full(NR, B, dtype=jnp.int32)
+        # r5 chip sweep winner (MEASURED.md r5 device section): G=8 anchors
+        # + depth-5 search + the saturated-match extension ladder
+        # (ext_passes=5; matches chain past the 24-byte hash cap by
+        # pointer doubling over static shifts) + subm=64 chain marking.
+        # 143-146 MB/s @ ratio 2.33 on this corpus (r4 config same-day:
+        # ~120 @ 2.39) — both bars (>=125 MB/s, ratio >=2.1) with margin.
+        enc_r = lz4_device.make_encoder(B, 8, 5, 5, subm=64, lazy=1,
+                                        ext_passes=5)
+        out, sizes, tails, flags = enc_r(jr, jlr)
         _ = np.asarray(sizes)
         t0 = time.perf_counter()
         pending = []
-        iters_r = 8
+        iters_r = 6
         for _ in range(iters_r):
-            out, sizes, tails, flags = enc_r(jr, jl)
+            out, sizes, tails, flags = enc_r(jr, jlr)
             pending.append(sizes)
             if len(pending) > 3:
                 _ = np.asarray(pending.pop(0))
@@ -284,9 +298,10 @@ def main():
             _ = np.asarray(sizes)
         rdt = (time.perf_counter() - t0) / iters_r
         rsz = np.asarray(sizes)
-        value = mb / rdt
+        value = (B * NR / 1e6) / rdt
         extra["lz4_device_realfile_ratio"] = round(
-            (B * N) / float(rsz.sum() + 8.0 * N), 3)
+            (B * NR) / float(rsz.sum() + 8.0 * NR), 3)
+        extra["realfile_corpus_MB"] = round(B * NR / 1e6, 1)
 
     extra.update(_host_metrics(data))
 

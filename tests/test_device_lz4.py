@@ -131,3 +131,37 @@ def test_lz4hc_device_tier_unified_api():
     from aocl_compression_tpu.parallel import container
     assert native.lz4_decompress(container.skip_rap_frame(c),
                                  len(data)) == data
+
+
+@pytest.mark.parametrize("kind", KINDS)
+def test_extension_ladder_oracle_decodes(kind):
+    """The saturated-match extension ladder (r5 primary config: matches
+    chain past the 4+4*nw hash cap by pointer doubling) must emit streams
+    the serial C++ oracle decodes, and never worse than the unextended
+    parse."""
+    blocks = [_payload(kind, B, s) for s in range(2)]
+    # a long far match that only the ladder can express: 400-byte repeat
+    # at offset ~500 (past SMALL_OFFSETS, far past the 24-byte hash cap)
+    rng = random.Random(7)
+    seg = bytes(rng.randrange(256) for _ in range(400))
+    blocks.append((seg + _payload("text", 120, 3) + seg + seg)[:B])
+    enc = dev.make_encoder(B, 8, 5, 5, subm=64, lazy=1, ext_passes=5)
+    enc0 = dev.make_encoder(B, 8, 5, 5, subm=64, lazy=1)
+    import jax.numpy as jnp
+    arr = np.zeros((len(blocks), B), dtype=np.uint8)
+    for i, b in enumerate(blocks):
+        arr[i, :len(b)] = np.frombuffer(b, dtype=np.uint8)
+    lens = np.full(len(blocks), B, dtype=np.int32)
+    from aocl_compression_tpu.ops import compact
+    for e, tag in ((enc, "ext"), (enc0, "base")):
+        out, sizes, tails, flags = e(jnp.asarray(arr), jnp.asarray(lens))
+        assert not np.asarray(flags).any()
+        bodies = compact.fetch_chunks(out, sizes)
+        tls = [int(t) for t in np.asarray(tails)]
+        chunks, dlens = lz4_stitch.stitch_bodies(bodies, tls, blocks)
+        total = b"".join(blocks)
+        assert native.lz4_decompress(b"".join(chunks), len(total)) == total
+        if tag == "ext":
+            ext_size = sum(int(s) for s in np.asarray(sizes))
+        else:
+            assert ext_size <= sum(int(s) for s in np.asarray(sizes))
