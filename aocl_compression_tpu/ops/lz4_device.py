@@ -878,8 +878,14 @@ def _decode_block(chunk_u8, clen, dlen, C: int, B: int, MAXTOK: int):
     is_lit = o < f_mstart
     # offset 0 only occurs in corrupt streams; clamp to 1 so the
     # resolve loop always makes progress (no self-loops -> no hang)
+    # Periodic collapse (r5): an overlapping match (off < ml) is a
+    # periodic fill — source each byte from the FIRST period,
+    # (o - mstart) mod off, instead of off bytes back. Identity when
+    # off >= ml; removes the long intra-match chains (RLE) that were
+    # the fixpoint's ~10-round tail.
+    offv = jnp.maximum(f_off & 0xFFFF, 1)
     src = jnp.where(is_lit, -(f_a + rel) - 1,
-                    o - jnp.maximum(f_off & 0xFFFF, 1))
+                    (f_mstart - offv) + jnp.remainder(o - f_mstart, offv))
     src = jnp.where(o < dlen, src, -1)  # pad bytes: point at chunk[0]
 
     # --- resolve back-reference chains until a pass changes nothing --------

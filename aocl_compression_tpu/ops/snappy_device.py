@@ -504,8 +504,11 @@ def _decode_block(chunk_u8, clen, dlen, C: int, B: int):
     is_lit = o < f_mstart
     # offset 0 only occurs in corrupt streams; clamp to 1 so the
     # resolve loop always makes progress (no self-loops -> no hang)
+    # Periodic collapse (r5, see lz4_device._decode_block): overlapping
+    # matches source from the first period — intra-match chains go away.
+    offv = jnp.maximum(f_off & 0xFFFF, 1)
     src = jnp.where(is_lit, -(f_a + rel) - 1,
-                    o - jnp.maximum(f_off & 0xFFFF, 1))
+                    (f_mstart - offv) + jnp.remainder(o - f_mstart, offv))
     src = jnp.where(o < dlen, src, -1)
 
     def cond(state):

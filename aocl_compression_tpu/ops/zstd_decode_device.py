@@ -252,7 +252,15 @@ def _execute(litbuf, ll, ml, off, nbseq, litregen, B):
 
     o = jnp.arange(B, dtype=jnp.int32)
     is_lit = o < f_ms
-    src = jnp.where(is_lit, -(f_lb + (o - f_os)) - 1, o - f_off)
+    # Periodic collapse (r5, VERDICT r4 #6): an overlapping match
+    # (off < ml) is a periodic fill, so every byte can source DIRECTLY
+    # from the first period — (o - f_ms) mod off — instead of hopping
+    # off bytes back per fixpoint round. For off >= ml the mod is the
+    # identity. This removes the long intra-match chains (RLE runs were
+    # the ~10-round tail of the gather fixpoint); what remains is
+    # inter-match nesting depth (measured 2-3 rounds).
+    src = jnp.where(is_lit, -(f_lb + (o - f_os)) - 1,
+                    (f_ms - f_off) + jnp.remainder(o - f_ms, f_off))
     src = jnp.where(o < dlen, src, -1)
     # back-refs point strictly earlier, so the fixpoint terminates
     src = jnp.where(src >= o, -1, src)  # corrupt-stream self-loop guard
