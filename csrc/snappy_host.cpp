@@ -265,6 +265,16 @@ int64_t atpu_snappy_uncompress(const uint8_t* src, int64_t srcLen,
     uint8_t* const oendCap = dst + dstCap;
     uint8_t* const outLimit = dstCap > 80 ? oendCap - 80 : dst;
     static const SnTagTable SNT;
+    // Branchless-merged element loop (reference analog: the
+    // DecompressBranchless structure of algos/snappy/snappy.cc — own
+    // derivation): literal and match share ONE unconditional 64-byte
+    // copy whose source is selected by cmov; the only data-dependent
+    // branch is the rare-case exit (long literal / invalid or
+    // truly-overlapping offset). Ordered 16-byte chunks are
+    // within-element safe for offset >= 16 at any len <= 64, and for
+    // offset >= len at any offset (the needed bytes all lie below op;
+    // wild tail bytes are rewritten before any later element can read
+    // them) — so the slow condition for matches is offset < min(len, 16).
     while (ip < inLimit && op < outLimit) {
         uint32_t tag = *ip++;
         uint32_t e = SNT.e[tag];
@@ -272,45 +282,41 @@ int64_t atpu_snappy_uncompress(const uint8_t* src, int64_t srcLen,
         uint32_t extra = (e >> 8) & 7;
         int64_t len = e & 0xFF;
         ip += extra;
-        if (e & (1u << 11)) {  // literal
-            if (len == 0) {    // long literal: length bytes were in w
+        int64_t lit = (e >> 11) & 1;
+        // mask selects instead of ternaries: gcc was branching on `lit`,
+        // which is exactly the misprediction the merged loop exists to kill
+        uint64_t lmask = (uint64_t)0 - (uint64_t)lit;
+        int64_t offset = (int64_t)(e >> 16) + (int64_t)(w & SN_MASK[extra]);
+        const uint8_t* m = op - offset;
+        const uint8_t* s = (const uint8_t*)(((uintptr_t)ip & lmask) |
+                                            ((uintptr_t)m & ~lmask));
+        uint64_t cap32 = (uint64_t)(len < 32 ? len : 32);
+        uint64_t bad = (uint64_t)((uint64_t)(offset - 1) >=
+                                  (uint64_t)(op - dst)) |
+                       (uint64_t)((uint64_t)offset < cap32);
+        uint64_t slow = (bad & ~lmask) | ((uint64_t)(len == 0) & lmask);
+        if (__builtin_expect(slow != 0, 0)) {
+            if (lit) {  // long literal: length bytes were in w
                 len = (int64_t)(w & SN_MASK[extra]) + 1;
                 if (len > iend - ip || len > oend - op) return -1;
                 std::memcpy(op, ip, (size_t)len);
-            } else if (len <= 16) {
-                std::memcpy(op, ip, 16);
-            } else {
-                std::memcpy(op, ip, 16);
-                std::memcpy(op + 16, ip + 16, 16);
-                std::memcpy(op + 32, ip + 32, 16);
-                std::memcpy(op + 48, ip + 48, 16);
+                ip += len;
+                op += len;
+                continue;
             }
-            ip += len;
-            op += len;
-            continue;
-        }
-        int64_t offset = (int64_t)(e >> 16) + (int64_t)(w & SN_MASK[extra]);
-        // offset != 0 && offset <= op - dst, one unsigned compare
-        if ((uint64_t)(offset - 1) >= (uint64_t)(op - dst)) return -1;
-        const uint8_t* m = op - offset;
-        if (offset >= 16) {
-            // len <= 64: four ordered 16B chunks cover it, overlap-safe
-            std::memcpy(op, m, 16);
-            if (len > 16) {
-                std::memcpy(op + 16, m + 16, 16);
-                std::memcpy(op + 32, m + 32, 16);
-                std::memcpy(op + 48, m + 48, 16);
+            if ((uint64_t)(offset - 1) >= (uint64_t)(op - dst)) return -1;
+            if (offset >= 8) {
+                uint8_t* o = op;
+                const uint8_t* q = m;
+                uint8_t* const e2 = op + len;
+                do {
+                    std::memcpy(o, q, 8);
+                    o += 8;
+                    q += 8;
+                } while (o < e2);
+                op += len;
+                continue;
             }
-        } else if (offset >= 8) {
-            uint8_t* o = op;
-            const uint8_t* q = m;
-            uint8_t* const e = op + len;
-            do {
-                std::memcpy(o, q, 8);
-                o += 8;
-                q += 8;
-            } while (o < e);
-        } else {
             // small periodic offset: materialize 8 pattern bytes, then
             // 8-byte steps from the first aligned repeat >= 8 back
             uint8_t* o = op;
@@ -326,7 +332,13 @@ int64_t atpu_snappy_uncompress(const uint8_t* src, int64_t srcLen,
                     q += 8;
                 } while (o < e);
             }
+            op += len;
+            continue;
         }
+        // fast path: one unconditional 64B copy, source cmov-selected
+        std::memcpy(op, s, 32);
+        std::memcpy(op + 32, s + 32, 32);
+        ip += (int64_t)((uint64_t)len & lmask);
         op += len;
     }
 
