@@ -372,10 +372,11 @@ int64_t atpu_lz4_decompress(const uint8_t* src, int64_t srcLen,
         if ((uint64_t)(offset - 1) >= (uint64_t)(op - dst)) return -1;
         int64_t mlen = (int64_t)(token & 15);
         const uint8_t* m = op - offset;
-        if (mlen != 15 && offset >= 8 && oend - op >= 20) {
+        if ((mlen != 15) & (offset >= 8)) {
             // mlen + 4 <= 18: three ordered fixed copies cover 20 bytes and
             // are overlap-correct at distance >= 8 (each chunk is shorter
             // than the distance); op + 20 is inside the 64-byte margin
+            // (op < outLimit = oend - 64), so no extra slack check.
             std::memcpy(op, m, 8);
             std::memcpy(op + 8, m + 8, 8);
             std::memcpy(op + 16, m + 16, 4);
